@@ -1,0 +1,141 @@
+"""StandardAnalyzer re-expressed as a vectorized batch operation.
+
+Reference semantics (all citations into /root/reference):
+
+- ``StandardTokenizer`` is a UAX#29 word-break tokenizer
+  (``analysis/standard/StandardTokenizer.java:38-114``).  We implement
+  the word-break rules that matter for source-code/ASCII text with a
+  single regex over the relevant UAX#29 classes:
+  ALetter=`[^\\W\\d_]`, Numeric=`\\d`, ExtendNumLet=`_` (joins inside
+  `\\w+` runs), MidNumLet=`['.']` between two letters or two digits,
+  MidNum=`,` between two digits.  Golden-locked by tests (E5 fixture):
+  ``a1b2 3.14 foo_bar foo-bar x+y`` -> ``a1b2, 3.14, foo_bar, foo,
+  bar, x, y``.
+- tokens longer than ``max_token_length`` (default 255,
+  ``StandardAnalyzer.java:37``) are DROPPED but still count as a
+  position increment (``StandardTokenizer.java:163-173``); they do NOT
+  contribute to field length / norms (they never reach the indexing
+  chain).
+- ``LowerCaseFilter`` lowercases per code point
+  (``analysis/LowerCaseFilter.java:36-40``) — ``str.lower()`` matches
+  for ASCII and nearly all of Unicode.
+- the default StandardAnalyzer STOP SET IS EMPTY
+  (``analysis/standard/StandardAnalyzer.java:51-53``); stop filtering
+  accumulates skipped positions into the next token's increment
+  (``analysis/FilteringTokenFilter.java:49-58``).
+
+The analyzer is exposed three ways: a plain-Python batch function (used
+by the oracle so index and oracle share one tokenizer), a pandas-UDF
+factory for DataFrame pipelines, and a registry for pluggable analyzers
+(the reference's ``Analyzer.createComponents`` extension point,
+``analysis/Analyzer.java:85``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+# UAX#29-for-ASCII word regex. Segments of \w (letters/digits/underscore;
+# underscore is ExtendNumLet so it glues), joined across MidNumLet/MidNum
+# when flanked by the right classes.
+_L = r"[^\W\d_]"  # unicode letter
+_D = r"\d"
+TOKEN_RE = re.compile(
+    rf"\w+(?:(?:(?<={_L})['.](?={_L})|(?<={_D})['.,](?={_D}))\w+)*",
+    re.UNICODE,
+)
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """StandardTokenizer -> LowerCaseFilter -> StopFilter chain."""
+
+    max_token_length: int = 255
+    stop_words: frozenset[str] = field(default_factory=frozenset)
+    lowercase: bool = True
+
+    def tokens(self, text: str) -> list[str]:
+        """Analyzed terms for one document (no positions)."""
+        if not text:
+            return []
+        raw = TOKEN_RE.findall(text)
+        out = []
+        for t in raw:
+            if len(t) > self.max_token_length:
+                continue  # dropped, still a position increment
+            if self.lowercase:
+                t = t.lower()
+            if t in self.stop_words:
+                continue
+            out.append(t)
+        return out
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        """(term, position) pairs; skipped tokens leave position gaps."""
+        if not text:
+            return []
+        out = []
+        pos = -1
+        for t in TOKEN_RE.findall(text):
+            pos += 1  # every matched token advances the position
+            if len(t) > self.max_token_length:
+                continue
+            if self.lowercase:
+                t = t.lower()
+            if t in self.stop_words:
+                continue
+            out.append((t, pos))
+        return out
+
+
+WHITESPACE = "whitespace"
+STANDARD = "standard"
+
+
+@dataclass(frozen=True)
+class WhitespaceAnalyzer:
+    """Split on whitespace + lowercase; SQL-parity analyzer whose exact
+    behavior is expressible in ANSI SQL (used by the driver-facing
+    oracle-checked queries)."""
+
+    lowercase: bool = True
+
+    def tokens(self, text: str) -> list[str]:
+        if not text:
+            return []
+        toks = text.split()
+        return [t.lower() for t in toks] if self.lowercase else toks
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        return list(zip(self.tokens(text), range(10**9)))
+
+
+_REGISTRY = {
+    STANDARD: StandardAnalyzer(),
+    WHITESPACE: WhitespaceAnalyzer(),
+}
+
+
+def get_analyzer(name: str):
+    return _REGISTRY[name]
+
+
+def analyze_batch(texts: pd.Series, analyzer_name: str = STANDARD) -> pd.Series:
+    """Vectorized batch tokenize: Series[str] -> Series[list[str]]."""
+    an = get_analyzer(analyzer_name)
+    return texts.fillna("").map(an.tokens)
+
+
+def tokenize_udf_factory(analyzer_name: str = STANDARD):
+    """Build a pandas UDF Series[str] -> Series[array<string>]."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return analyze_batch(texts, analyzer_name)
+
+    return tokenize

@@ -1,0 +1,70 @@
+"""Exact float32 BM25 scoring, rank- and score-identical to the reference.
+
+Arithmetic mirrors ``BM25Similarity`` (``lucene/core/src/java/org/apache/
+lucene/search/similarities/BM25Similarity.java``):
+
+- ``idf = (float) log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5))``
+  computed in double, cast to float32 (``:190-193``).
+- ``avgdl = (float)(sumTotalTermFreq / (double) docCount)`` (``:196-198``).
+- a 256-entry float32 cache ``1 / (k1 * ((1-b) + b * LENGTH_TABLE[i]/avgdl))``
+  indexed by the SmallFloat-encoded norm byte (``:214-217``).
+- per-term doc score ``weight - weight / (1 + freq * normInverse)`` in
+  float32 (``:255-258``), with ``weight = boost * idf`` float32.
+- multi-term scores are summed in DOUBLE then cast to float32, matching
+  ``DisjunctionSumScorer.score`` / ``ConjunctionScorer`` (``:39-45``).
+
+All functions are vectorized numpy and shared by the Spark scoring
+kernels and the pure-Python oracle, so "engine matches oracle" is a
+test of the distributed plumbing, not of two scoring codebases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_1_spark.functions.smallfloat import LENGTH_TABLE
+
+K1_DEFAULT = np.float32(1.2)
+B_DEFAULT = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float32(log(1 + (N - n + 0.5)/(n + 0.5))) — double math, float cast."""
+    return np.float32(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_inverse_cache(avgdl: np.float32,
+                       k1: np.float32 = K1_DEFAULT,
+                       b: np.float32 = B_DEFAULT) -> np.ndarray:
+    """256-entry float32 cache of 1/(k1*((1-b) + b*len/avgdl)) per norm byte.
+
+    Every step is float32 to match the JVM's float expression evaluation.
+    """
+    one = np.float32(1.0)
+    dl = LENGTH_TABLE  # float32[256], decoded lengths
+    denom = (k1 * ((one - b) + b * dl / np.float32(avgdl))).astype(np.float32)
+    return (one / denom).astype(np.float32)
+
+
+def score_term(freq: np.ndarray, norm_byte: np.ndarray, weight: np.float32,
+               cache: np.ndarray) -> np.ndarray:
+    """Vectorized ``weight - weight / (1 + freq * normInverse)`` in float32."""
+    freq = np.asarray(freq, dtype=np.float32)
+    inv = cache[np.asarray(norm_byte, dtype=np.uint8)]
+    return (weight - weight / (np.float32(1.0) + freq * inv)).astype(np.float32)
+
+
+def term_weight(doc_freq: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    return np.float32(np.float32(boost) * idf(doc_freq, doc_count))
+
+
+def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
+    """Sum aligned per-term float32 score arrays in float64, cast to float32."""
+    acc = np.zeros(len(per_term_scores[0]), dtype=np.float64)
+    for s in per_term_scores:
+        acc += s.astype(np.float64)
+    return acc.astype(np.float32)

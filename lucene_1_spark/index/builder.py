@@ -1,0 +1,333 @@
+"""Distributed inverted-index build — the role of Lucene's write path
+(``IndexWriter.addDocument`` -> DWPT -> flush -> ``SegmentMerger``,
+SURVEY.md §3.1) re-expressed as a DataFrame pipeline:
+
+stage ``docs``      deterministic docID assignment + tokenize + norms
+stage ``postings``  per-term 128-doc blocks, delta+FOR packed, with
+                    block-max metadata; "merge" is the
+                    repartition-by-(term-bucket) shuffle
+stage ``stats``     term_stats + collection_stats (whole-index — BM25
+                    idf/avgdl are global, ``IndexSearcher.java:1110-1123``)
+
+Scale design (100 TB / 10^12 files):
+
+- **docIDs** are the lexicographic rank of ``(repo, path, commit)``:
+  ``repartitionByRange`` + ``sortWithinPartitions`` + per-partition
+  offsets (one tiny driver collect of partition counts).  Range
+  partition boundaries may vary run-to-run, but the *assignment* is a
+  pure function of the key set, so builds are deterministic — required
+  for Lucene-style (score desc, docID asc) tie-breaks.  Never
+  ``monotonically_increasing_id`` (nondeterministic after shuffles).
+- **one tokenize pass**: the docs stage emits per-doc term-frequency
+  maps (``MapType``), postings explode from the persisted intermediate;
+  content is never scanned twice.
+- **hot-term skew**: posting blocks are built per ``(term_bucket,
+  doc_range)`` group — the doc_range "salt" splits a hot term's
+  millions of postings across tasks, and because ranges are disjoint
+  and ordered, concatenating each range's blocks in range order yields
+  a globally doc-ordered posting list with no second merge pass (the
+  Lucene analog: segments).  Range-boundary blocks may hold <128 docs,
+  which the format permits (Lucene's tail vint blocks likewise).
+- **partition-pruned term lookup**: postings + term stats are written
+  ``partitionBy(bucket)`` with ``bucket = pmod(xxhash64(term), B)`` —
+  a query for k terms touches at most k of B directories (the Spark
+  analog of the term-dictionary seek).
+- **resumability**: each stage writes a checkpoint row (FIXTURES.md §4)
+  after its output is durable; a re-run skips completed stages, and the
+  postings stage skips completed buckets (per-partition checkpoints).
+- **lineage/metrics**: docs/terms/postings/bytes recorded per partition
+  at build time.
+
+Parquet (ZSTD) + a JSON manifest stand in for Iceberg tables + snapshot
+commits — the sandbox ships no Iceberg jars; on a real cluster every
+``write_table`` below becomes an Iceberg commit (documented deviation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from lucene_1_spark.analysis import get_analyzer
+from lucene_1_spark.functions import codecs
+from lucene_1_spark.functions.smallfloat import LENGTH_TABLE, int_to_byte4
+
+DOC_KEY_COLS = ["repo", "path", "commit"]
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("length", T.LongType()),
+    T.StructField("norm_byte", T.IntegerType()),
+    T.StructField("content_sha256", T.StringType()),
+    T.StructField("term_freqs", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("build_partition", T.IntegerType()),
+])
+
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("block_seq", T.IntegerType()),
+    T.StructField("num_docs", T.IntegerType()),
+    T.StructField("first_doc", T.LongType()),
+    T.StructField("last_doc", T.LongType()),
+    T.StructField("max_freq", T.IntegerType()),
+    T.StructField("min_norm_len", T.IntegerType()),
+    T.StructField("min_norm_byte", T.IntegerType()),
+    T.StructField("sum_freq", T.LongType()),
+    T.StructField("doc_gaps", T.BinaryType()),
+    T.StructField("freqs", T.BinaryType()),
+    T.StructField("norms", T.BinaryType()),
+    T.StructField("bucket", T.IntegerType()),
+])
+
+
+@dataclass
+class IndexConfig:
+    analyzer: str = "standard"
+    k1: float = 1.2
+    b: float = 0.75
+    n_buckets: int = 16          # term-hash partitions of the postings table
+    doc_range_bits: int = 20     # hot-term salt: blocks built per 2^bits docIDs
+    n_doc_partitions: int = 32   # range partitions for docID assignment
+    block_size: int = codecs.BLOCK_SIZE
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 config: IndexConfig | None = None):
+        self.spark = spark
+        self.dir = index_dir
+        self.cfg = config or IndexConfig()
+
+    # -- paths ------------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    # -- checkpoints (FIXTURES.md §4) -------------------------------------
+    def _checkpoint_rows(self) -> pd.DataFrame:
+        p = self.path("checkpoints")
+        if not os.path.exists(p):
+            return pd.DataFrame(columns=["partition_id", "stage", "status", "rows", "ts"])
+        return self.spark.read.parquet(p).toPandas()
+
+    def _write_checkpoint(self, partition_id: int, stage: str, status: str, rows: int):
+        df = self.spark.createDataFrame(
+            [(partition_id, stage, status, rows)],
+            "partition_id int, stage string, status string, rows long",
+        ).withColumn("ts", F.current_timestamp())
+        df.write.mode("append").parquet(self.path("checkpoints"))
+
+    def _stage_done(self, stage: str, partition_id: int = -1) -> bool:
+        cp = self._checkpoint_rows()
+        hit = cp[(cp.stage == stage) & (cp.partition_id == partition_id)
+                 & (cp.status == "done")]
+        return len(hit) > 0
+
+    # -- stage 1: docID assignment + tokenize -----------------------------
+    def build_docs(self, source: DataFrame) -> None:
+        """Tokenize once; assign deterministic dense docIDs."""
+        if self._stage_done("docs"):
+            return
+        cfg = self.cfg
+        n_part = min(cfg.n_doc_partitions, 200)
+        keyed = (
+            source
+            .repartitionByRange(n_part, *DOC_KEY_COLS)
+            .sortWithinPartitions(*DOC_KEY_COLS)
+        )
+        # per-range-partition doc counts -> base offsets (tiny driver state)
+        counts = (
+            keyed.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid").count().collect()
+        )
+        sizes = {r["pid"]: r["count"] for r in counts}
+        offsets = {}
+        acc = 0
+        for pid in range(n_part):
+            offsets[pid] = acc
+            acc += sizes.get(pid, 0)
+        analyzer_name = cfg.analyzer
+
+        def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            base = offsets.get(pid, 0)
+            an = get_analyzer(analyzer_name)
+            seen = 0
+            for pdf in iterator:
+                n = len(pdf)
+                toks = pdf["content"].fillna("").map(an.tokens)
+                lengths = toks.map(len).to_numpy(dtype=np.int64)
+                tf = toks.map(lambda ts: dict(pd.Series(ts).value_counts().astype("int32"))
+                              if ts else {})
+                sha = pdf["content"].fillna("").map(
+                    lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
+                out = pd.DataFrame({
+                    "doc_id": base + seen + np.arange(n, dtype=np.int64),
+                    "repo": pdf["repo"].values,
+                    "path": pdf["path"].values,
+                    "commit": pdf["commit"].values,
+                    "lang": pdf["lang"].values,
+                    "length": lengths,
+                    "norm_byte": int_to_byte4(lengths).astype(np.int32),
+                    "content_sha256": sha.values,
+                    "term_freqs": tf.values,
+                    "build_partition": np.full(n, pid, dtype=np.int32),
+                })
+                seen += n
+                yield out
+
+        docs = keyed.mapInPandas(assign, schema=DOCS_SCHEMA)
+        docs.write.mode("overwrite").parquet(self.path("docs"))
+        n_docs = self.spark.read.parquet(self.path("docs")).count()
+        # per-partition lineage for the docs stage
+        (self.spark.read.parquet(self.path("docs"))
+         .groupBy("build_partition")
+         .agg(F.count("*").alias("docs"), F.sum("length").alias("postings"))
+         .withColumn("terms", F.lit(None).cast("long"))
+         .withColumn("bytes", F.lit(None).cast("long"))
+         .withColumnRenamed("build_partition", "partition_id")
+         .select("partition_id", "docs", "terms", "postings", "bytes")
+         .withColumn("stage", F.lit("docs"))
+         .write.mode("append").parquet(self.path("lineage_metrics")))
+        self._write_checkpoint(-1, "docs", "done", n_docs)
+
+    # -- stage 2: posting blocks ------------------------------------------
+    def build_postings(self) -> None:
+        cfg = self.cfg
+        docs = self.spark.read.parquet(self.path("docs"))
+        cp = self._checkpoint_rows()
+        done_buckets = set(
+            cp[(cp.stage == "postings") & (cp.status == "done")]["partition_id"])
+        todo = [b for b in range(cfg.n_buckets) if b not in done_buckets]
+        if not todo:
+            return
+
+        postings = (
+            docs
+            .select("doc_id", "norm_byte",
+                    F.explode("term_freqs").alias("term", "freq"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
+            .withColumn("drange",
+                        F.shiftright("doc_id", cfg.doc_range_bits).cast("int"))
+        )
+        if done_buckets:
+            postings = postings.filter(~F.col("bucket").isin(*done_buckets))
+
+        block_size = cfg.block_size
+
+        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+            rows = []
+            for term, g in pdf.groupby("term", sort=False):
+                dids = g["doc_id"].to_numpy(dtype=np.int64)
+                freqs = g["freq"].to_numpy(dtype=np.int64)
+                norms = g["norm_byte"].to_numpy().astype(np.uint8)
+                for s, start in enumerate(range(0, len(dids), block_size)):
+                    d = dids[start:start + block_size]
+                    f = freqs[start:start + block_size]
+                    nb = norms[start:start + block_size]
+                    lens = LENGTH_TABLE[nb]
+                    mi = int(np.argmin(lens))
+                    rows.append((
+                        term, s, len(d), int(d[0]), int(d[-1]),
+                        int(f.max()), int(lens[mi]), int(nb[mi]),
+                        int(f.sum()),
+                        codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
+                        nb.tobytes(), bucket,
+                    ))
+            return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+        blocks = (
+            postings
+            .groupBy("bucket", "drange")
+            .applyInPandas(pack, schema=BLOCKS_SCHEMA)
+        )
+        blocks.write.mode("append").partitionBy("bucket").parquet(self.path("postings"))
+
+        written = self.spark.read.parquet(self.path("postings"))
+        if done_buckets:
+            written = written.filter(~F.col("bucket").isin(*done_buckets))
+        lineage = (
+            written.groupBy("bucket")
+            .agg(F.approx_count_distinct("term").alias("terms"),
+                 F.sum("num_docs").alias("postings"),
+                 (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
+                  + F.sum(F.length("norms"))).alias("bytes"))
+            .withColumn("docs", F.lit(None).cast("long"))
+            .withColumnRenamed("bucket", "partition_id")
+            .select("partition_id", "docs", "terms", "postings", "bytes")
+            .withColumn("stage", F.lit("postings"))
+        )
+        lineage.write.mode("append").parquet(self.path("lineage_metrics"))
+        for r in written.groupBy("bucket").count().collect():
+            self._write_checkpoint(int(r["bucket"]), "postings", "done", r["count"])
+
+    # -- stage 3: stats ----------------------------------------------------
+    def build_stats(self) -> None:
+        if self._stage_done("stats"):
+            return
+        blocks = self.spark.read.parquet(self.path("postings"))
+        term_stats = (
+            blocks.groupBy("bucket", "term")
+            .agg(F.sum("num_docs").alias("doc_freq"),
+                 F.sum("sum_freq").alias("total_term_freq"))
+        )
+        term_stats.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(self.path("term_stats"))
+
+        docs = self.spark.read.parquet(self.path("docs"))
+        row = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("length").alias("sum_total_term_freq"),
+        ).collect()[0]
+        sum_doc_freq = self.spark.read.parquet(self.path("term_stats")) \
+            .agg(F.sum("doc_freq")).collect()[0][0]
+        stats = {
+            "n_docs": int(row["n_docs"]),
+            "doc_count": int(row["doc_count"]),
+            "sum_total_term_freq": int(row["sum_total_term_freq"]),
+            "sum_doc_freq": int(sum_doc_freq or 0),
+        }
+        manifest = {
+            "format_version": 1,
+            "config": {
+                "analyzer": self.cfg.analyzer, "k1": self.cfg.k1, "b": self.cfg.b,
+                "n_buckets": self.cfg.n_buckets,
+                "doc_range_bits": self.cfg.doc_range_bits,
+                "block_size": self.cfg.block_size,
+            },
+            "collection_stats": stats,
+            "committed_at": time.time(),
+        }
+        with open(self.path("manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        self._write_checkpoint(-1, "stats", "done", stats["n_docs"])
+
+    # -- orchestration -----------------------------------------------------
+    def build(self, source: DataFrame) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        self.build_docs(source)
+        self.build_postings()
+        self.build_stats()
+
+
+def build_index(spark: SparkSession, source: DataFrame, index_dir: str,
+                config: IndexConfig | None = None) -> "IndexBuilder":
+    b = IndexBuilder(spark, index_dir, config)
+    b.build(source)
+    return b

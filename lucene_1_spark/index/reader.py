@@ -1,0 +1,66 @@
+"""Point-in-time index reader — the role of ``DirectoryReader.open``
+(``index/DirectoryReader.java``): loads the manifest (snapshot), exposes
+the postings / term-stats / docs tables and whole-index collection
+statistics (``IndexSearcher.java:1110-1123``)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        self.cfg = self.manifest["config"]
+        self.stats = self.manifest["collection_stats"]
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.cfg["n_buckets"])
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "postings"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docs")) \
+            .drop("term_freqs")
+
+    def bucket_of(self, term: str) -> int:
+        """Driver-side mirror of pmod(xxhash64(term), B) for partition
+        pruning — computed via Spark to guarantee hash identity."""
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(term)), F.lit(self.n_buckets)).cast("int")
+        ).collect()[0]
+        return int(row[0])
+
+    def buckets_of(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = df.select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b"),
+        ).collect()
+        return {r["term"]: int(r["b"]) for r in rows}
+
+    def term_statistics(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (doc_freq, total_term_freq)} — the TermStates.build
+        analog (``index/TermStates.java:96-160``); touches only the
+        term's hash bucket partitions."""
+        if not terms:
+            return {}
+        buckets = sorted(set(self.buckets_of(terms).values()))
+        df = (self.term_stats()
+              .filter(F.col("bucket").isin(buckets))
+              .filter(F.col("term").isin(terms)))
+        return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+                for r in df.collect()}

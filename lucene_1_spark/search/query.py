@@ -1,0 +1,144 @@
+"""Query model + logical rewrites — the role of Lucene's ``Query`` tree
+and ``BooleanQuery.rewrite`` (``search/BooleanQuery.java:250-470``,
+``search/IndexSearcher.java:849-861``).
+
+The rewrite rules ported (those relevant to term/boolean queries):
+- rewrite children to fixpoint;
+- 1-clause unwrap (a lone MUST/SHOULD clause becomes the inner query);
+- empty boolean / pure-MUST_NOT boolean -> MatchNoDocs;
+- duplicate SHOULD/MUST clause dedup with boost summing;
+- MUST ∧ MUST_NOT of the same subquery -> MatchNoDocs;
+- clause-count guard (1024, ``IndexSearcher.java:80``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from lucene_1_spark.analysis import get_analyzer
+
+MAX_CLAUSE_COUNT = 1024
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+    FILTER = "FILTER"  # required, non-scoring (BooleanQuery.java:120-126)
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Clause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[Clause, ...]
+    minimum_should_match: int = 0
+
+    def __post_init__(self):
+        if len(self.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"too many clauses: {len(self.clauses)} > {MAX_CLAUSE_COUNT}")
+
+    def rewrite(self) -> Query:
+        clauses = [Clause(c.query.rewrite(), c.occur) for c in self.clauses]
+        # drop MatchNone SHOULDs; MatchNone MUST/FILTER kills the query
+        kept: list[Clause] = []
+        for c in clauses:
+            if isinstance(c.query, MatchNoDocsQuery):
+                if c.occur in (Occur.MUST, Occur.FILTER):
+                    return MatchNoDocsQuery()
+                continue  # SHOULD/MUST_NOT of nothing is a no-op
+            kept.append(c)
+        # duplicate term dedup with boost summing (BooleanQuery.java:322-470)
+        merged: dict[tuple, Clause] = {}
+        out: list[Clause] = []
+        for c in kept:
+            if isinstance(c.query, TermQuery) and c.occur in (Occur.SHOULD, Occur.MUST):
+                k = (c.occur, c.query.term)
+                if k in merged:
+                    prev = merged[k]
+                    merged[k] = Clause(
+                        TermQuery(c.query.term, prev.query.boost + c.query.boost),
+                        c.occur)
+                    continue
+                merged[k] = c
+            out.append(c)
+        out = [merged.get((c.occur, c.query.term), c)
+               if isinstance(c.query, TermQuery) and c.occur in (Occur.SHOULD, Occur.MUST)
+               else c for c in out]
+        # dedup identical (occur, query) pairs entirely
+        seen, uniq = set(), []
+        for c in out:
+            k = (c.occur, c.query)
+            if k in seen:
+                continue
+            seen.add(k)
+            uniq.append(c)
+        # MUST ∧ MUST_NOT contradiction
+        must_set = {c.query for c in uniq if c.occur in (Occur.MUST, Occur.FILTER)}
+        if any(c.query in must_set for c in uniq if c.occur == Occur.MUST_NOT):
+            return MatchNoDocsQuery()
+        if not uniq:
+            return MatchNoDocsQuery()
+        if all(c.occur == Occur.MUST_NOT for c in uniq):
+            return MatchNoDocsQuery()
+        if len(uniq) == 1 and uniq[0].occur in (Occur.MUST, Occur.SHOULD) \
+                and self.minimum_should_match <= 1:
+            return uniq[0].query
+        return BooleanQuery(tuple(uniq), self.minimum_should_match)
+
+
+def rewrite_fixpoint(q: Query, max_iter: int = 16) -> Query:
+    """Rewrite to fixpoint (IndexSearcher.java:849-858)."""
+    for _ in range(max_iter):
+        r = q.rewrite()
+        if r == q:
+            return r
+        q = r
+    return q
+
+
+def parse_query(text: str, analyzer: str = "standard") -> Query:
+    """FIXTURES.md §2 syntax: whitespace clauses, ``+t``=MUST,
+    ``-t``=MUST_NOT, bare=SHOULD; clause text analyzed with the same
+    analyzer as indexing (demo/SearchFiles.java:109-120)."""
+    an = get_analyzer(analyzer)
+    clauses: list[Clause] = []
+    for raw in text.split():
+        occur = Occur.SHOULD
+        if raw.startswith("+"):
+            occur, raw = Occur.MUST, raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = Occur.MUST_NOT, raw[1:]
+        for term in an.tokens(raw):
+            clauses.append(Clause(TermQuery(term), occur))
+    if not clauses:
+        return MatchNoDocsQuery()
+    if len(clauses) == 1 and clauses[0].occur != Occur.MUST_NOT:
+        return clauses[0].query
+    return BooleanQuery(tuple(clauses))
