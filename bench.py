@@ -1,0 +1,137 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload (mirrors the reference's benchmark shape,
+``lucene/benchmark/conf/indexing.alg`` + SearchTask):
+
+1. **index build throughput** over the deterministic synthetic
+   source-code corpus (FIXTURES.md; default 20k docs ~ the reference's
+   canonical 20k-doc Reuters workload) — wall-clock + files/sec.
+2. **query latency** p50/p99 over the 30-query reference set against
+   that index (block-max pruning on).
+3. **driver-table queries** at $SPARK_GRAFT_SF_DIR: a representative
+   subset of the __spark_entry__ operator suite over documents/
+   embeddings.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_CORPUS_DOCS    (default 20000)
+  BENCH_SCALING=1      also run the N vs 4N-core scaling pair
+                       (writes results into the JSON under "scaling")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_and_query(cores: int, n_docs: int, tag: str) -> dict:
+    """One full build+query cycle on a fresh Spark session."""
+    from pyspark.sql import SparkSession
+
+    from lucene_1_spark import corpus as corpus_mod
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.session import get_spark
+
+    spark = get_spark(f"bench-{tag}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pdf = corpus_mod.generate(n_docs)
+    src = spark.createDataFrame(pdf).repartition(cores, "repo")
+    src.persist().count()  # materialize input before the clock starts
+
+    idx_dir = os.path.join(tempfile.gettempdir(), f"l1s_bench_idx_{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, src, idx_dir,
+                IndexConfig(n_buckets=min(cores, 32),
+                            n_doc_partitions=cores))
+    build_sec = time.time() - t0
+
+    searcher = IndexSearcher(IndexReader(spark, idx_dir))
+    lat = []
+    queries = corpus_mod.reference_queries()
+    t0 = time.time()
+    for _, qtext, _ in queries:
+        tq = time.time()
+        searcher.search_df(qtext, k=10).collect()
+        lat.append(time.time() - tq)
+    query_total = time.time() - t0
+    lat.sort()
+    out = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "files_per_sec": round(n_docs / build_sec, 1),
+        "query_total_sec": round(query_total, 2),
+        "query_p50_sec": round(statistics.median(lat), 3),
+        "query_p99_sec": round(lat[max(0, int(len(lat) * 0.99) - 1)], 3),
+    }
+    spark.stop()
+    return out
+
+
+def driver_table_queries(sf_dir: str, cores: int) -> dict:
+    """Timings for a representative subset of the __spark_entry__ suite."""
+    import __spark_entry__ as entrymod
+    from lucene_1_spark.session import get_spark
+
+    spark = get_spark("bench-tables", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    subset = ["ft_term_topk", "ft_or_topk", "ft_and_topk", "ft_facet_lang",
+              "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
+              "sim_cosine_topk", "text_quality", "text_fingerprint"]
+    qs = entrymod.queries()
+    out = {}
+    for name in subset:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+
+    main_run = build_and_query(cores, n_docs, f"c{cores}")
+    table_q = driver_table_queries(sf_dir, cores)
+
+    result = {
+        "metric": "index_build_plus_query_sec",
+        "value": round(main_run["build_sec"] + main_run["query_total_sec"], 2),
+        "unit": "sec",
+        "sf": sf_dir,
+        "index_build": main_run,
+        "queries": table_q,
+    }
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        lo_cores = max(cores // 4, 1)
+        lo = build_and_query(lo_cores, n_docs, f"c{lo_cores}")
+        speedup = lo["build_sec"] / main_run["build_sec"]
+        result["scaling"] = {
+            "n_cores": lo_cores, "n_build_sec": lo["build_sec"],
+            "four_n_cores": cores, "four_n_build_sec": main_run["build_sec"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (cores / lo_cores), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

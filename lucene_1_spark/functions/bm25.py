@@ -62,6 +62,24 @@ def term_weight(doc_freq: int, doc_count: int, boost: float = 1.0) -> np.float32
     return np.float32(np.float32(boost) * idf(doc_freq, doc_count))
 
 
+def idf_double(doc_freq: int, doc_count: int) -> float:
+    """Double-precision idf for the ``bm25_double`` similarity (the
+    pluggable-Similarity extension point, SURVEY.md §2.11): same formula
+    as :func:`idf` but without the float32 cast, so an external ANSI-SQL
+    oracle can reproduce scores bit-for-bit."""
+    return float(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def score_term_double(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                      avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    """Double-precision BM25 with exact (unquantized) field lengths:
+    ``idf * freq / (freq + k1*((1-b) + b*len/avgdl))`` — algebraically
+    the same curve as :func:`score_term` without quantization."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.asarray(lengths, dtype=np.float64)
+    return weight * f / (f + k1 * ((1.0 - b) + b * ln / avgdl))
+
+
 def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
     """Sum aligned per-term float32 score arrays in float64, cast to float32."""
     acc = np.zeros(len(per_term_scores[0]), dtype=np.float64)

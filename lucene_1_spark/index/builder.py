@@ -101,6 +101,14 @@ class IndexConfig:
     doc_range_bits: int = 20     # hot-term salt: blocks built per 2^bits docIDs
     n_doc_partitions: int = 32   # range partitions for docID assignment
     block_size: int = codecs.BLOCK_SIZE
+    # "bm25_float32" = Lucene-exact float32 + byte4-quantized norms;
+    # "bm25_double"  = double precision + exact uint32 lengths (the
+    # SQL-oracle-reproducible similarity; SURVEY.md §2.11 pluggable sim)
+    similarity: str = "bm25_float32"
+
+    @property
+    def norms_encoding(self) -> str:
+        return "exact32" if self.similarity == "bm25_double" else "byte4"
 
 
 class IndexBuilder:
@@ -214,9 +222,11 @@ class IndexBuilder:
         if not todo:
             return
 
+        norm_col = (F.col("length") if self.cfg.norms_encoding == "exact32"
+                    else F.col("norm_byte"))
         postings = (
             docs
-            .select("doc_id", "norm_byte",
+            .select("doc_id", norm_col.alias("norm_val"),
                     F.explode("term_freqs").alias("term", "freq"))
             .withColumn("bucket",
                         F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
@@ -227,6 +237,8 @@ class IndexBuilder:
             postings = postings.filter(~F.col("bucket").isin(*done_buckets))
 
         block_size = cfg.block_size
+        exact_norms = cfg.norms_encoding == "exact32"
+        block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(key[0])
@@ -235,21 +247,27 @@ class IndexBuilder:
             for term, g in pdf.groupby("term", sort=False):
                 dids = g["doc_id"].to_numpy(dtype=np.int64)
                 freqs = g["freq"].to_numpy(dtype=np.int64)
-                norms = g["norm_byte"].to_numpy().astype(np.uint8)
+                nvals = g["norm_val"].to_numpy(dtype=np.int64)
                 for s, start in enumerate(range(0, len(dids), block_size)):
                     d = dids[start:start + block_size]
                     f = freqs[start:start + block_size]
-                    nb = norms[start:start + block_size]
-                    lens = LENGTH_TABLE[nb]
-                    mi = int(np.argmin(lens))
+                    nv = nvals[start:start + block_size]
+                    if exact_norms:
+                        lens = nv.astype(np.float64)
+                        norm_buf = nv.astype("<u4").tobytes()
+                        min_byte = 0
+                    else:
+                        lens = LENGTH_TABLE[nv.astype(np.uint8)]
+                        norm_buf = nv.astype(np.uint8).tobytes()
+                        min_byte = int(nv[int(np.argmin(lens))])
                     rows.append((
                         term, s, len(d), int(d[0]), int(d[-1]),
-                        int(f.max()), int(lens[mi]), int(nb[mi]),
+                        int(f.max()), int(lens.min()), min_byte,
                         int(f.sum()),
                         codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
-                        nb.tobytes(), bucket,
+                        norm_buf, bucket,
                     ))
-            return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+            return pd.DataFrame(rows, columns=block_cols)
 
         blocks = (
             postings
@@ -307,6 +325,8 @@ class IndexBuilder:
             "format_version": 1,
             "config": {
                 "analyzer": self.cfg.analyzer, "k1": self.cfg.k1, "b": self.cfg.b,
+                "similarity": self.cfg.similarity,
+                "norms_encoding": self.cfg.norms_encoding,
                 "n_buckets": self.cfg.n_buckets,
                 "doc_range_bits": self.cfg.doc_range_bits,
                 "block_size": self.cfg.block_size,

@@ -22,13 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# 60-bit value from the md5 hex prefix: portable to any SQL engine
-# (DuckDB oracle uses the same expression), uniform enough for minhash.
-def _md5_60(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# 48-bit value from the md5 hex prefix: portable to any SQL engine
+# (the DuckDB oracle uses `('0x'||substr(md5(x),1,12))::BIGINT`), and
+# small enough that a*h with a <= 31 stays below 2^53 — exact in BIGINT
+# *and* in double, so no engine-dependent overflow behavior.
+def _md5_48(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-MERSENNE61 = (1 << 61) - 1
+MINHASH_PRIME = 281474976710597  # largest prime < 2^48
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -56,18 +58,20 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, shingle) distinct token n-grams, built relationally:
     split -> posexplode -> self-align via array slicing."""
     toks = docs.select(
-        "doc_id", F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
-    # n-gram i = toks[i..i+n): use transform over index range
+        "doc_id",
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("toks"))
+    # n-gram i = toks[i..i+n); docs shorter than n yield no shingles
+    # (guarded: F.sequence(0, -1) would DESCEND, not be empty)
+    idx = F.when(F.size("toks") >= n,
+                 F.sequence(F.lit(0), F.size("toks") - n)) \
+           .otherwise(F.array().cast("array<int>"))
     return (
         toks.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(-1))),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-                )
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
             ).alias("shingle"))
-        .filter(F.col("shingle") != "")
         .distinct()
     )
 
@@ -101,16 +105,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
                        num_perm: int = 16) -> DataFrame:
-    """(doc_id, sig: array<long>) — minhash over shingle md5-60 values
-    with universal hashing h_i(x) = (a_i*x + b_i) mod 2^61-1.  Pure
-    relational min-aggregation: one shuffle on doc_id."""
-    sh = _shingles(docs, text_col, n).withColumn("h", _md5_60(F.col("shingle")))
+    """(doc_id, sig: array<long>) — minhash over shingle md5-48 values
+    with universal hashing h_i(x) = (a_i*x + b_i) mod P (P prime <2^48).
+    Pure relational min-aggregation: one shuffle on doc_id."""
+    sh = _shingles(docs, text_col, n).withColumn("h", _md5_48(F.col("shingle")))
     # deterministic per-permutation coefficients (any fixed odd a works)
     aggs = []
     for i in range(num_perm):
         a_i = 2 * i + 1
         b_i = 0x9E3779B9 * (i + 1) & ((1 << 32) - 1)
-        hp = F.pmod(F.col("h") * F.lit(a_i) + F.lit(b_i), F.lit(MERSENNE61))
+        hp = F.pmod(F.col("h") * F.lit(a_i) + F.lit(b_i), F.lit(MINHASH_PRIME))
         aggs.append(F.min(hp).alias(f"m{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id",
@@ -142,20 +146,20 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over token md5-60 hashes
+    """(doc_id, simhash: long) — 48-bit SimHash over token md5-48 hashes
     (unweighted).  Relational: explode tokens, per-bit majority vote."""
     toks = (docs.select("doc_id",
                         F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
                         .alias("tok"))
             .filter(F.col("tok") != "")
-            .withColumn("h", _md5_60(F.col("tok"))))
-    # vote per bit: sum(+1/-1); 60 usable bits from md5-60
+            .withColumn("h", _md5_48(F.col("tok"))))
+    # vote per bit: sum(+1/-1); 48 usable bits from md5-48
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{i}")
-        for i in range(60)])
+        for i in range(48)])
     expr = None
-    for i in range(60):
+    for i in range(48):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         contrib = F.shiftleft(bit, i)
         expr = contrib if expr is None else expr.bitwiseOR(contrib)
@@ -165,13 +169,13 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                       max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, bucketed by
-    15-bit chunks (pigeonhole over 4 chunks covers hamming <= 3)."""
+    12-bit chunks (pigeonhole over 4 chunks covers hamming <= 3)."""
     sh = simhash64(docs, text_col)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 15).bitwiseAND(F.lit((1 << 15) - 1))
+                     F.shiftright("simhash", c * 12).bitwiseAND(F.lit((1 << 12) - 1))
                      .alias("cval"))
             for c in range(4)])).alias("cc")
     ).select("doc_id", "simhash", "cc.chunk", "cc.cval")

@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (regex,
+array ops) — no Python in the hot path — so each operator is a single
+codegen'd projection over the scan, with predicate/column pruning free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "por"],
+}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (word-piece regex:
+    runs of letters / digits / single punctuation)."""
+    toks = _tokens(text_col)
+    bpe_pieces = F.filter(
+        F.split(F.lower(F.col(text_col)), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != "") & (t != " "))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_pieces).alias("n_subwords"),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: mean word length, stopword
+    ratio, alpha ratio, and a composite score — each a plain column
+    expression (one projection, no shuffle)."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_chars = F.length(F.col(text_col))
+    mean_wl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    composite = (F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.4
+                 + alpha_ratio * 0.4
+                 + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.2).otherwise(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(composite, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic: argmax over per-language
+    stopword hit ratios; 'und' (undetermined) when all are zero."""
+    toks = _tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    ratios = [(lang, F.size(F.filter(toks, lambda t: t.isin(words))) / n_tok)
+              for lang, words in STOPWORDS.items()]
+    best = F.greatest(*[r for _, r in ratios])
+    pred = F.lit("und")
+    for lang, r in reversed(ratios):  # earlier langs win ties
+        pred = F.when((best > 0) & (r == best), F.lit(lang)).otherwise(pred)
+    out = docs.select(F.col(id_col), pred.alias("pred_lang"),
+                      F.round(best, 6).alias("lang_score"))
+    return out
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Normalized document fingerprint: md5 over the
+    whitespace-normalized lowercase text (stable under reflow), plus
+    a 60-bit numeric form for compact joins."""
+    normalized = F.concat_ws(" ", _tokens(text_col))
+    digest = F.md5(normalized)
+    return docs.select(
+        F.col(id_col), digest.alias("fingerprint"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

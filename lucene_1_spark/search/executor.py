@@ -59,11 +59,17 @@ class IndexSearcher:
         self.reader = reader
         self.spark = reader.spark
         st = reader.stats
+        self.similarity = reader.cfg.get("similarity", "bm25_float32")
+        self.double_mode = self.similarity == "bm25_double"
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
-        self.avgdl = bm25.avg_field_length(
-            st["sum_total_term_freq"], max(st["doc_count"], 1))
-        self.cache = bm25.norm_inverse_cache(self.avgdl, self.k1, self.b)
+        if self.double_mode:
+            self.avgdl = st["sum_total_term_freq"] / max(st["doc_count"], 1)
+        else:
+            self.avgdl = bm25.avg_field_length(
+                st["sum_total_term_freq"], max(st["doc_count"], 1))
+        self.cache = bm25.norm_inverse_cache(
+            np.float32(self.avgdl), self.k1, self.b)
         self.doc_count = st["doc_count"]
 
     # ------------------------------------------------------------------
@@ -85,7 +91,9 @@ class IndexSearcher:
 
     def _decode_kernel(self, weights: dict[str, float], want_scores: bool):
         cache = self.cache
-        k1, b = self.k1, self.b
+        k1, b = float(self.k1), float(self.b)
+        avgdl = float(self.avgdl)
+        double_mode = self.double_mode
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -96,9 +104,15 @@ class IndexSearcher:
                                                  int(row.first_doc), n)
                     if want_scores and row.term in weights:
                         freqs = codecs.decode_freqs(bytes(row.freqs), n)
-                        norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
-                        w = np.float32(weights[row.term])
-                        s = bm25.score_term(freqs, norms, w, cache).astype(np.float64)
+                        if double_mode:
+                            lens = np.frombuffer(bytes(row.norms), dtype="<u4")
+                            s = bm25.score_term_double(
+                                freqs, lens, weights[row.term], avgdl, k1, b)
+                        else:
+                            norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
+                            w = np.float32(weights[row.term])
+                            s = bm25.score_term(freqs, norms, w, cache) \
+                                .astype(np.float64)
                     else:
                         s = np.zeros(n, dtype=np.float64)
                     outs.append(pd.DataFrame({
@@ -125,10 +139,12 @@ class IndexSearcher:
         return (w - w / (1.0 + F.col("max_freq") * inv)) * PRUNE_SAFETY
 
     # ------------------------------------------------------------------
-    def search_df(self, query: Query | str, k: int = 10,
+    def search_df(self, query: Query | str, k: int | None = 10,
                   prune: bool = True,
                   after: tuple[float, int] | None = None) -> DataFrame:
-        """Top-k as a DataFrame (doc_id long, score float), rank-ordered."""
+        """Top-k as a DataFrame (doc_id long, score float), rank-ordered.
+        ``k=None`` returns ALL matching docs with scores, unsorted (the
+        exhaustive-collector mode used by facets/grouping)."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"])
         query = rewrite_fixpoint(query)
@@ -155,16 +171,21 @@ class IndexSearcher:
         if not scoring:
             return empty
 
-        weights = {t.term: float(bm25.term_weight(stats[t.term][0],
-                                                  self.doc_count, t.boost))
-                   for t in scoring}
+        if self.double_mode:
+            weights = {t.term: t.boost * bm25.idf_double(stats[t.term][0],
+                                                         self.doc_count)
+                       for t in scoring}
+        else:
+            weights = {t.term: float(bm25.term_weight(stats[t.term][0],
+                                                      self.doc_count, t.boost))
+                       for t in scoring}
         all_terms = sorted({t.term for t in scoring + mnot})
         blocks = self._blocks_for(all_terms)
 
         # Block-max pruning (WAND/MaxScore analog) — only where the bound
         # is sound: pure disjunctions with no pagination cursor.
-        use_prune = (prune and not must and not mnot and msm == 0
-                     and after is None and len(should) >= 1)
+        use_prune = (prune and k is not None and not must and not mnot
+                     and msm == 0 and after is None and len(should) >= 1)
         decoded = None
         if use_prune:
             theta = self._estimate_theta(blocks, weights, k)
@@ -219,13 +240,16 @@ class IndexSearcher:
             per_doc = per_doc.filter(F.col("n_must") >= len(set(must_terms)))
         if msm > 0:
             per_doc = per_doc.filter(F.col("n_should") >= msm)
+        score_type = "double" if self.double_mode else "float"
         scored = per_doc.select(
-            "doc_id", F.col("score_d").cast("float").alias("score"))
+            "doc_id", F.col("score_d").cast(score_type).alias("score"))
         if after is not None:
             s, d = after
             scored = scored.filter(
                 (F.col("score") < float(s))
                 | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _other_max_ubs(self, blocks: DataFrame, weights: dict[str, float]) \
@@ -254,15 +278,47 @@ class IndexSearcher:
             n = int(row.num_docs)
             dids = codecs.decode_doc_ids(bytes(row.doc_gaps), int(row.first_doc), n)
             freqs = codecs.decode_freqs(bytes(row.freqs), n)
-            norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
-            w = np.float32(weights[row.term])
-            s = bm25.score_term(freqs, norms, w, self.cache).astype(np.float64)
+            if self.double_mode:
+                lens = np.frombuffer(bytes(row.norms), dtype="<u4")
+                s = bm25.score_term_double(freqs, lens, weights[row.term],
+                                           float(self.avgdl),
+                                           float(self.k1), float(self.b))
+            else:
+                norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
+                w = np.float32(weights[row.term])
+                s = bm25.score_term(freqs, norms, w, self.cache).astype(np.float64)
             parts.append(pd.DataFrame({"doc_id": dids, "s": s}))
         per_doc = pd.concat(parts).groupby("doc_id")["s"].sum()
         if len(per_doc) < k:
             return None
         kth = np.sort(per_doc.to_numpy())[-k]
-        return float(np.float32(kth))
+        if not self.double_mode:
+            kth = np.float32(kth)
+        return float(kth)
+
+    # ------------------------------------------------------------------
+    def expand_terms(self, predicate: F.Column) -> list[str]:
+        """Multi-term query expansion — the MultiTermQuery rewrite
+        (``search/MultiTermQuery.java:86-103``): scan the term
+        dictionary with a predicate (startswith/like/rlike/levenshtein/
+        between), return matching terms for a disjunction.  Guarded by
+        the reference's 1024-clause limit."""
+        rows = (self.reader.term_stats().filter(predicate)
+                .select("term").collect())
+        terms = sorted(r["term"] for r in rows)
+        if len(terms) > 1024:
+            raise ValueError(f"multi-term expansion too large: {len(terms)}")
+        return terms
+
+    def docs_for_terms(self, terms: list[str]) -> DataFrame:
+        """Distinct doc_ids containing any of the terms (constant-score
+        multi-term execution: no freq decode, no scoring)."""
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        blocks = self._blocks_for(sorted(set(terms)))
+        decoded = blocks.mapInPandas(
+            self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+        return decoded.select("doc_id").distinct()
 
     # ------------------------------------------------------------------
     def search(self, query: Query | str, k: int = 10, prune: bool = True,

@@ -1,0 +1,113 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — correctness on small synthetic frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog today"), # near dup
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from lucene_1_spark.pipeline.dedup import dedup_exact, exact_duplicates
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["keep_doc_id"] == 0
+    kept = dedup_exact(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 2, 3, 4, 5]
+
+
+def test_ngram_jaccard(docs):
+    from lucene_1_spark.pipeline.dedup import ngram_jaccard_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical
+    assert (0, 2) in pairs               # one-token change
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    from lucene_1_spark.pipeline.dedup import minhash_lsh_candidates
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(docs, num_perm=8, bands=4).collect()}
+    assert (0, 1) in cand                # identical docs always collide
+    assert all(3 not in p and 5 not in p for p in cand)
+
+
+def test_simhash(docs):
+    from lucene_1_spark.pipeline.dedup import simhash64, simhash_near_dups
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < (1 << 48)
+    dups = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert dups.get((0, 1)) == 0
+
+
+def test_cosine_topk(spark):
+    from lucene_1_spark.pipeline.similarity import ann_topk, cosine_topk
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(50, 16))
+    vecs[13] = vecs[0] * 2.0  # same direction as vec 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[0]]
+    top = cosine_topk(df, q, k=3).collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 13]
+    assert top[0]["cosine"] == 1.0
+    # LSH ANN finds the same top-1 (same direction => same bucket)
+    ann = ann_topk(df, q, k=3, bits=4, multiprobe=1).collect()
+    assert ann[0]["vec_id"] in (0, 13)
+
+
+def test_textstats(spark):
+    from lucene_1_spark.pipeline.textstats import (
+        fingerprint, language_id, quality_score, token_count)
+    df = spark.createDataFrame(
+        [(0, "the cat is in the house and it is big"),
+         (1, "der hund ist nicht ein katze und das ist gut"),
+         (2, "zzz qqq"),
+         (3, "  spaced   out   text  ")],
+        "doc_id long, text string")
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert tc[0] == 9 and tc[3] == 3
+    li = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert li[0] == "en" and li[1] == "de" and li[2] == "und"
+    qs = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert qs[0]["stopword_ratio"] > 0.3
+    assert 0.0 <= qs[2]["quality"] <= 1.0
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[3] == fp[3]  # stable
+    # whitespace-normalized: reflowed text maps to the same fingerprint
+    df2 = spark.createDataFrame([(9, "spaced out\n text")],
+                                "doc_id long, text string")
+    assert fingerprint(df2).collect()[0]["fingerprint"] == fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    from lucene_1_spark.pipeline.multimodal import (
+        decode_image, frame_sample_plan, image_features, synthetic_media)
+    media = synthetic_media(spark, n=12)
+    feats = image_features(media, fake=True).collect()
+    assert len(feats) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in feats:
+        assert r["width"] > 0 and 0 <= r["mean_luma"] <= 255
+        assert 0 <= r["phash64"] < (1 << 63)
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    plan = frame_sample_plan(media, every_n=25)
+    assert plan.groupBy("media_id").count().collect()[0]["count"] == 4

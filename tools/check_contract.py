@@ -1,0 +1,102 @@
+"""Simulate the driver's correctness gate: run each queries() entry via
+Spark and its oracle_sql() twin via DuckDB on the same parquet tables,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [only_query_prefix]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from lucene_1_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("contract-check", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and not name.startswith(only):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in osql:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(osql[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if ok:
+            a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
