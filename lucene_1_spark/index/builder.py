@@ -111,6 +111,112 @@ class IndexConfig:
         return "exact32" if self.similarity == "bm25_double" else "byte4"
 
 
+def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
+                        base: int = 0) -> DataFrame:
+    """Range-partition by key, tokenize once, assign dense docIDs
+    ``base + lexicographic rank`` — shared by full builds (base=0) and
+    incremental segment appends (base=current n_docs)."""
+    n_part = min(cfg.n_doc_partitions, 200)
+    keyed = (source.repartitionByRange(n_part, *DOC_KEY_COLS)
+             .sortWithinPartitions(*DOC_KEY_COLS))
+    counts = (keyed.select(F.spark_partition_id().alias("pid"))
+              .groupBy("pid").count().collect())
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets, acc = {}, base
+    for pid in range(n_part):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    analyzer_name = cfg.analyzer
+
+    def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        off = offsets.get(pid, base)
+        an = get_analyzer(analyzer_name)
+        seen = 0
+        for pdf in iterator:
+            n = len(pdf)
+            toks = pdf["content"].fillna("").map(an.tokens)
+            lengths = toks.map(len).to_numpy(dtype=np.int64)
+            tf = toks.map(lambda ts: dict(Counter(ts)))
+            sha = pdf["content"].fillna("").map(
+                lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
+            out = pd.DataFrame({
+                "doc_id": off + seen + np.arange(n, dtype=np.int64),
+                "repo": pdf["repo"].values,
+                "path": pdf["path"].values,
+                "commit": pdf["commit"].values,
+                "lang": pdf["lang"].values,
+                "length": lengths,
+                "norm_byte": int_to_byte4(lengths).astype(np.int32),
+                "content_sha256": sha.values,
+                "term_freqs": tf.values,
+                "build_partition": np.full(n, pid, dtype=np.int32),
+            })
+            seen += n
+            yield out
+
+    return keyed.mapInPandas(assign, schema=DOCS_SCHEMA)
+
+
+def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
+                   exclude_buckets: set[int] | None = None) -> DataFrame:
+    """Explode term-frequency maps and pack per-(bucket, doc-range)
+    posting blocks — the segment-merge shuffle.  Shared by full builds
+    and incremental appends (which pass only the new docs)."""
+    norm_col = (F.col("length") if cfg.norms_encoding == "exact32"
+                else F.col("norm_byte"))
+    postings = (
+        docs
+        .select("doc_id", norm_col.alias("norm_val"),
+                F.explode("term_freqs").alias("term", "freq"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
+        .withColumn("drange",
+                    F.shiftright("doc_id", cfg.doc_range_bits).cast("int"))
+    )
+    if exclude_buckets:
+        postings = postings.filter(~F.col("bucket").isin(*exclude_buckets))
+
+    block_size = cfg.block_size
+    exact_norms = cfg.norms_encoding == "exact32"
+    block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        rows = []
+        for term, g in pdf.groupby("term", sort=False):
+            dids = g["doc_id"].to_numpy(dtype=np.int64)
+            freqs = g["freq"].to_numpy(dtype=np.int64)
+            nvals = g["norm_val"].to_numpy(dtype=np.int64)
+            for s, start in enumerate(range(0, len(dids), block_size)):
+                d = dids[start:start + block_size]
+                f = freqs[start:start + block_size]
+                nv = nvals[start:start + block_size]
+                if exact_norms:
+                    lens = nv.astype(np.float64)
+                    norm_buf = nv.astype("<u4").tobytes()
+                    min_byte = 0
+                else:
+                    lens = LENGTH_TABLE[nv.astype(np.uint8)]
+                    norm_buf = nv.astype(np.uint8).tobytes()
+                    min_byte = int(nv[int(np.argmin(lens))])
+                rows.append((
+                    term, s, len(d), int(d[0]), int(d[-1]),
+                    int(f.max()), int(lens.min()), min_byte,
+                    int(f.sum()),
+                    codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
+                    norm_buf, bucket,
+                ))
+        return pd.DataFrame(rows, columns=block_cols)
+
+    return postings.groupBy("bucket", "drange").applyInPandas(
+        pack, schema=BLOCKS_SCHEMA)
+
+
 class IndexBuilder:
     def __init__(self, spark: SparkSession, index_dir: str,
                  config: IndexConfig | None = None):
@@ -147,56 +253,7 @@ class IndexBuilder:
         """Tokenize once; assign deterministic dense docIDs."""
         if self._stage_done("docs"):
             return
-        cfg = self.cfg
-        n_part = min(cfg.n_doc_partitions, 200)
-        keyed = (
-            source
-            .repartitionByRange(n_part, *DOC_KEY_COLS)
-            .sortWithinPartitions(*DOC_KEY_COLS)
-        )
-        # per-range-partition doc counts -> base offsets (tiny driver state)
-        counts = (
-            keyed.select(F.spark_partition_id().alias("pid"))
-            .groupBy("pid").count().collect()
-        )
-        sizes = {r["pid"]: r["count"] for r in counts}
-        offsets = {}
-        acc = 0
-        for pid in range(n_part):
-            offsets[pid] = acc
-            acc += sizes.get(pid, 0)
-        analyzer_name = cfg.analyzer
-
-        def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
-            pid = TaskContext.get().partitionId()
-            base = offsets.get(pid, 0)
-            an = get_analyzer(analyzer_name)
-            seen = 0
-            for pdf in iterator:
-                n = len(pdf)
-                toks = pdf["content"].fillna("").map(an.tokens)
-                lengths = toks.map(len).to_numpy(dtype=np.int64)
-                tf = toks.map(lambda ts: dict(pd.Series(ts).value_counts().astype("int32"))
-                              if ts else {})
-                sha = pdf["content"].fillna("").map(
-                    lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
-                out = pd.DataFrame({
-                    "doc_id": base + seen + np.arange(n, dtype=np.int64),
-                    "repo": pdf["repo"].values,
-                    "path": pdf["path"].values,
-                    "commit": pdf["commit"].values,
-                    "lang": pdf["lang"].values,
-                    "length": lengths,
-                    "norm_byte": int_to_byte4(lengths).astype(np.int32),
-                    "content_sha256": sha.values,
-                    "term_freqs": tf.values,
-                    "build_partition": np.full(n, pid, dtype=np.int32),
-                })
-                seen += n
-                yield out
-
-        docs = keyed.mapInPandas(assign, schema=DOCS_SCHEMA)
+        docs = tokenize_and_assign(source, self.cfg, base=0)
         docs.write.mode("overwrite").parquet(self.path("docs"))
         n_docs = self.spark.read.parquet(self.path("docs")).count()
         # per-partition lineage for the docs stage
@@ -222,58 +279,7 @@ class IndexBuilder:
         if not todo:
             return
 
-        norm_col = (F.col("length") if self.cfg.norms_encoding == "exact32"
-                    else F.col("norm_byte"))
-        postings = (
-            docs
-            .select("doc_id", norm_col.alias("norm_val"),
-                    F.explode("term_freqs").alias("term", "freq"))
-            .withColumn("bucket",
-                        F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
-            .withColumn("drange",
-                        F.shiftright("doc_id", cfg.doc_range_bits).cast("int"))
-        )
-        if done_buckets:
-            postings = postings.filter(~F.col("bucket").isin(*done_buckets))
-
-        block_size = cfg.block_size
-        exact_norms = cfg.norms_encoding == "exact32"
-        block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
-
-        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(key[0])
-            pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-            rows = []
-            for term, g in pdf.groupby("term", sort=False):
-                dids = g["doc_id"].to_numpy(dtype=np.int64)
-                freqs = g["freq"].to_numpy(dtype=np.int64)
-                nvals = g["norm_val"].to_numpy(dtype=np.int64)
-                for s, start in enumerate(range(0, len(dids), block_size)):
-                    d = dids[start:start + block_size]
-                    f = freqs[start:start + block_size]
-                    nv = nvals[start:start + block_size]
-                    if exact_norms:
-                        lens = nv.astype(np.float64)
-                        norm_buf = nv.astype("<u4").tobytes()
-                        min_byte = 0
-                    else:
-                        lens = LENGTH_TABLE[nv.astype(np.uint8)]
-                        norm_buf = nv.astype(np.uint8).tobytes()
-                        min_byte = int(nv[int(np.argmin(lens))])
-                    rows.append((
-                        term, s, len(d), int(d[0]), int(d[-1]),
-                        int(f.max()), int(lens.min()), min_byte,
-                        int(f.sum()),
-                        codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
-                        norm_buf, bucket,
-                    ))
-            return pd.DataFrame(rows, columns=block_cols)
-
-        blocks = (
-            postings
-            .groupBy("bucket", "drange")
-            .applyInPandas(pack, schema=BLOCKS_SCHEMA)
-        )
+        blocks = pack_blocks_df(docs, cfg, exclude_buckets=done_buckets)
         blocks.write.mode("append").partitionBy("bucket").parquet(self.path("postings"))
 
         written = self.spark.read.parquet(self.path("postings"))

@@ -83,7 +83,7 @@ def test_textstats(spark):
          (3, "  spaced   out   text  ")],
         "doc_id long, text string")
     tc = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
-    assert tc[0] == 9 and tc[3] == 3
+    assert tc[0] == 10 and tc[3] == 3
     li = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
     assert li[0] == "en" and li[1] == "de" and li[2] == "und"
     qs = {r["doc_id"]: r for r in quality_score(df).collect()}

@@ -1,0 +1,80 @@
+"""Incremental (segment-append) indexing: appended batches must yield
+the same index state as a single full build when batches arrive in key
+order, and query results must stay oracle-identical."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark import oracle as oracle_mod
+from lucene_1_spark.index import IndexReader
+from lucene_1_spark.index.builder import IndexConfig
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.streaming import IncrementalIndexWriter
+
+
+@pytest.fixture(scope="module")
+def incr_index(spark, tmp_root):
+    pdf = corpus_mod.t_small().sort_values(
+        ["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
+    half = len(pdf) // 2
+    d = os.path.join(tmp_root, "idx_incr")
+    cfg = IndexConfig(n_buckets=8, n_doc_partitions=4)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(pdf.iloc[:half]))      # bootstrap build
+    w.append(spark.createDataFrame(pdf.iloc[half:]))      # segment append
+    return d, pdf
+
+
+def test_append_matches_oracle(spark, incr_index):
+    d, pdf = incr_index
+    searcher = IndexSearcher(IndexReader(spark, d))
+    oidx = oracle_mod.build_oracle_index(pdf)
+    assert searcher.reader.stats["n_docs"] == oidx.n_docs
+    assert searcher.reader.stats["sum_total_term_freq"] == oidx.sum_total_term_freq
+    for q in ["tok0", "tok1 tok2", "+tok0 +tok1", "tie", "def class return"]:
+        exp = oracle_mod.search_oracle(oidx, q, k=10)
+        got = searcher.search(q, k=10)
+        assert [r["doc_id"] for r in got] == [e[0] for e in exp], q
+        for r, e in zip(got, exp):
+            import numpy as np
+            assert np.float32(r["score"]) == np.float32(e[2]), (q, r, e)
+
+
+def test_segments_recorded(spark, incr_index):
+    d, _ = incr_index
+    import json
+    with open(os.path.join(d, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m.get("n_segments", 1) == 2
+    cp = spark.read.parquet(os.path.join(d, "checkpoints"))
+    stages = {r["stage"] for r in cp.collect()}
+    assert "append_1" in stages
+
+
+def test_term_spanning_segments(spark, incr_index):
+    """A term present in both halves has block runs from two segments;
+    doc_freq must still aggregate across them."""
+    d, pdf = incr_index
+    reader = IndexReader(spark, d)
+    stats = reader.term_statistics(["tok0"])
+    oidx = oracle_mod.build_oracle_index(pdf)
+    assert stats["tok0"][0] == len(oidx.postings["tok0"])
+    assert stats["tok0"][1] == sum(oidx.postings["tok0"].values())
+
+
+def test_foreach_batch_handler(spark, tmp_root):
+    d = os.path.join(tmp_root, "idx_stream")
+    w = IncrementalIndexWriter(spark, d,
+                               IndexConfig(n_buckets=4, n_doc_partitions=2))
+    handler = w.foreach_batch()
+    pdf = corpus_mod.generate(60)
+    handler(spark.createDataFrame(pdf.iloc[:30]), 0)
+    handler(spark.createDataFrame(pdf.iloc[30:]), 1)
+    schema = "repo string, path string, commit string, lang string, content string"
+    handler(spark.createDataFrame(pdf.iloc[:0], schema=schema), 2)  # empty: no-op
+    searcher = IndexSearcher(IndexReader(spark, d))
+    assert searcher.reader.stats["n_docs"] == 60
+    assert len(searcher.search("tok0", k=5)) > 0

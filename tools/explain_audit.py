@@ -1,0 +1,98 @@
+"""Physical-plan audit: assert the plans Catalyst produces are the ones
+we designed for 100 TB:
+
+1. postings term lookup -> parquet PartitionFilters on `bucket`
+   (partition pruning = the term-dictionary seek) + PushedFilters on
+   `term`;
+2. top-k -> TakeOrderedAndProject (per-partition top-k + driver merge,
+   never a global sort);
+3. stored-field retrieval join of k rows -> BroadcastHashJoin;
+4. docs scan for facets -> only the needed columns in ReadSchema.
+
+Run: python tools/explain_audit.py  (exits 1 on any audit failure)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lucene_1_spark import corpus as corpus_mod  # noqa: E402
+from lucene_1_spark.index import IndexReader, build_index  # noqa: E402
+from lucene_1_spark.index.builder import IndexConfig  # noqa: E402
+from lucene_1_spark.search import IndexSearcher  # noqa: E402
+from lucene_1_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def audit(name: str, plan: str, must_contain: list[str],
+          must_not: list[str] = ()) -> bool:
+    ok = True
+    for s in must_contain:
+        if s not in plan:
+            print(f"FAIL {name}: plan missing {s!r}")
+            ok = False
+    for s in must_not:
+        if s in plan:
+            print(f"FAIL {name}: plan contains {s!r}")
+            ok = False
+    if ok:
+        print(f"PASS {name}")
+    return ok
+
+
+def main() -> int:
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx_dir = os.path.join(tempfile.gettempdir(), "l1s_audit_idx")
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        src = spark.createDataFrame(corpus_mod.t_small()).repartition(8, "repo")
+        build_index(spark, src, idx_dir,
+                    IndexConfig(n_buckets=8, n_doc_partitions=8))
+    reader = IndexReader(spark, idx_dir)
+    searcher = IndexSearcher(reader)
+    ok = True
+
+    # 1. term lookup: partition pruning on bucket + term pushdown
+    terms = ["tok1", "tok7"]
+    buckets = sorted(set(reader.buckets_of(terms).values()))
+    lookup = (reader.postings()
+              .filter(F.col("bucket").isin(buckets))
+              .filter(F.col("term").isin(terms)))
+    p = plan_of(lookup)
+    ok &= audit("term_lookup_partition_pruning", p,
+                ["PartitionFilters: [bucket", "PushedFilters: [In(term"])
+
+    # 2. top-k compiles to TakeOrderedAndProject, not a global Sort+Limit
+    top = searcher.search_df("tok1 tok2", k=10, prune=False)
+    p = plan_of(top)
+    ok &= audit("topk_take_ordered", p, ["TakeOrderedAndProject"])
+
+    # 3. stored-field retrieval: broadcast join of the k hits
+    hits = searcher.search_df("tok1", k=10)
+    joined = F.broadcast(hits).join(reader.docs(), "doc_id")
+    p = plan_of(joined)
+    ok &= audit("stored_fields_broadcast", p, ["BroadcastHashJoin"])
+
+    # 4. column pruning: a 2-column projection reads a 2-3 column schema
+    docs2col = reader.docs().select("doc_id", "lang")
+    p = plan_of(docs2col)
+    ok &= audit("docs_column_pruning", p, ["ReadSchema: struct<doc_id:bigint,lang:string>"])
+
+    print("ALL PASS" if ok else "AUDIT FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
