@@ -72,6 +72,8 @@ DOCS_SCHEMA = T.StructType([
     T.StructField("norm_byte", T.IntegerType()),
     T.StructField("content_sha256", T.StringType()),
     T.StructField("term_freqs", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("term_positions",
+                  T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))),
     T.StructField("build_partition", T.IntegerType()),
 ])
 
@@ -88,6 +90,7 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("doc_gaps", T.BinaryType()),
     T.StructField("freqs", T.BinaryType()),
     T.StructField("norms", T.BinaryType()),
+    T.StructField("positions", T.BinaryType()),
     T.StructField("bucket", T.IntegerType()),
 ])
 
@@ -101,6 +104,8 @@ class IndexConfig:
     doc_range_bits: int = 20     # hot-term salt: blocks built per 2^bits docIDs
     n_doc_partitions: int = 32   # range partitions for docID assignment
     block_size: int = codecs.BLOCK_SIZE
+    # index positions for phrase queries (DOCS_AND_FREQS_AND_POSITIONS)
+    positions: bool = False
     # "bm25_float32" = Lucene-exact float32 + byte4-quantized norms;
     # "bm25_double"  = double precision + exact uint32 lengths (the
     # SQL-oracle-reproducible similarity; SURVEY.md §2.11 pluggable sim)
@@ -119,6 +124,9 @@ def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
     n_part = min(cfg.n_doc_partitions, 200)
     keyed = (source.repartitionByRange(n_part, *DOC_KEY_COLS)
              .sortWithinPartitions(*DOC_KEY_COLS))
+    # persist the shuffled+sorted input: the offsets job below and the
+    # tokenize pass share it, so the range shuffle and sort run once
+    keyed = keyed.persist()
     counts = (keyed.select(F.spark_partition_id().alias("pid"))
               .groupBy("pid").count().collect())
     sizes = {r["pid"]: r["count"] for r in counts}
@@ -127,6 +135,7 @@ def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
         offsets[pid] = acc
         acc += sizes.get(pid, 0)
     analyzer_name = cfg.analyzer
+    want_positions = cfg.positions
 
     def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
@@ -138,10 +147,23 @@ def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
         seen = 0
         for pdf in iterator:
             n = len(pdf)
-            toks = pdf["content"].fillna("").map(an.tokens)
+            content = pdf["content"].fillna("")
+            if want_positions:
+                def pos_map(ps):
+                    d: dict = {}
+                    for t, p in ps:
+                        d.setdefault(t, []).append(p)
+                    return d
+
+                twp = content.map(an.tokens_with_positions)
+                toks = twp.map(lambda ps: [t for t, _ in ps])
+                positions = twp.map(pos_map)
+            else:
+                toks = content.map(an.tokens)
+                positions = pd.Series([None] * n, index=pdf.index)
             lengths = toks.map(len).to_numpy(dtype=np.int64)
             tf = toks.map(lambda ts: dict(Counter(ts)))
-            sha = pdf["content"].fillna("").map(
+            sha = content.map(
                 lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
             out = pd.DataFrame({
                 "doc_id": off + seen + np.arange(n, dtype=np.int64),
@@ -153,6 +175,7 @@ def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
                 "norm_byte": int_to_byte4(lengths).astype(np.int32),
                 "content_sha256": sha.values,
                 "term_freqs": tf.values,
+                "term_positions": positions.values,
                 "build_partition": np.full(n, pid, dtype=np.int32),
             })
             seen += n
@@ -168,20 +191,27 @@ def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
     and incremental appends (which pass only the new docs)."""
     norm_col = (F.col("length") if cfg.norms_encoding == "exact32"
                 else F.col("norm_byte"))
-    postings = (
-        docs
-        .select("doc_id", norm_col.alias("norm_val"),
-                F.explode("term_freqs").alias("term", "freq"))
-        .withColumn("bucket",
-                    F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
-        .withColumn("drange",
-                    F.shiftright("doc_id", cfg.doc_range_bits).cast("int"))
-    )
+    cols = ["doc_id", norm_col.alias("norm_val"),
+            F.explode("term_freqs").alias("term", "freq")]
+    postings = docs.select(*cols)
+    if cfg.positions:
+        # per-(doc, term) position list looked up from the positions map
+        postings = docs.select(
+            "doc_id", norm_col.alias("norm_val"), "term_positions",
+            F.explode("term_freqs").alias("term", "freq")
+        ).withColumn("plist", F.element_at("term_positions", F.col("term"))) \
+         .drop("term_positions")
+    postings = (postings
+                .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                             F.lit(cfg.n_buckets)).cast("int"))
+                .withColumn("drange", F.shiftright(
+                    "doc_id", cfg.doc_range_bits).cast("int")))
     if exclude_buckets:
         postings = postings.filter(~F.col("bucket").isin(*exclude_buckets))
 
     block_size = cfg.block_size
     exact_norms = cfg.norms_encoding == "exact32"
+    want_positions = cfg.positions
     block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -192,6 +222,7 @@ def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
             dids = g["doc_id"].to_numpy(dtype=np.int64)
             freqs = g["freq"].to_numpy(dtype=np.int64)
             nvals = g["norm_val"].to_numpy(dtype=np.int64)
+            plists = g["plist"].tolist() if want_positions else None
             for s, start in enumerate(range(0, len(dids), block_size)):
                 d = dids[start:start + block_size]
                 f = freqs[start:start + block_size]
@@ -204,12 +235,21 @@ def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
                     lens = LENGTH_TABLE[nv.astype(np.uint8)]
                     norm_buf = nv.astype(np.uint8).tobytes()
                     min_byte = int(nv[int(np.argmin(lens))])
+                if want_positions:
+                    # within-doc delta encoding, concatenated in doc order;
+                    # offsets are recoverable from the freqs column
+                    deltas = np.concatenate([
+                        np.diff(np.asarray(p, dtype=np.int64), prepend=0)
+                        for p in plists[start:start + block_size]])
+                    pos_buf = codecs.bitpack(deltas)
+                else:
+                    pos_buf = None
                 rows.append((
                     term, s, len(d), int(d[0]), int(d[-1]),
                     int(f.max()), int(lens.min()), min_byte,
                     int(f.sum()),
                     codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
-                    norm_buf, bucket,
+                    norm_buf, pos_buf, bucket,
                 ))
         return pd.DataFrame(rows, columns=block_cols)
 
@@ -235,18 +275,33 @@ class IndexBuilder:
             return pd.DataFrame(columns=["partition_id", "stage", "status", "rows", "ts"])
         return self.spark.read.parquet(p).toPandas()
 
-    def _write_checkpoint(self, partition_id: int, stage: str, status: str, rows: int):
+    def _write_checkpoints(self, rows: list[tuple[int, str, str, int]]):
+        """One batched parquet append for any number of checkpoint rows
+        (a per-row write would cost one Spark job per partition)."""
         df = self.spark.createDataFrame(
-            [(partition_id, stage, status, rows)],
-            "partition_id int, stage string, status string, rows long",
-        ).withColumn("ts", F.current_timestamp())
+            rows, "partition_id int, stage string, status string, rows long",
+        ).coalesce(1).withColumn("ts", F.current_timestamp())
         df.write.mode("append").parquet(self.path("checkpoints"))
+
+    def _write_checkpoint(self, partition_id: int, stage: str, status: str, rows: int):
+        self._write_checkpoints([(partition_id, stage, status, rows)])
 
     def _stage_done(self, stage: str, partition_id: int = -1) -> bool:
         cp = self._checkpoint_rows()
         hit = cp[(cp.stage == stage) & (cp.partition_id == partition_id)
                  & (cp.status == "done")]
         return len(hit) > 0
+
+    def _write_json(self, name: str, obj: dict) -> None:
+        with open(self.path(name), "w") as fh:
+            json.dump(obj, fh)
+
+    def _read_json(self, name: str) -> dict | None:
+        p = self.path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
 
     # -- stage 1: docID assignment + tokenize -----------------------------
     def build_docs(self, source: DataFrame) -> None:
@@ -255,16 +310,26 @@ class IndexBuilder:
             return
         docs = tokenize_and_assign(source, self.cfg, base=0)
         docs.write.mode("overwrite").parquet(self.path("docs"))
-        n_docs = self.spark.read.parquet(self.path("docs")).count()
-        # per-partition lineage for the docs stage
-        (self.spark.read.parquet(self.path("docs"))
-         .groupBy("build_partition")
-         .agg(F.count("*").alias("docs"), F.sum("length").alias("postings"))
-         .withColumn("terms", F.lit(None).cast("long"))
-         .withColumn("bytes", F.lit(None).cast("long"))
-         .withColumnRenamed("build_partition", "partition_id")
-         .select("partition_id", "docs", "terms", "postings", "bytes")
-         .withColumn("stage", F.lit("docs"))
+        # one read-back job feeds lineage, the checkpoint count, AND the
+        # collection stats consumed later by build_stats (no re-reads)
+        lineage_rows = (self.spark.read.parquet(self.path("docs"))
+                        .groupBy("build_partition")
+                        .agg(F.count("*").alias("docs"),
+                             F.sum("length").alias("postings"),
+                             F.sum(F.when(F.col("length") > 0, 1)
+                                   .otherwise(0)).alias("nonempty"))
+                        .collect())
+        n_docs = sum(r["docs"] for r in lineage_rows)
+        self._write_json("docs_stats.json", {
+            "n_docs": n_docs,
+            "doc_count": int(sum(r["nonempty"] for r in lineage_rows)),
+            "sum_total_term_freq": int(sum(r["postings"] for r in lineage_rows)),
+        })
+        (self.spark.createDataFrame(
+            [(int(r["build_partition"]), r["docs"], None, r["postings"], None)
+             for r in lineage_rows],
+            "partition_id int, docs long, terms long, postings long, bytes long")
+         .coalesce(1).withColumn("stage", F.lit("docs"))
          .write.mode("append").parquet(self.path("lineage_metrics")))
         self._write_checkpoint(-1, "docs", "done", n_docs)
 
@@ -285,20 +350,28 @@ class IndexBuilder:
         written = self.spark.read.parquet(self.path("postings"))
         if done_buckets:
             written = written.filter(~F.col("bucket").isin(*done_buckets))
-        lineage = (
-            written.groupBy("bucket")
-            .agg(F.approx_count_distinct("term").alias("terms"),
-                 F.sum("num_docs").alias("postings"),
-                 (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
-                  + F.sum(F.length("norms"))).alias("bytes"))
-            .withColumn("docs", F.lit(None).cast("long"))
-            .withColumnRenamed("bucket", "partition_id")
-            .select("partition_id", "docs", "terms", "postings", "bytes")
-            .withColumn("stage", F.lit("postings"))
-        )
-        lineage.write.mode("append").parquet(self.path("lineage_metrics"))
-        for r in written.groupBy("bucket").count().collect():
-            self._write_checkpoint(int(r["bucket"]), "postings", "done", r["count"])
+        # ONE read-back agg feeds lineage, per-bucket checkpoints, and
+        # sum_doc_freq for the stats stage
+        agg_rows = (written.groupBy("bucket")
+                    .agg(F.count("*").alias("blocks"),
+                         F.approx_count_distinct("term").alias("terms"),
+                         F.sum("num_docs").alias("postings"),
+                         (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
+                          + F.sum(F.length("norms"))).alias("bytes"))
+                    .collect())
+        prev = self._read_json("postings_stats.json") or {"sum_doc_freq": 0}
+        self._write_json("postings_stats.json", {
+            "sum_doc_freq": prev["sum_doc_freq"]
+            + int(sum(r["postings"] for r in agg_rows))})
+        (self.spark.createDataFrame(
+            [(int(r["bucket"]), None, r["terms"], r["postings"], r["bytes"])
+             for r in agg_rows],
+            "partition_id int, docs long, terms long, postings long, bytes long")
+         .coalesce(1).withColumn("stage", F.lit("postings"))
+         .write.mode("append").parquet(self.path("lineage_metrics")))
+        self._write_checkpoints([
+            (int(r["bucket"]), "postings", "done", r["blocks"])
+            for r in agg_rows])
 
     # -- stage 3: stats ----------------------------------------------------
     def build_stats(self) -> None:
@@ -313,20 +386,23 @@ class IndexBuilder:
         term_stats.write.mode("overwrite").partitionBy("bucket") \
             .parquet(self.path("term_stats"))
 
-        docs = self.spark.read.parquet(self.path("docs"))
-        row = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
-            F.sum("length").alias("sum_total_term_freq"),
-        ).collect()[0]
-        sum_doc_freq = self.spark.read.parquet(self.path("term_stats")) \
-            .agg(F.sum("doc_freq")).collect()[0][0]
-        stats = {
-            "n_docs": int(row["n_docs"]),
-            "doc_count": int(row["doc_count"]),
-            "sum_total_term_freq": int(row["sum_total_term_freq"]),
-            "sum_doc_freq": int(sum_doc_freq or 0),
-        }
+        ds = self._read_json("docs_stats.json")
+        ps = self._read_json("postings_stats.json")
+        if ds is None:  # older index layout: derive with jobs
+            docs = self.spark.read.parquet(self.path("docs"))
+            row = docs.agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
+                .alias("doc_count"),
+                F.sum("length").alias("sum_total_term_freq")).collect()[0]
+            ds = {"n_docs": int(row["n_docs"]),
+                  "doc_count": int(row["doc_count"]),
+                  "sum_total_term_freq": int(row["sum_total_term_freq"])}
+        if ps is None:
+            ps = {"sum_doc_freq": int(
+                self.spark.read.parquet(self.path("term_stats"))
+                .agg(F.sum("doc_freq")).collect()[0][0] or 0)}
+        stats = {**ds, "sum_doc_freq": int(ps["sum_doc_freq"])}
         manifest = {
             "format_version": 1,
             "config": {
@@ -336,6 +412,7 @@ class IndexBuilder:
                 "n_buckets": self.cfg.n_buckets,
                 "doc_range_bits": self.cfg.doc_range_bits,
                 "block_size": self.cfg.block_size,
+                "positions": self.cfg.positions,
             },
             "collection_stats": stats,
             "committed_at": time.time(),

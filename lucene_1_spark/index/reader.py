@@ -35,22 +35,15 @@ class IndexReader:
             .drop("term_freqs")
 
     def bucket_of(self, term: str) -> int:
-        """Driver-side mirror of pmod(xxhash64(term), B) for partition
-        pruning — computed via Spark to guarantee hash identity."""
-        row = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(term)), F.lit(self.n_buckets)).cast("int")
-        ).collect()[0]
-        return int(row[0])
+        """Driver-side pmod(xxhash64(term), B) — pure Python (no Spark
+        job), bit-identical to the builder's bucketing expression
+        (verified by tests/test_xxhash.py)."""
+        from lucene_1_spark.functions.xxhash import bucket_of_term
+        return bucket_of_term(term, self.n_buckets)
 
     def buckets_of(self, terms: list[str]) -> dict[str, int]:
-        if not terms:
-            return {}
-        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = df.select(
-            "term",
-            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b"),
-        ).collect()
-        return {r["term"]: int(r["b"]) for r in rows}
+        from lucene_1_spark.functions.xxhash import bucket_of_term
+        return {t: bucket_of_term(t, self.n_buckets) for t in terms}
 
     def term_statistics(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (doc_freq, total_term_freq)} — the TermStates.build

@@ -46,6 +46,7 @@ class OracleIndex:
     n_docs: int
     k1: float = 1.2
     b: float = 0.75
+    positions: dict[str, dict[int, list[int]]] | None = None  # term->doc->pos
 
 
 def doc_key(repo: str, path: str, commit: str) -> str:
@@ -57,20 +58,23 @@ def build_oracle_index(corpus: pd.DataFrame, analyzer: str = "standard",
     an = get_analyzer(analyzer)
     df = corpus.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
     postings: dict[str, dict[int, int]] = {}
+    positions: dict[str, dict[int, list[int]]] = {}
     lengths = np.zeros(len(df), dtype=np.int64)
     keys = []
     for did, row in enumerate(df.itertuples(index=False)):
         keys.append(doc_key(row.repo, row.path, row.commit))
-        toks = an.tokens(row.content)
-        lengths[did] = len(toks)
-        for term, freq in Counter(toks).items():
+        twp = an.tokens_with_positions(row.content)
+        lengths[did] = len(twp)
+        for term, freq in Counter(t for t, _ in twp).items():
             postings.setdefault(term, {})[did] = freq
+        for term, pos in twp:
+            positions.setdefault(term, {}).setdefault(did, []).append(pos)
     norm_bytes = int_to_byte4(lengths)
     doc_count = int((lengths > 0).sum())
     return OracleIndex(
         doc_keys=keys, postings=postings, norm_bytes=norm_bytes,
         doc_count=doc_count, sum_total_term_freq=int(lengths.sum()),
-        n_docs=len(df), k1=k1, b=b,
+        n_docs=len(df), k1=k1, b=b, positions=positions,
     )
 
 
@@ -89,9 +93,48 @@ def parse_query(query: str, analyzer: str = "standard"):
     return must, should, must_not
 
 
+def search_oracle_phrase(idx: OracleIndex, terms: list[str], k: int = 10,
+                         boost: float = 1.0) -> list[tuple[int, str, float]]:
+    """Exact-phrase brute force: weight = boost * sum(idf) (float32 sum
+    in double then cast, PhraseWeight/idfExplain), freq = count of
+    phrase start positions, same BM25 tf curve."""
+    avgdl = bm25.avg_field_length(idx.sum_total_term_freq, idx.doc_count)
+    cache = bm25.norm_inverse_cache(avgdl, np.float32(idx.k1), np.float32(idx.b))
+    pos = idx.positions or {}
+    if any(t not in pos for t in terms):
+        return []
+    acc = 0.0
+    for t in terms:
+        acc += float(bm25.idf(len(idx.postings[t]), idx.doc_count))
+    weight = np.float32(np.float32(boost) * np.float32(acc))
+    cands = set(pos[terms[0]])
+    for t in terms[1:]:
+        cands &= set(pos[t])
+    out = []
+    for did in cands:
+        starts = np.asarray(pos[terms[0]][did], dtype=np.int64)
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = np.asarray(pos[t][did], dtype=np.int64)
+            starts = starts[np.isin(starts + i, nxt)]
+            if len(starts) == 0:
+                break
+        pf = len(starts)
+        if pf == 0:
+            continue
+        s = bm25.score_term(np.array([pf]), idx.norm_bytes[did:did + 1],
+                            weight, cache)
+        out.append((did, idx.doc_keys[did], float(s[0])))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
 def search_oracle(idx: OracleIndex, query: str, k: int = 10,
                   analyzer: str = "standard") -> list[tuple[int, str, float]]:
     """Top-k as [(doc_id, doc_key, score_float32)] in rank order."""
+    q = query.strip()
+    if q.startswith('"') and q.endswith('"'):
+        an = get_analyzer(analyzer)
+        return search_oracle_phrase(idx, an.tokens(q[1:-1]), k)
     must, should, must_not = parse_query(query, analyzer)
     avgdl = bm25.avg_field_length(idx.sum_total_term_freq, idx.doc_count)
     cache = bm25.norm_inverse_cache(avgdl, np.float32(idx.k1), np.float32(idx.b))

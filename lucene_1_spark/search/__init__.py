@@ -1,5 +1,5 @@
 from lucene_1_spark.search.query import (  # noqa: F401
     BooleanQuery, Clause, MatchAllDocsQuery, MatchNoDocsQuery, Occur,
-    Query, TermQuery, parse_query,
+    PhraseQuery, Query, TermQuery, parse_query,
 )
 from lucene_1_spark.search.executor import IndexSearcher  # noqa: F401

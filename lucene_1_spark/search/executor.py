@@ -41,14 +41,20 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    BooleanQuery, Clause, MatchAllDocsQuery, MatchNoDocsQuery, Occur, Query,
-    TermQuery, parse_query, rewrite_fixpoint,
+    BooleanQuery, Clause, MatchAllDocsQuery, MatchNoDocsQuery, Occur,
+    PhraseQuery, Query, TermQuery, parse_query, rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
     T.StructField("doc_id", T.LongType()),
     T.StructField("score", T.DoubleType()),  # exact float32 widened to double
+])
+
+POSITIONS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("norm_val", T.LongType()),
+    T.StructField("positions", T.ArrayType(T.IntegerType())),
 ])
 
 PRUNE_SAFETY = 1.00001  # relational double ub -> float32 score margin
@@ -157,6 +163,8 @@ class IndexSearcher:
                     .select("doc_id", F.lit(float(query.boost)).cast("float")
                             .alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
+        if isinstance(query, PhraseQuery):
+            return self._phrase_search(query, k, after)
 
         must, should, mnot, msm = self._flatten(query)
         stats = self.reader.term_statistics(
@@ -295,6 +303,121 @@ class IndexSearcher:
         if not self.double_mode:
             kth = np.float32(kth)
         return float(kth)
+
+    # ------------------------------------------------------------------
+    def _decode_positions_kernel(self):
+        """Blocks of one term -> (doc_id, norm_val, positions).  Decode
+        fuses the segmented prefix-sum over within-doc position deltas."""
+        double_mode = self.double_mode
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.num_docs)
+                    dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                                 int(row.first_doc), n)
+                    freqs = codecs.decode_freqs(bytes(row.freqs), n)
+                    if double_mode:
+                        norms = np.frombuffer(bytes(row.norms), dtype="<u4") \
+                            .astype(np.int64)
+                    else:
+                        norms = np.frombuffer(bytes(row.norms), dtype=np.uint8) \
+                            .astype(np.int64)
+                    total = int(freqs.sum())
+                    deltas = codecs.bitunpack(bytes(row.positions), total)
+                    ends = np.cumsum(freqs)
+                    g = np.cumsum(deltas)
+                    doc_base = np.concatenate(
+                        [[0], g[ends[:-1] - 1]]) if n > 1 else np.array([0])
+                    pos_abs = (g - np.repeat(doc_base, freqs)).astype(np.int32)
+                    outs.append(pd.DataFrame({
+                        "doc_id": dids, "norm_val": norms,
+                        "positions": np.split(pos_abs, ends[:-1]),
+                    }))
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"doc_id": [], "norm_val": [], "positions": []})
+
+        return decode
+
+    def _phrase_search(self, q: PhraseQuery, k: int | None,
+                       after: tuple[float, int] | None) -> DataFrame:
+        """Exact phrase: per-term position lists inner-joined on doc_id
+        (the positional leapfrog), phrase occurrences counted by
+        position intersection, scored as one pseudo-term with
+        weight = boost * sum(idf)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        if self.reader.cfg.get("positions") is not True:
+            raise ValueError("index was built without positions "
+                             "(IndexConfig.positions=True required)")
+        stats = self.reader.term_statistics(sorted(set(q.terms)))
+        if any(t not in stats for t in q.terms):
+            return empty
+        if self.double_mode:
+            weight = q.boost * sum(
+                bm25.idf_double(stats[t][0], self.doc_count) for t in q.terms)
+        else:
+            acc = 0.0
+            for t in q.terms:
+                acc += float(bm25.idf(stats[t][0], self.doc_count))
+            weight = float(np.float32(np.float32(q.boost) * np.float32(acc)))
+
+        joined = None
+        for i, t in enumerate(q.terms):
+            blocks_t = self._blocks_for([t]).filter(F.col("term") == t)
+            dec = blocks_t.mapInPandas(self._decode_positions_kernel(),
+                                       POSITIONS_SCHEMA)
+            dec = dec.select("doc_id",
+                             *(["norm_val"] if i == 0 else []),
+                             F.col("positions").alias(f"p{i}"))
+            joined = dec if joined is None else joined.join(dec, "doc_id")
+
+        cache = self.cache
+        k1, b = float(self.k1), float(self.b)
+        avgdl = float(self.avgdl)
+        double_mode = self.double_mode
+        n_terms = len(q.terms)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def phrase_score(norm_val: pd.Series, *plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(norm_val), dtype=np.float64)
+            for r in range(len(norm_val)):
+                starts = np.asarray(plists[0].iloc[r], dtype=np.int64)
+                for i in range(1, n_terms):
+                    nxt = np.asarray(plists[i].iloc[r], dtype=np.int64)
+                    starts = starts[np.isin(starts + i, nxt)]
+                    if len(starts) == 0:
+                        break
+                pf = len(starts)
+                if pf == 0:
+                    continue
+                if double_mode:
+                    ln = float(norm_val.iloc[r])
+                    out[r] = weight * pf / (pf + k1 * ((1 - b) + b * ln / avgdl))
+                else:
+                    inv = cache[int(norm_val.iloc[r]) & 0xFF]
+                    w32 = np.float32(weight)
+                    out[r] = float(w32 - w32 / (np.float32(1.0)
+                                                + np.float32(pf) * inv))
+            return pd.Series(out)
+
+        scored = (joined
+                  .withColumn("score_d", phrase_score(
+                      F.col("norm_val"),
+                      *[F.col(f"p{i}") for i in range(n_terms)]))
+                  .filter(F.col("score_d") > 0.0)
+                  .select("doc_id", F.col("score_d").cast(
+                      "double" if double_mode else "float").alias("score")))
+        if after is not None:
+            s, d = after
+            scored = scored.filter(
+                (F.col("score") < float(s))
+                | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ------------------------------------------------------------------
     def expand_terms(self, predicate: F.Column) -> list[str]:

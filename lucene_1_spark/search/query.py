@@ -45,6 +45,16 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0): consecutive positions required
+    (``search/ExactPhraseMatcher.java:109-153``).  Scored as one
+    pseudo-term: weight = boost * sum of member idfs, freq = number of
+    phrase occurrences (``PhraseQuery.java:71-143``)."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery(Query):
     pass
 
@@ -123,18 +133,27 @@ def rewrite_fixpoint(q: Query, max_iter: int = 16) -> Query:
     return q
 
 
+import re as _re
+
+_CLAUSE_RE = _re.compile(r'([+-]?)("[^"]*"|\S+)')
+
+
 def parse_query(text: str, analyzer: str = "standard") -> Query:
     """FIXTURES.md §2 syntax: whitespace clauses, ``+t``=MUST,
-    ``-t``=MUST_NOT, bare=SHOULD; clause text analyzed with the same
-    analyzer as indexing (demo/SearchFiles.java:109-120)."""
+    ``-t``=MUST_NOT, bare=SHOULD, ``"a b"``=exact phrase; clause text
+    analyzed with the same analyzer as indexing
+    (demo/SearchFiles.java:109-120)."""
     an = get_analyzer(analyzer)
     clauses: list[Clause] = []
-    for raw in text.split():
-        occur = Occur.SHOULD
-        if raw.startswith("+"):
-            occur, raw = Occur.MUST, raw[1:]
-        elif raw.startswith("-"):
-            occur, raw = Occur.MUST_NOT, raw[1:]
+    for sign, raw in _CLAUSE_RE.findall(text):
+        occur = {"+": Occur.MUST, "-": Occur.MUST_NOT}.get(sign, Occur.SHOULD)
+        if raw.startswith('"') and raw.endswith('"'):
+            terms = tuple(an.tokens(raw[1:-1]))
+            if len(terms) >= 2:
+                clauses.append(Clause(PhraseQuery(terms), occur))
+            elif terms:
+                clauses.append(Clause(TermQuery(terms[0]), occur))
+            continue
         for term in an.tokens(raw):
             clauses.append(Clause(TermQuery(term), occur))
     if not clauses:

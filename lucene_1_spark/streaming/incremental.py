@@ -81,6 +81,12 @@ class IncrementalIndexWriter:
             "sum_total_term_freq": int(row["sum_total_term_freq"]),
             "sum_doc_freq": int(sum_df or 0),
         }
+        # keep the stage staging files coherent for later resumes
+        b._write_json("docs_stats.json", {
+            k: manifest["collection_stats"][k]
+            for k in ("n_docs", "doc_count", "sum_total_term_freq")})
+        b._write_json("postings_stats.json",
+                      {"sum_doc_freq": int(sum_df or 0)})
         manifest["n_segments"] = batch_id + 1
         manifest["committed_at"] = time.time()
         with open(self._manifest_path(), "w") as fh:
