@@ -118,6 +118,46 @@ def bench_corpus(n_docs: int = 200_000) -> pd.DataFrame:
     return generate(n_docs)
 
 
+def write_corpus_parquet(spark, n_docs: int, path: str,
+                         n_partitions: int = 64) -> str:
+    """Generate a corpus IN PARALLEL with Spark and write it as parquet
+    (the driver-side :func:`generate` loop is fine to ~200k docs; this
+    scales to millions).  Deterministic per partition:
+    RandomState(42 + first_id % 100003)."""
+    from typing import Iterator
+
+    def gen_chunk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words = np.array(vocab())
+        cdf = np.cumsum(zipf_probs(len(words)))
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(SEED + int(ids[0]) % 100003)
+            n = len(ids)
+            doc_len = rng.randint(5, 401, size=n)
+            tok_idx = np.clip(np.searchsorted(
+                cdf, rng.random_sample(int(doc_len.sum())), side="right"),
+                0, len(words) - 1)
+            toks = words[tok_idx]
+            offsets = np.concatenate([[0], np.cumsum(doc_len)])
+            rows = []
+            for j, i in enumerate(ids):
+                i = int(i)
+                repo = f"repo-{i % 7}"
+                ext = EXTS[i % len(EXTS)]
+                path_ = f"src/{DIRS[i % len(DIRS)]}/f{i:x}_{i}.{ext}"
+                commit = hashlib.sha1(f"{repo}/{path_}".encode()).hexdigest()[:12]
+                rows.append((repo, path_, commit, LANGS[ext],
+                             " ".join(toks[offsets[j]:offsets[j + 1]])))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit",
+                                              "lang", "content"])
+
+    (spark.range(0, n_docs, 1, n_partitions)
+     .mapInPandas(gen_chunk, "repo string, path string, commit string, "
+                             "lang string, content string")
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
 # ---------------------------------------------------------------------------
 # reference query set (FIXTURES.md §2): 30 fixed queries
 # ---------------------------------------------------------------------------

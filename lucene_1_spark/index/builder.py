@@ -4,8 +4,9 @@ SURVEY.md §3.1) re-expressed as a DataFrame pipeline:
 
 stage ``docs``      deterministic docID assignment + tokenize + norms
 stage ``postings``  per-term 128-doc blocks, delta+FOR packed, with
-                    block-max metadata; "merge" is the
-                    repartition-by-(term-bucket) shuffle
+                    block-max metadata; packed SEGMENT-LOCALLY (zero
+                    shuffle) — each doc partition is a Lucene-style
+                    segment emitting doc-ordered block runs
 stage ``stats``     term_stats + collection_stats (whole-index — BM25
                     idf/avgdl are global, ``IndexSearcher.java:1110-1123``)
 
@@ -21,13 +22,12 @@ Scale design (100 TB / 10^12 files):
 - **one tokenize pass**: the docs stage emits per-doc term-frequency
   maps (``MapType``), postings explode from the persisted intermediate;
   content is never scanned twice.
-- **hot-term skew**: posting blocks are built per ``(term_bucket,
-  doc_range)`` group — the doc_range "salt" splits a hot term's
-  millions of postings across tasks, and because ranges are disjoint
-  and ordered, concatenating each range's blocks in range order yields
-  a globally doc-ordered posting list with no second merge pass (the
-  Lucene analog: segments).  Range-boundary blocks may hold <128 docs,
-  which the format permits (Lucene's tail vint blocks likewise).
+- **no postings shuffle, no skew**: blocks are packed segment-locally
+  (one doc partition = one segment); a hot term's postings split
+  naturally across segments as doc-ordered runs with disjoint docID
+  ranges, so there is no per-term hot task to salt and no
+  every-posting-over-the-wire merge shuffle.  Boundary blocks may hold
+  <128 docs, which the format permits (Lucene's tail blocks likewise).
 - **partition-pruned term lookup**: postings + term stats are written
   ``partitionBy(bucket)`` with ``bucket = pmod(xxhash64(term), B)`` —
   a query for k terms touches at most k of B directories (the Spark
@@ -101,7 +101,6 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     n_buckets: int = 16          # term-hash partitions of the postings table
-    doc_range_bits: int = 20     # hot-term salt: blocks built per 2^bits docIDs
     n_doc_partitions: int = 32   # range partitions for docID assignment
     block_size: int = codecs.BLOCK_SIZE
     # index positions for phrase queries (DOCS_AND_FREQS_AND_POSITIONS)
@@ -185,48 +184,76 @@ def tokenize_and_assign(source: DataFrame, cfg: IndexConfig,
 
 
 def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
-                   exclude_buckets: set[int] | None = None) -> DataFrame:
-    """Explode term-frequency maps and pack per-(bucket, doc-range)
-    posting blocks — the segment-merge shuffle.  Shared by full builds
-    and incremental appends (which pass only the new docs)."""
-    norm_col = (F.col("length") if cfg.norms_encoding == "exact32"
-                else F.col("norm_byte"))
-    cols = ["doc_id", norm_col.alias("norm_val"),
-            F.explode("term_freqs").alias("term", "freq")]
-    postings = docs.select(*cols)
-    if cfg.positions:
-        # per-(doc, term) position list looked up from the positions map
-        postings = docs.select(
-            "doc_id", norm_col.alias("norm_val"), "term_positions",
-            F.explode("term_freqs").alias("term", "freq")
-        ).withColumn("plist", F.element_at("term_positions", F.col("term"))) \
-         .drop("term_positions")
-    postings = (postings
-                .withColumn("bucket", F.pmod(F.xxhash64("term"),
-                                             F.lit(cfg.n_buckets)).cast("int"))
-                .withColumn("drange", F.shiftright(
-                    "doc_id", cfg.doc_range_bits).cast("int")))
-    if exclude_buckets:
-        postings = postings.filter(~F.col("bucket").isin(*exclude_buckets))
+                   exclude_buckets: set[int] | None = None,
+                   flush_docs: int = 250_000) -> DataFrame:
+    """Segment-local posting-block packing — ZERO shuffle.
 
+    Each docs partition (already docID-ordered: docIDs are assigned in
+    range-partition order) packs its own term -> block run, exactly a
+    Lucene segment.  A term's postings then consist of up to
+    n_doc_partitions doc-ordered runs with disjoint docID ranges — the
+    decode path has no single-list assumption (incremental appends
+    already create multiple runs), so queries need no merge; global
+    term/collection statistics come from the block aggregation.
+
+    This replaces the earlier repartition-by-(term,doc-range) merge: at
+    scale the explode shuffle (every posting row through the wire) was
+    the dominant cost, and hot-term skew needed explicit salting.  The
+    segment-local form ships nothing, bounds per-task memory by the doc
+    partition (plus ``flush_docs`` batching), and splits hot terms
+    across partitions naturally.  The bucket column still partitions
+    the written table for term-lookup pruning (``partitionBy`` on
+    write; no shuffle).
+    """
+    exclude = set(exclude_buckets or ())
     block_size = cfg.block_size
     exact_norms = cfg.norms_encoding == "exact32"
     want_positions = cfg.positions
+    n_buckets = cfg.n_buckets
     block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(key[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    from lucene_1_spark.functions.xxhash import bucket_of_term
+
+    def pack_group(doc_ids, norm_vals, tfs, tps):
+        """Pack one doc-ordered batch: explode dicts -> term-major.
+        The explode runs at C speed (itertools.chain + np.repeat) —
+        a per-posting Python loop would dominate the build."""
+        from itertools import chain
+        n_per_doc = np.fromiter((len(d) for d in tfs), dtype=np.int64,
+                                count=len(tfs))
+        total = int(n_per_doc.sum())
+        if total == 0:
+            return []
+        t_term = list(chain.from_iterable(tfs))  # dict iteration = keys
+        t_freq = np.fromiter(chain.from_iterable(d.values() for d in tfs),
+                             dtype=np.int64, count=total)
+        t_doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), n_per_doc)
+        t_norm = np.repeat(np.asarray(norm_vals, dtype=np.int64), n_per_doc)
+        if want_positions:
+            t_plist = [tp[k] for tp, d in zip(tps, tfs) for k in d]
+        else:
+            t_plist = None
+        codes, uniques = pd.factorize(np.asarray(t_term, dtype=object),
+                                      sort=True)
+        order = np.lexsort((t_doc, codes))
+        codes = codes[order]
+        d_arr = t_doc[order]
+        f_arr = t_freq[order]
+        n_arr = t_norm[order]
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(codes)]])
         rows = []
-        for term, g in pdf.groupby("term", sort=False):
-            dids = g["doc_id"].to_numpy(dtype=np.int64)
-            freqs = g["freq"].to_numpy(dtype=np.int64)
-            nvals = g["norm_val"].to_numpy(dtype=np.int64)
-            plists = g["plist"].tolist() if want_positions else None
-            for s, start in enumerate(range(0, len(dids), block_size)):
-                d = dids[start:start + block_size]
-                f = freqs[start:start + block_size]
-                nv = nvals[start:start + block_size]
+        for gs, ge in zip(starts, ends):
+            term = uniques[codes[gs]]
+            bucket = bucket_of_term(term, n_buckets)
+            if bucket in exclude:
+                continue
+            dids, freqs, nvals = d_arr[gs:ge], f_arr[gs:ge], n_arr[gs:ge]
+            for seq, st in enumerate(range(0, len(dids), block_size)):
+                d = dids[st:st + block_size]
+                f = freqs[st:st + block_size]
+                nv = nvals[st:st + block_size]
                 if exact_norms:
                     lens = nv.astype(np.float64)
                     norm_buf = nv.astype("<u4").tobytes()
@@ -236,25 +263,49 @@ def pack_blocks_df(docs: DataFrame, cfg: IndexConfig,
                     norm_buf = nv.astype(np.uint8).tobytes()
                     min_byte = int(nv[int(np.argmin(lens))])
                 if want_positions:
-                    # within-doc delta encoding, concatenated in doc order;
-                    # offsets are recoverable from the freqs column
+                    idx = order[gs + st:gs + st + block_size]
                     deltas = np.concatenate([
-                        np.diff(np.asarray(p, dtype=np.int64), prepend=0)
-                        for p in plists[start:start + block_size]])
+                        np.diff(np.asarray(t_plist[j], dtype=np.int64),
+                                prepend=0) for j in idx])
                     pos_buf = codecs.bitpack(deltas)
                 else:
                     pos_buf = None
                 rows.append((
-                    term, s, len(d), int(d[0]), int(d[-1]),
-                    int(f.max()), int(lens.min()), min_byte,
-                    int(f.sum()),
+                    str(term), seq, len(d), int(d[0]), int(d[-1]),
+                    int(f.max()), int(lens.min()), min_byte, int(f.sum()),
                     codecs.encode_doc_gaps(d), codecs.encode_freqs(f),
                     norm_buf, pos_buf, bucket,
                 ))
-        return pd.DataFrame(rows, columns=block_cols)
+        return rows
 
-    return postings.groupBy("bucket", "drange").applyInPandas(
-        pack, schema=BLOCKS_SCHEMA)
+    def pack_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
+        n_acc = 0
+
+        def flush():
+            nonlocal acc_docs, acc_norms, acc_tfs, acc_tps, n_acc
+            rows = pack_group(acc_docs, acc_norms, acc_tfs, acc_tps)
+            acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
+            n_acc = 0
+            return pd.DataFrame(rows, columns=block_cols)
+
+        for pdf in it:
+            acc_docs.extend(pdf["doc_id"].tolist())
+            acc_norms.extend(
+                pdf["length" if exact_norms else "norm_byte"].tolist())
+            acc_tfs.extend(pdf["term_freqs"].tolist())
+            if want_positions:
+                acc_tps.extend(pdf["term_positions"].tolist())
+            n_acc += len(pdf)
+            if n_acc >= flush_docs:
+                yield flush()
+        if n_acc:
+            yield flush()
+
+    needed = ["doc_id", "length" if exact_norms else "norm_byte", "term_freqs"]
+    if want_positions:
+        needed.append("term_positions")
+    return docs.select(*needed).mapInPandas(pack_partition, BLOCKS_SCHEMA)
 
 
 class IndexBuilder:
@@ -410,7 +461,6 @@ class IndexBuilder:
                 "similarity": self.cfg.similarity,
                 "norms_encoding": self.cfg.norms_encoding,
                 "n_buckets": self.cfg.n_buckets,
-                "doc_range_bits": self.cfg.doc_range_bits,
                 "block_size": self.cfg.block_size,
                 "positions": self.cfg.positions,
             },
