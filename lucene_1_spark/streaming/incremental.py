@@ -6,7 +6,7 @@ Each appended batch becomes a new "segment": its docs get docIDs after
 all existing docs (insertion order, exactly Lucene's
 earlier-segment-=-lower-docID rule, ``TopDocs.java:71-117``), its
 posting blocks are packed with the SAME kernels as the full build
-(:func:`tokenize_and_assign` / :func:`pack_blocks_df`) and *appended*
+(:func:`docs_meta_df` / :func:`pack_blocks_df`) and *appended*
 to the postings table — a term's postings may then span several block
 runs with disjoint doc ranges, which the decode kernel tolerates.
 Term stats are re-aggregated from blocks, collection stats and the
@@ -29,7 +29,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_1_spark.index.builder import (IndexBuilder, IndexConfig,
-                                          pack_blocks_df, tokenize_and_assign)
+                                          docs_meta_df, pack_blocks_df,
+                                          range_partition)
 
 
 class IncrementalIndexWriter:
@@ -54,13 +55,14 @@ class IncrementalIndexWriter:
         base = manifest["collection_stats"]["n_docs"]
         batch_id = int(manifest.get("n_segments", 1))
 
-        # new segment: doc_ids [base, base+n) in key order
-        new_docs = tokenize_and_assign(docs_df, self.cfg, base=base)
-        new_docs.write.mode("append").parquet(b.path("docs"))
-        appended = (self.spark.read.parquet(b.path("docs"))
-                    .filter(F.col("doc_id") >= base))
-        pack_blocks_df(appended, self.cfg).write.mode("append") \
+        # new segment: doc_ids [base, base+n) in key order; the written
+        # docs table is meta-only (term maps never leave the kernels)
+        keyed, offsets = range_partition(docs_df, self.cfg, base=base)
+        docs_meta_df(keyed, offsets, self.cfg) \
+            .write.mode("append").parquet(b.path("docs"))
+        pack_blocks_df(keyed, offsets, self.cfg).write.mode("append") \
             .partitionBy("bucket").parquet(b.path("postings"))
+        keyed.unpersist()
 
         # stats merge + snapshot commit (manifest last)
         blocks = self.spark.read.parquet(b.path("postings"))
