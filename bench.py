@@ -109,10 +109,16 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    req_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # this sandbox VM degrades beyond ~8 concurrent Arrow workers
+    # (measured: identical build 75s@8c, 172s@16c, 274s@32c — see
+    # BASELINE.md "Scaling evidence"), so the build benchmark runs at
+    # min(requested, 8); both values are recorded below.
+    cores = min(req_cores, int(os.environ.get("BENCH_BUILD_CORES", "8")))
     n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
 
     main_run = build_and_query(cores, n_docs, f"c{cores}")
+    main_run["requested_cores"] = req_cores
     table_q = driver_table_queries(sf_dir, cores)
 
     result = {

@@ -1,0 +1,92 @@
+"""Facets, grouping, and rescoring over query matches — the reference's
+collector-side operator families (SURVEY.md §2.3 / §2.5), each a plain
+DataFrame composition over the exhaustive match set
+(``search_df(k=None)``) joined with stored fields:
+
+- facet counts        FastTaxonomyFacetCounts / StringValueFacetCounts
+                      (``lucene/facet/.../StringValueFacetCounts.java``)
+- range facets        LongRangeFacetCounts (``facet/range/``)
+- sampled facets      RandomSamplingFacetsCollector
+- grouping            two-pass grouping -> one window function
+                      (``grouping/FirstPassGroupingCollector.java``)
+- distinct values     DistinctValuesCollector / AllGroupsCollector
+- rescoring           QueryRescorer (``search/QueryRescorer.java``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from lucene_1_spark.search.executor import IndexSearcher
+
+
+def _matches_with_fields(searcher: IndexSearcher, query,
+                         fields: list[str]) -> DataFrame:
+    m = searcher.search_df(query, k=None)
+    docs = searcher.reader.docs().select("doc_id", *fields)
+    return m.join(docs, "doc_id")
+
+
+def facet_counts(searcher: IndexSearcher, query, facet_field: str) -> DataFrame:
+    """(value, n) — count of matching docs per stored-field value."""
+    return (_matches_with_fields(searcher, query, [facet_field])
+            .groupBy(F.col(facet_field).alias("value"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def range_facet_counts(searcher: IndexSearcher, query, numeric_field: str,
+                       bucket_width: float) -> DataFrame:
+    """(bucket_lo, n) — fixed-width range buckets over a numeric field."""
+    lo = (F.floor(F.col(numeric_field) / bucket_width)
+          * bucket_width).cast("double")
+    return (_matches_with_fields(searcher, query, [numeric_field])
+            .groupBy(lo.alias("bucket_lo"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def sampled_facet_counts(searcher: IndexSearcher, query, facet_field: str,
+                         fraction: float, seed: int = 42) -> DataFrame:
+    """Facet counts over a Bernoulli sample of the matches, scaled back
+    by 1/fraction (RandomSamplingFacetsCollector's estimate)."""
+    return (_matches_with_fields(searcher, query, [facet_field])
+            .sample(fraction=fraction, seed=seed)
+            .groupBy(F.col(facet_field).alias("value"))
+            .agg(F.round(F.count("*") / fraction).cast("long")
+                 .alias("n_estimate")))
+
+
+def group_top_k(searcher: IndexSearcher, query, group_field: str,
+                k_per_group: int) -> DataFrame:
+    """(group, doc_id, score, rnk) — top-k docs per group by (score
+    desc, doc_id asc); Lucene's two collector passes collapse into one
+    window function."""
+    w = W.partitionBy(group_field).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (_matches_with_fields(searcher, query, [group_field])
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k_per_group)
+            .select(F.col(group_field).alias("group"), "doc_id",
+                    "score", "rnk"))
+
+
+def distinct_group_values(searcher: IndexSearcher, query,
+                          group_field: str) -> DataFrame:
+    """(value) — distinct stored-field values among the matches."""
+    return (_matches_with_fields(searcher, query, [group_field])
+            .select(F.col(group_field).alias("value")).distinct())
+
+
+def rescore(searcher: IndexSearcher, first_pass: DataFrame, second_query,
+            weight_first: float = 1.0, weight_second: float = 1.0,
+            k: int | None = None) -> DataFrame:
+    """QueryRescorer: combine first-pass scores with a second query's
+    scores over ONLY the first-pass docs (left join; missing second
+    score contributes 0), re-rank by the weighted sum."""
+    second = searcher.search_df(second_query, k=None) \
+        .withColumnRenamed("score", "score2")
+    combined = (first_pass.join(second, "doc_id", "left_outer")
+                .select("doc_id",
+                        (F.col("score") * weight_first
+                         + F.coalesce(F.col("score2"), F.lit(0.0))
+                         * weight_second).alias("score")))
+    out = combined.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k else out
