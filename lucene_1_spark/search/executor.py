@@ -41,8 +41,9 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    BooleanQuery, Clause, MatchAllDocsQuery, MatchNoDocsQuery, Occur,
-    PhraseQuery, Query, TermQuery, parse_query, rewrite_fixpoint,
+    BooleanQuery, Clause, ConstantScoreQuery, MatchAllDocsQuery,
+    MatchNoDocsQuery, Occur, PhraseQuery, Query, SynonymQuery, TermQuery,
+    parse_query, rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -165,6 +166,17 @@ class IndexSearcher:
                     .orderBy(F.asc("doc_id")).limit(k))
         if isinstance(query, PhraseQuery):
             return self._phrase_search(query, k, after)
+        if isinstance(query, ConstantScoreQuery):
+            matches = self.search_df(query.query, k=None, prune=False)
+            scored = matches.select(
+                "doc_id", F.lit(float(query.boost))
+                .cast("double" if self.double_mode else "float")
+                .alias("score"))
+            if k is None:
+                return scored
+            return scored.orderBy(F.asc("doc_id")).limit(k)
+        if isinstance(query, SynonymQuery):
+            return self._synonym_search(query, k, after)
 
         must, should, mnot, msm = self._flatten(query)
         stats = self.reader.term_statistics(
@@ -410,6 +422,83 @@ class IndexSearcher:
                   .filter(F.col("score_d") > 0.0)
                   .select("doc_id", F.col("score_d").cast(
                       "double" if double_mode else "float").alias("score")))
+        if after is not None:
+            s, d = after
+            scored = scored.filter(
+                (F.col("score") < float(s))
+                | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ------------------------------------------------------------------
+    def _synonym_search(self, q: SynonymQuery, k: int | None,
+                        after: tuple[float, int] | None) -> DataFrame:
+        """Members merge into one pseudo-term: doc_freq = max over
+        members, per-doc freq = sum over members, scored once
+        (``SynonymQuery.java:212-228``)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        stats = self.reader.term_statistics(sorted(set(q.terms)))
+        present = [t for t in q.terms if t in stats]
+        if not present:
+            return empty
+        merged_df = max(stats[t][0] for t in present)
+        if self.double_mode:
+            weight = q.boost * bm25.idf_double(merged_df, self.doc_count)
+        else:
+            weight = float(np.float32(np.float32(q.boost)
+                                      * bm25.idf(merged_df, self.doc_count)))
+
+        # decode raw (doc_id, freq, norm_val) for all member terms
+        FREQ_SCHEMA = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("norm_val", T.LongType()),
+        ])
+        double_mode = self.double_mode
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.num_docs)
+                    dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                                 int(row.first_doc), n)
+                    freqs = codecs.decode_freqs(bytes(row.freqs), n)
+                    if double_mode:
+                        norms = np.frombuffer(bytes(row.norms),
+                                              dtype="<u4").astype(np.int64)
+                    else:
+                        norms = np.frombuffer(bytes(row.norms),
+                                              dtype=np.uint8).astype(np.int64)
+                    outs.append(pd.DataFrame(
+                        {"doc_id": dids, "freq": freqs, "norm_val": norms}))
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"doc_id": [], "freq": [], "norm_val": []})
+
+        decoded = self._blocks_for(present).mapInPandas(decode, FREQ_SCHEMA)
+        merged = decoded.groupBy("doc_id").agg(
+            F.sum("freq").alias("freq"), F.max("norm_val").alias("norm_val"))
+
+        cache = self.cache
+        k1, b, avgdl = float(self.k1), float(self.b), float(self.avgdl)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def syn_score(freq: pd.Series, norm_val: pd.Series) -> pd.Series:
+            f = freq.to_numpy(dtype=np.float64)
+            if double_mode:
+                ln = norm_val.to_numpy(dtype=np.float64)
+                s = weight * f / (f + k1 * ((1 - b) + b * ln / avgdl))
+            else:
+                s = bm25.score_term(
+                    f, norm_val.to_numpy(dtype=np.uint8),
+                    np.float32(weight), cache).astype(np.float64)
+            return pd.Series(s)
+
+        scored = merged.select(
+            "doc_id", syn_score("freq", "norm_val")
+            .cast("double" if double_mode else "float").alias("score"))
         if after is not None:
             s, d = after
             scored = scored.filter(

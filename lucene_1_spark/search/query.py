@@ -45,6 +45,31 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Strip scoring from the inner query: every match scores ``boost``
+    (``search/ConstantScoreQuery.java``)."""
+    query: "Query"
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        inner = self.query.rewrite()
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if inner is self.query:
+            return self
+        return ConstantScoreQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """OR over synonym terms scored as a SINGLE pseudo-term
+    (``search/SynonymQuery.java:52,212-228``): doc_freq = max over
+    members, per-doc freq = sum over members."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Exact phrase (slop=0): consecutive positions required
     (``search/ExactPhraseMatcher.java:109-153``).  Scored as one
