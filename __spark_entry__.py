@@ -66,7 +66,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     idx_dir = os.path.join(
-        tempfile.gettempdir(), "l1s_driver_idx",
+        tempfile.gettempdir(), "l1s_driver_idx_v2",
         hashlib.md5(key.encode()).hexdigest()[:12])
     corpus = _docs(spark, sf_dir).select(
         F.lit("docs").alias("repo"),
@@ -76,7 +76,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
     )
     cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
-                      n_buckets=8, n_doc_partitions=8)
+                      n_buckets=8, n_doc_partitions=8, positions=True)
     build_index(spark, corpus, idx_dir, cfg)   # resumes if already built
     s = IndexSearcher(IndexReader(spark, idx_dir))
     _SEARCHERS[key] = s
@@ -229,6 +229,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("orig_id").alias("doc_id"),
             F.round("score", 4).alias("score"), "rank")
     q["ft_msm_topk"] = ft_msm
+
+    q["ft_phrase_topk"] = lambda s, d: _topk(s, d, '"sort merge"')
+
+    def ft_synonym_topk(s, d):
+        from lucene_1_spark.search.query import SynonymQuery
+        se = _searcher(s, d)
+        top = se.search_df(SynonymQuery(("spark", "merge")), k=10) \
+            .withColumn("rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_synonym_topk"] = ft_synonym_topk
+
+    def ft_const_score(s, d):
+        from lucene_1_spark.search.query import (ConstantScoreQuery,
+                                                 TermQuery)
+        se = _searcher(s, d)
+        top = se.search_df(ConstantScoreQuery(TermQuery("window"), 2.5), k=10)
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"))
+    q["ft_const_score"] = ft_const_score
 
     def ft_search_after(s, d):
         se = _searcher(s, d)
@@ -416,6 +439,57 @@ def oracle_sql() -> dict[str, str]:
     o["ft_msm_topk"] = _bm25_sql(["spark", "merge", "window"],
                                  extra_having="count(DISTINCT tf.term) >= 2")
     o["ft_search_after"] = _bm25_sql(["spark", "merge", "window"], rank_lo=11)
+
+    # exact phrase: occurrence count via adjacent-token window, scored
+    # as one pseudo-term with weight = sum of member idfs
+    o["ft_phrase_topk"] = f"""
+WITH {_BM25_CTES},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pfreq FROM (
+    SELECT doc_id, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM ordered)
+  WHERE term = 'sort' AND nxt = 'merge' GROUP BY doc_id),
+w AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge')),
+sc AS (
+  SELECT pf.doc_id,
+         w.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # synonym: one pseudo-term with df = max over members, freq = sum
+    o["ft_synonym_topk"] = f"""
+WITH {_BM25_CTES},
+members AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+mdf AS (SELECT max(dfreq) AS dfm FROM df WHERE term IN ('spark', 'merge')),
+merged AS (SELECT doc_id, sum(freq) AS freq FROM members GROUP BY doc_id),
+sc AS (
+  SELECT m.doc_id,
+         ln(1 + (st.n - mdf.dfm + 0.5) / (mdf.dfm + 0.5)) * m.freq
+         / (m.freq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM merged m JOIN dl ON m.doc_id = dl.doc_id
+  CROSS JOIN st CROSS JOIN mdf)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    o["ft_const_score"] = f"""WITH {_TOKS}
+SELECT doc_id, 2.5 AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+ORDER BY doc_id LIMIT 10"""
 
     o["ft_term_count"] = f"""WITH {_TOKS}
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks WHERE term = 'batch'"""
