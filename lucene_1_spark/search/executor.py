@@ -41,9 +41,10 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    BooleanQuery, Clause, ConstantScoreQuery, MatchAllDocsQuery,
-    MatchNoDocsQuery, Occur, PhraseQuery, Query, SynonymQuery, TermQuery,
-    parse_query, rewrite_fixpoint,
+    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery, FuzzyQuery,
+    MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery,
+    PrefixQuery, Query, RegexpQuery, SynonymQuery, TermQuery, TermRangeQuery,
+    WildcardQuery, parse_query, rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -59,6 +60,38 @@ POSITIONS_SCHEMA = T.StructType([
 ])
 
 PRUNE_SAFETY = 1.00001  # relational double ub -> float32 score margin
+
+
+from dataclasses import dataclass, field as _field
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Driver-side edit distance (tiny strings only: fuzzy member
+    boosts).  Matches Spark's F.levenshtein / classic Levenshtein."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@dataclass
+class _Flat:
+    """Flattened boolean clauses (see :meth:`IndexSearcher._flatten`)."""
+    must: list = _field(default_factory=list)        # scored + required
+    filters: list = _field(default_factory=list)     # required, NON-scoring
+    should: list = _field(default_factory=list)      # scored, optional
+    mnot: list = _field(default_factory=list)        # excluded
+    must_groups: list = _field(default_factory=list)    # scored OR-groups, required
+    filter_groups: list = _field(default_factory=list)  # non-scoring OR-groups, required
+    msm: int = 0
 
 
 class IndexSearcher:
@@ -80,20 +113,50 @@ class IndexSearcher:
         self.doc_count = st["doc_count"]
 
     # ------------------------------------------------------------------
-    def _flatten(self, q: Query) -> tuple[list[TermQuery], list[TermQuery],
-                                          list[TermQuery], int]:
-        """-> (must, should, must_not, min_should_match); only flat
-        term/boolean trees are supported in v1 (the reference query set)."""
+    def _flatten(self, q: Query) -> "_Flat":
+        """Flatten a term/boolean tree into the executor's clause lists.
+
+        FILTER clauses are kept in a SEPARATE list: they constrain the
+        match set but never contribute score — Lucene's required,
+        non-scoring semantics (``search/BooleanQuery.java:120-126``,
+        the non-scoring ``BooleanWeight``).
+
+        One level of nested pure disjunctions (a BooleanQuery of only
+        SHOULD TermQuery clauses — what multi-term expansion produces)
+        is supported: under SHOULD it flattens into the parent (the
+        disjunction sum is associative, ``DisjunctionSumScorer.java``);
+        under MUST/FILTER it becomes a required OR-*group* (the doc must
+        contain >=1 member); under MUST_NOT the members extend the
+        exclusion set."""
         if isinstance(q, TermQuery):
-            return [q], [], [], 0
+            return _Flat(must=[q])
         if isinstance(q, BooleanQuery):
-            must, should, mnot = [], [], []
+            out = _Flat()
             for c in q.clauses:
-                if not isinstance(c.query, TermQuery):
-                    raise NotImplementedError(f"nested query: {c.query}")
-                {Occur.MUST: must, Occur.FILTER: must,
-                 Occur.SHOULD: should, Occur.MUST_NOT: mnot}[c.occur].append(c.query)
-            return must, should, mnot, q.minimum_should_match
+                sub = c.query
+                if isinstance(sub, TermQuery):
+                    {Occur.MUST: out.must, Occur.FILTER: out.filters,
+                     Occur.SHOULD: out.should,
+                     Occur.MUST_NOT: out.mnot}[c.occur].append(sub)
+                    continue
+                if isinstance(sub, BooleanQuery) and all(
+                        cc.occur == Occur.SHOULD
+                        and isinstance(cc.query, TermQuery)
+                        for cc in sub.clauses) \
+                        and sub.minimum_should_match <= 1:
+                    members = [cc.query for cc in sub.clauses]
+                    if c.occur == Occur.SHOULD:
+                        out.should.extend(members)
+                    elif c.occur == Occur.MUST:
+                        out.must_groups.append(tuple(members))
+                    elif c.occur == Occur.FILTER:
+                        out.filter_groups.append(tuple(members))
+                    else:
+                        out.mnot.extend(members)
+                    continue
+                raise NotImplementedError(f"nested query: {sub}")
+            out.msm = q.minimum_should_match
+            return out
         raise NotImplementedError(f"query type {type(q)}")
 
     def _decode_kernel(self, weights: dict[str, float], want_scores: bool):
@@ -154,16 +217,18 @@ class IndexSearcher:
         exhaustive-collector mode used by facets/grouping)."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"])
-        query = rewrite_fixpoint(query)
+        query = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(query)))
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score float")
         if isinstance(query, MatchNoDocsQuery):
             return empty
         if isinstance(query, MatchAllDocsQuery):
-            return (self.reader.docs()
-                    .select("doc_id", F.lit(float(query.boost)).cast("float")
-                            .alias("score"))
-                    .orderBy(F.asc("doc_id")).limit(k))
+            scored = (self.reader.docs()
+                      .select("doc_id", F.lit(float(query.boost)).cast("float")
+                              .alias("score")))
+            if k is None:  # exhaustive-collector mode (facets/grouping)
+                return scored
+            return scored.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(query, PhraseQuery):
             return self._phrase_search(query, k, after)
         if isinstance(query, ConstantScoreQuery):
@@ -178,33 +243,65 @@ class IndexSearcher:
         if isinstance(query, SynonymQuery):
             return self._synonym_search(query, k, after)
 
-        must, should, mnot, msm = self._flatten(query)
+        fl = self._flatten(query)
+        must, should, mnot, msm = fl.must, fl.should, fl.mnot, fl.msm
+        filters = fl.filters
+        group_members = [t for g in fl.must_groups + fl.filter_groups for t in g]
         stats = self.reader.term_statistics(
-            sorted({t.term for t in must + should + mnot}))
-        # a required term absent from the index -> no hits
-        if any(t.term not in stats for t in must):
+            sorted({t.term for t in
+                    must + should + mnot + filters + group_members}))
+        # a required term (or fully-absent required group) -> no hits
+        if any(t.term not in stats for t in must + filters):
+            return empty
+        if any(all(t.term not in stats for t in g)
+               for g in fl.must_groups + fl.filter_groups):
             return empty
         must = [t for t in must if t.term in stats]
         should = [t for t in should if t.term in stats]
         mnot = [t for t in mnot if t.term in stats]
-        scoring = must + should
-        if not scoring:
+        filters = [t for t in filters if t.term in stats]
+        must_groups = [tuple(t for t in g if t.term in stats)
+                       for g in fl.must_groups]
+        filter_groups = [tuple(t for t in g if t.term in stats)
+                         for g in fl.filter_groups]
+        # FILTER terms/groups are required but NEVER scored
+        # (BooleanQuery.java:120-126)
+        scoring = must + should + [t for g in must_groups for t in g]
+        if not scoring and not filters and not filter_groups:
             return empty
 
-        if self.double_mode:
-            weights = {t.term: t.boost * bm25.idf_double(stats[t.term][0],
-                                                         self.doc_count)
-                       for t in scoring}
-        else:
-            weights = {t.term: float(bm25.term_weight(stats[t.term][0],
-                                                      self.doc_count, t.boost))
-                       for t in scoring}
-        all_terms = sorted({t.term for t in scoring + mnot})
+        # per-term weight; duplicate scoring terms sum their weights
+        # (BM25 is linear in the weight, so w1+w2 == scoring twice)
+        weights: dict[str, float] = {}
+        for t in scoring:
+            if self.double_mode:
+                w = t.boost * bm25.idf_double(stats[t.term][0], self.doc_count)
+            else:
+                w = float(bm25.term_weight(stats[t.term][0],
+                                           self.doc_count, t.boost))
+            weights[t.term] = weights.get(t.term, 0.0) + w
+        filter_only_terms = [t for t in filters if t.term not in weights] + \
+            [t for g in filter_groups for t in g if t.term not in weights]
+        all_terms = sorted({t.term for t in scoring + mnot + filter_only_terms})
         blocks = self._blocks_for(all_terms)
+
+        # Conjunction block pruning — the BlockMaxConjunction analog
+        # (``search/BlockMaxConjunctionBulkScorer.java``, chosen at
+        # ``BooleanScorerSupplier.java:340``): the rarest REQUIRED term
+        # drives; other terms' blocks whose docID range cannot overlap
+        # any of the driver's block ranges are never decoded (the
+        # relational skip-list hop).  Exact-safe: every hit must contain
+        # the driver term, and a surviving hit's blocks all overlap the
+        # interval that contains it, so its score stays complete.
+        required_single = must + filters
+        if prune and required_single and len(all_terms) > 1:
+            driver = min(required_single, key=lambda t: stats[t.term][0]).term
+            blocks = self._prune_by_driver_ranges(blocks, driver)
 
         # Block-max pruning (WAND/MaxScore analog) — only where the bound
         # is sound: pure disjunctions with no pagination cursor.
         use_prune = (prune and k is not None and not must and not mnot
+                     and not filters and not must_groups and not filter_groups
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
         if use_prune:
@@ -237,13 +334,22 @@ class IndexSearcher:
             decoded = blocks.mapInPandas(
                 self._decode_kernel(weights, want_scores=True), DECODED_SCHEMA)
 
-        must_terms = [t.term for t in must]
-        scoring_terms = [t.term for t in scoring]
-        agg = [F.sum(F.when(F.col("term").isin(scoring_terms),
-                            F.col("score")).otherwise(0.0)).alias("score_d")]
-        if must_terms:
-            agg.append(F.sum(F.when(F.col("term").isin(must_terms), 1)
-                             .otherwise(0)).alias("n_must"))
+        required_terms = sorted({t.term for t in must}
+                                | {t.term for t in filters})
+        scoring_terms = sorted({t.term for t in scoring})
+        if scoring_terms:
+            agg = [F.sum(F.when(F.col("term").isin(scoring_terms),
+                                F.col("score")).otherwise(0.0)).alias("score_d")]
+        else:  # filter-only query: matches, but every hit scores 0
+            agg = [F.min(F.lit(0.0)).alias("score_d")]
+        if required_terms:
+            agg.append(F.sum(F.when(F.col("term").isin(required_terms), 1)
+                             .otherwise(0)).alias("n_req"))
+        groups_all = must_groups + filter_groups
+        for gi, g in enumerate(groups_all):
+            gt = sorted({t.term for t in g})
+            agg.append(F.max(F.when(F.col("term").isin(gt), 1).otherwise(0))
+                       .alias(f"grp_{gi}"))
         if msm > 0:
             should_terms = [t.term for t in should]
             agg.append(F.sum(F.when(F.col("term").isin(should_terms), 1)
@@ -256,8 +362,10 @@ class IndexSearcher:
             hits = hits.filter(~F.col("term").isin(mnot_terms)) \
                 .join(excluded, "doc_id", "left_anti")
         per_doc = hits.groupBy("doc_id").agg(*agg)
-        if must_terms:
-            per_doc = per_doc.filter(F.col("n_must") >= len(set(must_terms)))
+        if required_terms:
+            per_doc = per_doc.filter(F.col("n_req") >= len(required_terms))
+        for gi in range(len(groups_all)):
+            per_doc = per_doc.filter(F.col(f"grp_{gi}") == 1)
         if msm > 0:
             per_doc = per_doc.filter(F.col("n_should") >= msm)
         score_type = "double" if self.double_mode else "float"
@@ -271,6 +379,46 @@ class IndexSearcher:
         if k is None:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    DRIVER_RANGE_CAP = 4096     # skip pruning if the driver term has more blocks
+    MAX_RANGE_INTERVALS = 64    # cap the OR-predicate size
+
+    def _prune_by_driver_ranges(self, blocks: DataFrame,
+                                driver_term: str) -> DataFrame:
+        """Keep only blocks whose [first_doc, last_doc] overlaps one of
+        the driver term's (merged) block ranges.  Metadata-only driver
+        read: partition-pruned to the driver's bucket, column-pruned to
+        the two range columns."""
+        meta = (blocks.filter(F.col("term") == driver_term)
+                .select("first_doc", "last_doc").collect())
+        if not meta or len(meta) > self.DRIVER_RANGE_CAP:
+            return blocks
+        ranges = sorted((int(r["first_doc"]), int(r["last_doc"]))
+                        for r in meta)
+        merged: list[list[int]] = []
+        for lo, hi in ranges:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        while len(merged) > self.MAX_RANGE_INTERVALS:
+            # coalesce across the smallest inter-interval gaps
+            gaps = sorted((merged[i + 1][0] - merged[i][1], i)
+                          for i in range(len(merged) - 1))
+            kill = {i for _, i in
+                    gaps[:len(merged) - self.MAX_RANGE_INTERVALS]}
+            out: list[list[int]] = []
+            for i, iv in enumerate(merged):
+                if out and (i - 1) in kill:
+                    out[-1][1] = max(out[-1][1], iv[1])
+                else:
+                    out.append(iv)
+            merged = out
+        cond = None
+        for lo, hi in merged:
+            c = (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
+            cond = c if cond is None else cond | c
+        return blocks.filter((F.col("term") == driver_term) | cond)
 
     def _other_max_ubs(self, blocks: DataFrame, weights: dict[str, float]) \
             -> dict[str, float]:
@@ -354,15 +502,32 @@ class IndexSearcher:
 
     def _phrase_search(self, q: PhraseQuery, k: int | None,
                        after: tuple[float, int] | None) -> DataFrame:
-        """Exact phrase: per-term position lists inner-joined on doc_id
-        (the positional leapfrog), phrase occurrences counted by
-        position intersection, scored as one pseudo-term with
-        weight = boost * sum(idf)."""
+        """Phrase execution, scale-shaped like the reference's positional
+        leapfrog (``search/ExactPhraseMatcher.java:109-153``):
+
+        1. **candidate intersection first** — a cheap docs-only decode
+           (doc gaps only, no freqs/norms/positions) finds docs holding
+           ALL phrase terms;
+        2. **pruned positions decode** — position blocks are decoded
+           only where the block's [first_doc, last_doc] range contains a
+           candidate (the skip-list hop), then rows are semi-joined to
+           the exact candidate set;
+        3. **vectorized occurrence count** — all rows' position lists
+           are flattened into one (row, pos)-keyed array; adjacency is
+           one ``np.isin`` per phrase slot (no per-row Python loop).
+
+        slop>0 (two-term): freq = sum over in-slop pairs of
+        1/(1+|displacement|) — see :class:`PhraseQuery` for the
+        documented deviation from SloppyPhraseMatcher's greedy walk."""
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if self.reader.cfg.get("positions") is not True:
             raise ValueError("index was built without positions "
                              "(IndexConfig.positions=True required)")
-        stats = self.reader.term_statistics(sorted(set(q.terms)))
+        if q.slop > 0 and len(q.terms) != 2:
+            raise NotImplementedError(
+                "slop>0 is supported for two-term phrases in v2")
+        uniq_terms = sorted(set(q.terms))
+        stats = self.reader.term_statistics(uniq_terms)
         if any(t not in stats for t in q.terms):
             return empty
         if self.double_mode:
@@ -374,14 +539,28 @@ class IndexSearcher:
                 acc += float(bm25.idf(stats[t][0], self.doc_count))
             weight = float(np.float32(np.float32(q.boost) * np.float32(acc)))
 
+        # 1. candidate docs containing every phrase term (docs-only decode)
+        blocks_all = self._blocks_for(uniq_terms)
+        docs_only = blocks_all.mapInPandas(
+            self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+        cand = (docs_only.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(uniq_terms))
+                .select("doc_id"))
+        cand_b = F.broadcast(cand)
+
+        # 2. positions decode only for candidate-bearing blocks
         joined = None
         for i, t in enumerate(q.terms):
-            blocks_t = self._blocks_for([t]).filter(F.col("term") == t)
-            dec = blocks_t.mapInPandas(self._decode_positions_kernel(),
-                                       POSITIONS_SCHEMA)
-            dec = dec.select("doc_id",
-                             *(["norm_val"] if i == 0 else []),
-                             F.col("positions").alias(f"p{i}"))
+            blocks_t = blocks_all.filter(F.col("term") == t)
+            pruned_t = blocks_t.join(
+                cand_b, (F.col("doc_id") >= F.col("first_doc"))
+                & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+            dec = (pruned_t.mapInPandas(self._decode_positions_kernel(),
+                                        POSITIONS_SCHEMA)
+                   .join(cand_b, "doc_id", "left_semi")
+                   .select("doc_id", *(["norm_val"] if i == 0 else []),
+                           F.col("positions").alias(f"p{i}")))
             joined = dec if joined is None else joined.join(dec, "doc_id")
 
         cache = self.cache
@@ -389,39 +568,67 @@ class IndexSearcher:
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
         n_terms = len(q.terms)
+        slop = int(q.slop)
 
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("double")
-        def phrase_score(norm_val: pd.Series, *plists: pd.Series) -> pd.Series:
-            out = np.zeros(len(norm_val), dtype=np.float64)
-            for r in range(len(norm_val)):
-                starts = np.asarray(plists[0].iloc[r], dtype=np.int64)
-                for i in range(1, n_terms):
-                    nxt = np.asarray(plists[i].iloc[r], dtype=np.int64)
-                    starts = starts[np.isin(starts + i, nxt)]
-                    if len(starts) == 0:
-                        break
-                pf = len(starts)
-                if pf == 0:
-                    continue
-                if double_mode:
-                    ln = float(norm_val.iloc[r])
-                    out[r] = weight * pf / (pf + k1 * ((1 - b) + b * ln / avgdl))
-                else:
-                    inv = cache[int(norm_val.iloc[r]) & 0xFF]
-                    w32 = np.float32(weight)
-                    out[r] = float(w32 - w32 / (np.float32(1.0)
-                                                + np.float32(pf) * inv))
-            return pd.Series(out)
+        def phrase_freq(*plists: pd.Series) -> pd.Series:
+            nrows = len(plists[0])
+            if nrows == 0:
+                return pd.Series(np.zeros(0, dtype=np.float64))
+            M = np.int64(1) << 32  # (row, pos) -> one sortable key
 
-        scored = (joined
-                  .withColumn("score_d", phrase_score(
-                      F.col("norm_val"),
-                      *[F.col(f"p{i}") for i in range(n_terms)]))
-                  .filter(F.col("score_d") > 0.0)
-                  .select("doc_id", F.col("score_d").cast(
-                      "double" if double_mode else "float").alias("score")))
+            def keyed(col: pd.Series):
+                lens = np.fromiter((len(x) for x in col), dtype=np.int64,
+                                   count=nrows)
+                total = int(lens.sum())
+                flat = (np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in col])
+                    if total else np.zeros(0, dtype=np.int64))
+                rows = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+                return rows * M + flat, rows
+
+            k0, rows0 = keyed(plists[0])
+            if slop == 0:
+                mask = np.ones(len(k0), dtype=bool)
+                for i in range(1, n_terms):
+                    ki, _ = keyed(plists[i])
+                    mask &= np.isin(k0 + i, ki)
+                pf = np.bincount(rows0[mask],
+                                 minlength=nrows).astype(np.float64)
+            else:
+                k1s, _ = keyed(plists[1])
+                pf = np.zeros(nrows, dtype=np.float64)
+                for e in range(-slop, slop + 1):
+                    m = np.isin(k0 + 1 + e, k1s)
+                    if m.any():
+                        pf += (np.bincount(rows0[m], minlength=nrows)
+                               / (1.0 + abs(e)))
+            return pd.Series(pf)
+
+        with_pf = (joined
+                   .withColumn("pf", phrase_freq(
+                       *[F.col(f"p{i}") for i in range(n_terms)]))
+                   .filter(F.col("pf") > 0.0))
+        if double_mode:
+            ln = F.col("norm_val").cast("double")
+            score_d = (F.lit(weight) * F.col("pf")
+                       / (F.col("pf") + k1 * ((1 - b) + b * ln / avgdl)))
+            scored = with_pf.select(
+                "doc_id", score_d.cast("double").alias("score"))
+        else:
+            @pandas_udf("double")
+            def f32_score(pf: pd.Series, norm_val: pd.Series) -> pd.Series:
+                inv = cache[norm_val.to_numpy(dtype=np.int64) & 0xFF]
+                pf32 = pf.to_numpy(dtype=np.float32)
+                w32 = np.float32(weight)
+                s = w32 - w32 / (np.float32(1.0) + pf32 * inv)
+                return pd.Series(s.astype(np.float64))
+
+            scored = with_pf.select(
+                "doc_id", f32_score("pf", "norm_val").cast("float")
+                .alias("score"))
         if after is not None:
             s, d = after
             scored = scored.filter(
@@ -509,6 +716,92 @@ class IndexSearcher:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ------------------------------------------------------------------
+    def _multi_term_predicate(self, q: MultiTermQuery) -> F.Column:
+        """Term-dictionary predicate for a MultiTermQuery — the
+        relational analog of the term-enum intersection
+        (``search/MultiTermQuery.java:86-103``).  The dictionary scan
+        reads only the tiny (term, doc_freq) table; term_stats files are
+        written term-sorted so parquet row-group min/max stats prune
+        non-matching ranges for prefix/range predicates."""
+        col = F.col("term")
+        if isinstance(q, PrefixQuery):
+            return col.startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            import re as _re2
+            rx = "".join(".*" if ch == "*" else "." if ch == "?"
+                         else _re2.escape(ch) for ch in q.pattern)
+            return col.rlike(f"^(?:{rx})$")
+        if isinstance(q, RegexpQuery):
+            return col.rlike(f"^(?:{q.regex})$")
+        if isinstance(q, FuzzyQuery):
+            pred = F.levenshtein(col, F.lit(q.term)) <= q.max_edits
+            if q.prefix_length > 0:
+                pred = pred & col.startswith(q.term[:q.prefix_length])
+            return pred
+        if isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (col >= q.lower if q.include_lower
+                               else col > q.lower)
+            if q.upper is not None:
+                pred = pred & (col <= q.upper if q.include_upper
+                               else col < q.upper)
+            return pred
+        raise NotImplementedError(f"multi-term query {type(q)}")
+
+    def rewrite_multi_term(self, q: MultiTermQuery) -> Query:
+        """Expand a MultiTermQuery against the term dictionary into an
+        executable scored tree (see :class:`MultiTermQuery` docstring
+        for the rewrite methods)."""
+        rows = (self.reader.term_stats()
+                .filter(self._multi_term_predicate(q))
+                .select("term", "doc_freq").collect())
+        terms = sorted((r["term"], int(r["doc_freq"])) for r in rows)
+        method = q.rewrite_method
+        if method.startswith("top_terms_"):
+            n = int(method.rsplit("_", 1)[1])
+            # highest doc_freq first, term asc tie-break (TopTermsRewrite)
+            terms = sorted(sorted(terms), key=lambda x: -x[1])[:n]
+            terms.sort()
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"multi-term expansion too large: {len(terms)} > "
+                f"{MAX_CLAUSE_COUNT} (IndexSearcher.java:80)")
+        if not terms:
+            return MatchNoDocsQuery()
+
+        def member_boost(term: str) -> float:
+            if isinstance(q, FuzzyQuery) and q.boost_by_similarity:
+                dist = _levenshtein(term, q.term)
+                denom = min(len(term), len(q.term)) or 1
+                return max(0.0, 1.0 - dist / denom)
+            return 1.0
+
+        if method == "constant_score":
+            inner = BooleanQuery(tuple(
+                Clause(TermQuery(t), Occur.SHOULD) for t, _ in terms))
+            return ConstantScoreQuery(inner, q.boost)
+        return BooleanQuery(tuple(
+            Clause(TermQuery(t, q.boost * member_boost(t)), Occur.SHOULD)
+            for t, _ in terms))
+
+    def _expand_tree(self, q: Query) -> Query:
+        """Replace every MultiTermQuery node with its dictionary
+        expansion (one level of nesting inside BooleanQuery clauses is
+        executable — see :meth:`_flatten`)."""
+        if isinstance(q, MultiTermQuery):
+            return self.rewrite_multi_term(q)
+        if isinstance(q, BooleanQuery):
+            new = tuple(Clause(self._expand_tree(c.query), c.occur)
+                        for c in q.clauses)
+            if all(a.query is b.query for a, b in zip(new, q.clauses)):
+                return q
+            return BooleanQuery(new, q.minimum_should_match)
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._expand_tree(q.query)
+            return q if inner is q.query else ConstantScoreQuery(inner, q.boost)
+        return q
+
     def expand_terms(self, predicate: F.Column) -> list[str]:
         """Multi-term query expansion — the MultiTermQuery rewrite
         (``search/MultiTermQuery.java:86-103``): scan the term
@@ -548,7 +841,8 @@ class IndexSearcher:
         return [r.asDict() for r in out]
 
     def count(self, query: Query | str) -> int:
-        """TotalHitCountCollector analog."""
+        """TotalHitCountCollector analog — exhaustive match set, no
+        global sort (``search_df(k=None)`` is the unsorted collector)."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"])
         query = rewrite_fixpoint(query)
@@ -556,6 +850,23 @@ class IndexSearcher:
             return 0
         if isinstance(query, MatchAllDocsQuery):
             return self.reader.stats["n_docs"]
-        must, should, mnot, msm = self._flatten(query)
-        df = self.search_df(query, k=2**31 - 1, prune=False)
-        return df.count()
+        return self.search_df(query, k=None, prune=False).count()
+
+    def search_sorted(self, query: Query | str,
+                      by: list[tuple[str, str]],
+                      k: int | None = 10) -> DataFrame:
+        """TopFieldCollector analog (``search/TopFieldCollector.java``,
+        ``search/SortField.java:60-126``): hits ordered by stored
+        fields instead of score, docID as the final tie-break
+        (``SortField.FIELD_DOC``).  ``by`` = [(field, 'asc'|'desc')].
+        Returns (doc_id, score, *fields); top-k compiles to
+        TakeOrderedAndProject like the score path."""
+        matches = self.search_df(query, k=None)
+        fields = [f for f, _ in by]
+        docs = self.reader.docs().select("doc_id", *fields)
+        joined = matches.join(docs, "doc_id")
+        order = [F.asc(f) if d.lower().startswith("a") else F.desc(f)
+                 for f, d in by]
+        order.append(F.asc("doc_id"))
+        out = joined.orderBy(*order)
+        return out.limit(k) if k is not None else out

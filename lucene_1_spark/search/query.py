@@ -71,12 +71,94 @@ class SynonymQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase (slop=0): consecutive positions required
+    """Phrase query (``PhraseQuery.java:71-143``).
+
+    ``slop=0``: exact phrase — consecutive positions required
     (``search/ExactPhraseMatcher.java:109-153``).  Scored as one
     pseudo-term: weight = boost * sum of member idfs, freq = number of
-    phrase occurrences (``PhraseQuery.java:71-143``)."""
+    phrase occurrences.
+
+    ``slop>0``: sloppy phrase (``PhraseQuery.java:76-93`` setSlop,
+    ``search/SloppyPhraseMatcher.java``).  freq = sum over in-slop
+    occurrence pairs of ``1/(1+editDistance)`` where editDistance is the
+    positional displacement from the exact phrase (transposition costs
+    2, as in Lucene).  DOCUMENTED DEVIATION: Lucene's matcher greedily
+    advances past consumed positions (non-overlapping matches); this
+    engine weights ALL in-slop pairs — order-insensitive and exactly
+    reproducible by a relational oracle.  v2 supports slop>0 for
+    two-term phrases."""
     terms: tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
+
+
+class MultiTermQuery(Query):
+    """Marker base for term-dictionary-expanded queries
+    (``search/MultiTermQuery.java:86-119``).  The executor rewrites a
+    MultiTermQuery into an executable tree via the term dictionary:
+
+    - ``rewrite_method='scoring_boolean'`` (default): a BooleanQuery of
+      SHOULD :class:`TermQuery` clauses, each scored with its own
+      idf/freq — ``ScoringRewrite.SCORING_BOOLEAN_QUERY_REWRITE``;
+    - ``'constant_score'``: :class:`ConstantScoreQuery` over that
+      disjunction — ``MultiTermQuery.CONSTANT_SCORE_REWRITE``;
+    - ``'top_terms_<N>'``: keep only the N highest-doc_freq expansions
+      (``search/TopTermsRewrite.java:56-103``).
+
+    Expansion is capped at ``MAX_CLAUSE_COUNT`` (1024) like the
+    reference (``IndexSearcher.java:80``)."""
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    """All terms starting with ``prefix`` (``search/PrefixQuery.java``)."""
+    prefix: str
+    boost: float = 1.0
+    rewrite_method: str = "scoring_boolean"
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    """``*`` = any run, ``?`` = one char (``search/WildcardQuery.java``)."""
+    pattern: str
+    boost: float = 1.0
+    rewrite_method: str = "scoring_boolean"
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """Whole-term regexp match (``search/RegexpQuery.java``)."""
+    regex: str
+    boost: float = 1.0
+    rewrite_method: str = "scoring_boolean"
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """Terms within ``max_edits`` Levenshtein edits
+    (``search/FuzzyQuery.java:52-67``).  With ``boost_by_similarity``
+    each expanded term's boost is scaled by
+    ``1 - edits / min(|term|, |query|)`` — the FuzzyTermsEnum boost
+    attribute (``search/FuzzyTermsEnum.java``), so closer terms rank
+    higher.  ``prefix_length`` requires a shared literal prefix."""
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+    boost_by_similarity: bool = True
+    rewrite_method: str = "scoring_boolean"
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    """Terms in the lexicographic range [lower, upper]
+    (``search/TermRangeQuery.java``); ``None`` bound = open."""
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+    rewrite_method: str = "constant_score"
 
 
 @dataclass(frozen=True)

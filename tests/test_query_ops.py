@@ -1,0 +1,258 @@
+"""Round-2 operator semantics: FILTER (required, non-scoring), scored
+multi-term queries (prefix/wildcard/fuzzy/range), sloppy phrase,
+count() on all query types, MatchAll k=None, conjunction block pruning,
+and sort-by-field."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark.index import IndexBuilder, IndexReader
+from lucene_1_spark.index.builder import IndexConfig
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.search.query import (
+    BooleanQuery, Clause, ConstantScoreQuery, FuzzyQuery,
+    MatchAllDocsQuery, Occur, PhraseQuery, PrefixQuery, SynonymQuery,
+    TermQuery, TermRangeQuery, WildcardQuery,
+)
+
+
+@pytest.fixture(scope="module")
+def ops_index(spark, tmp_root):
+    pdf = corpus_mod.t_small()
+    d = os.path.join(tmp_root, "idx_ops")
+    src = spark.createDataFrame(pdf).repartition(8, "repo")
+    IndexBuilder(spark, d, IndexConfig(n_buckets=8, n_doc_partitions=8,
+                                       positions=True)).build(src)
+    return d, pdf
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, ops_index):
+    d, _ = ops_index
+    return IndexSearcher(IndexReader(spark, d))
+
+
+def _scores(df):
+    return {r["doc_id"]: r["score"] for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# FILTER: required but NON-scoring (BooleanQuery.java:120-126)
+# ---------------------------------------------------------------------------
+
+def test_filter_clause_is_required_but_not_scored(searcher):
+    q_filter = BooleanQuery((Clause(TermQuery("tok0"), Occur.MUST),
+                             Clause(TermQuery("tok1"), Occur.FILTER)))
+    q_must = BooleanQuery((Clause(TermQuery("tok0"), Occur.MUST),
+                           Clause(TermQuery("tok1"), Occur.MUST)))
+    got = _scores(searcher.search_df(q_filter, k=None))
+    both = _scores(searcher.search_df(q_must, k=None))
+    only_tok0 = _scores(searcher.search_df(TermQuery("tok0"), k=None))
+    # same match set as the fully-scored conjunction ...
+    assert set(got) == set(both)
+    assert len(got) > 0
+    for d, s in got.items():
+        # ... but scored by tok0 alone (FILTER never contributes)
+        assert s == only_tok0[d], d
+        assert s < both[d], d
+
+
+def test_filter_only_query_scores_zero(searcher):
+    q = BooleanQuery((Clause(TermQuery("tok0"), Occur.FILTER),))
+    got = _scores(searcher.search_df(q, k=None))
+    assert set(got) == set(_scores(searcher.search_df(TermQuery("tok0"),
+                                                      k=None)))
+    assert all(s == 0.0 for s in got.values())
+
+
+def test_should_with_filter(searcher):
+    # SHOULD is optional when a FILTER is present; non-matching SHOULD
+    # docs score 0 but still match the filter
+    q = BooleanQuery((Clause(TermQuery("tok3"), Occur.SHOULD),
+                      Clause(TermQuery("tok0"), Occur.FILTER)))
+    got = _scores(searcher.search_df(q, k=None))
+    tok0_docs = set(_scores(searcher.search_df(TermQuery("tok0"), k=None)))
+    tok3 = _scores(searcher.search_df(TermQuery("tok3"), k=None))
+    assert set(got) == tok0_docs
+    for d, s in got.items():
+        assert s == (tok3.get(d, 0.0)), d
+
+
+# ---------------------------------------------------------------------------
+# count() on every query type (regression: crashed on phrase/syn/const)
+# ---------------------------------------------------------------------------
+
+def test_count_all_query_types(searcher):
+    n_phrase = searcher.count(PhraseQuery(("tok0", "tok1")))
+    n_syn = searcher.count(SynonymQuery(("tok0", "tok1")))
+    n_const = searcher.count(ConstantScoreQuery(TermQuery("tok0"), 2.0))
+    n_term = searcher.count(TermQuery("tok0"))
+    assert n_const == n_term > 0
+    assert n_syn >= n_term
+    assert 0 < n_phrase <= n_term
+
+
+def test_match_all_k_none_and_facets(searcher):
+    from lucene_1_spark.search.facets import facet_counts
+    n = searcher.search_df(MatchAllDocsQuery(), k=None).count()
+    assert n == searcher.reader.stats["n_docs"]
+    fc = {r["value"]: r["n"]
+          for r in facet_counts(searcher, MatchAllDocsQuery(), "lang").collect()}
+    assert sum(fc.values()) == n
+
+
+# ---------------------------------------------------------------------------
+# scored multi-term queries (MultiTermQuery.java:86-119 rewrites)
+# ---------------------------------------------------------------------------
+
+def test_prefix_query_scored_equals_manual_disjunction(searcher):
+    q = PrefixQuery("tok1")  # tok1, tok10..tok19, tok100..tok199 ...
+    expanded = searcher.rewrite_multi_term(q)
+    got = _scores(searcher.search_df(q, k=None))
+    manual = _scores(searcher.search_df(expanded, k=None))
+    assert got == manual and len(got) > 0
+
+
+def test_prefix_query_composable_under_must(searcher):
+    # +tok499* +tok0 — the multi-term expansion nested as a MUST group
+    q = BooleanQuery((Clause(PrefixQuery("tok49"), Occur.MUST),
+                      Clause(TermQuery("tok0"), Occur.MUST)))
+    got = _scores(searcher.search_df(q, k=None))
+    tok0 = _scores(searcher.search_df(TermQuery("tok0"), k=None))
+    pref = _scores(searcher.search_df(PrefixQuery("tok49"), k=None))
+    assert set(got) == set(tok0) & set(pref)
+    for d, s in got.items():
+        assert abs(s - (tok0[d] + pref[d])) <= 1e-3, d
+
+
+def test_prefix_filter_group_not_scored(searcher):
+    # FILTER(prefix) constrains but never scores
+    q = BooleanQuery((Clause(TermQuery("tok0"), Occur.MUST),
+                      Clause(PrefixQuery("tok49"), Occur.FILTER)))
+    got = _scores(searcher.search_df(q, k=None))
+    tok0 = _scores(searcher.search_df(TermQuery("tok0"), k=None))
+    pref = set(_scores(searcher.search_df(PrefixQuery("tok49"), k=None)))
+    assert set(got) == set(tok0) & pref
+    for d, s in got.items():
+        assert s == tok0[d], d
+
+
+def test_wildcard_and_constant_score_rewrite(searcher):
+    qs = WildcardQuery("tok4?")
+    scored = _scores(searcher.search_df(qs, k=None))
+    qc = WildcardQuery("tok4?", rewrite_method="constant_score")
+    const = _scores(searcher.search_df(qc, k=None))
+    assert set(scored) == set(const) and len(const) > 0
+    assert all(s == 1.0 for s in const.values())
+
+
+def test_fuzzy_query_similarity_boost(searcher):
+    # 'tok1' within 1 edit: tok1 itself (boost 1.0) + tok0..tok9, tok11..
+    q = FuzzyQuery("tok1", max_edits=1)
+    expanded = searcher.rewrite_multi_term(q)
+    terms = {c.query.term: c.query.boost for c in expanded.clauses}
+    assert terms["tok1"] == 1.0
+    assert 0.0 < terms["tok2"] < 1.0  # one edit away -> downweighted
+    got = searcher.search_df(q, k=5).collect()
+    assert len(got) == 5
+
+
+def test_top_terms_rewrite_caps_expansion(searcher):
+    q = PrefixQuery("tok", rewrite_method="top_terms_5")
+    expanded = searcher.rewrite_multi_term(q)
+    assert len(expanded.clauses) == 5
+
+
+def test_term_range_constant_score(searcher):
+    q = TermRangeQuery("tok10", "tok19", rewrite_method="constant_score")
+    n = searcher.count(q)
+    exp_terms = searcher.expand_terms(F.col("term").between("tok10", "tok19"))
+    assert n == searcher.docs_for_terms(exp_terms).count() > 0
+
+
+def test_multi_term_absent_expansion_is_no_docs(searcher):
+    assert searcher.search_df(PrefixQuery("zzznope"), k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrase
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def slop_searcher(spark, tmp_root):
+    rows = [
+        ("r", "d1", "c", "x", "alpha beta"),          # exact, e=0
+        ("r", "d2", "c", "x", "alpha gap beta"),      # e=1
+        ("r", "d3", "c", "x", "beta alpha"),          # transposed, e=2
+        ("r", "d4", "c", "x", "alpha gap gap beta"),  # e=2
+        ("r", "d5", "c", "x", "beta gap alpha"),      # e=3
+        ("r", "d6", "c", "x", "alpha only here"),
+    ]
+    src = spark.createDataFrame(rows, "repo string, path string, "
+                                      "commit string, lang string, "
+                                      "content string")
+    d = os.path.join(tmp_root, "idx_slop")
+    IndexBuilder(spark, d, IndexConfig(
+        n_buckets=4, n_doc_partitions=2, positions=True,
+        analyzer="whitespace", similarity="bm25_double")).build(src)
+    return IndexSearcher(IndexReader(spark, d))
+
+
+@pytest.mark.parametrize("slop,expected_paths", [
+    (0, {"d1"}),
+    (1, {"d1", "d2"}),
+    (2, {"d1", "d2", "d3", "d4"}),
+    (3, {"d1", "d2", "d3", "d4", "d5"}),
+])
+def test_sloppy_phrase_match_sets(slop_searcher, slop, expected_paths):
+    q = PhraseQuery(("alpha", "beta"), slop=slop)
+    hits = slop_searcher.search(q, k=10)
+    assert {h["path"] for h in hits} == expected_paths
+    if slop >= 1:
+        # exact occurrence (weight 1) outranks displaced (weight 1/2)
+        assert hits[0]["path"] == "d1"
+
+
+def test_sloppy_phrase_multi_term_unsupported(slop_searcher):
+    with pytest.raises(NotImplementedError):
+        slop_searcher.search_df(
+            PhraseQuery(("alpha", "beta", "gap"), slop=1), k=5).collect()
+
+
+# ---------------------------------------------------------------------------
+# conjunction block pruning (BlockMaxConjunctionBulkScorer analog)
+# ---------------------------------------------------------------------------
+
+def test_conjunction_pruning_decodes_fewer_blocks(searcher):
+    # tok400+ are rare under zipf; tok0 is the hottest term
+    rare = "tok499"
+    stats = searcher.reader.term_statistics(["tok0", rare])
+    if rare not in stats:
+        pytest.skip("rare term absent from fixture corpus")
+    blocks = searcher._blocks_for(["tok0", rare])
+    pruned = searcher._prune_by_driver_ranges(blocks, rare)
+    n_all, n_pruned = blocks.count(), pruned.count()
+    assert n_pruned < n_all
+    # and the pruned plan is results-identical
+    q = BooleanQuery((Clause(TermQuery("tok0"), Occur.MUST),
+                      Clause(TermQuery(rare), Occur.MUST)))
+    a = [(r["doc_id"], r["score"])
+         for r in searcher.search_df(q, k=20, prune=True).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in searcher.search_df(q, k=20, prune=False).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field (TopFieldCollector analog)
+# ---------------------------------------------------------------------------
+
+def test_search_sorted_by_field(searcher):
+    got = searcher.search_sorted("tok0", by=[("lang", "asc"),
+                                             ("length", "desc")], k=15)
+    rows = [(r["lang"], r["length"], r["doc_id"]) for r in got.collect()]
+    manual = sorted(rows, key=lambda t: (t[0], -t[1], t[2]))
+    assert rows == manual and len(rows) == 15
