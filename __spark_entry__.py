@@ -107,6 +107,17 @@ def _all_matches(spark, sf_dir, qtext: str) -> DataFrame:
     return _orig_id(s.search_df(qtext, k=None), s)
 
 
+def _topk_query(spark, sf_dir, query, k: int = 10) -> DataFrame:
+    """Top-k for a Query object, ranked and mapped to original doc ids."""
+    se = _searcher(spark, sf_dir)
+    top = se.search_df(query, k=k).withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+    return (_orig_id(top, se)
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 4).alias("score"), "rank"))
+
+
 # shared oracle CTE: whitespace-tokenized lowercase terms
 _TOKS = """toks AS (
   SELECT doc_id, term FROM (
@@ -127,22 +138,31 @@ def _score_expr(k1: float = K1, b: float = B) -> str:
             f" / (tf.freq + {k1} * (1 - {b} + {b} * dl.len / (st.tot / st.n)))")
 
 
-def _bm25_sql(terms: list[str], extra_having: str = "",
+def _bm25_sql(terms: list[str] | None, extra_having: str = "",
               exclude_term: str | None = None, k: int = 10,
-              rank_lo: int = 1) -> str:
-    tl = ", ".join(f"'{t}'" for t in terms)
+              rank_lo: int = 1, term_pred: str | None = None,
+              require_term: str | None = None,
+              weight_factor: str = "1.0") -> str:
+    """BM25 top-k oracle.  ``term_pred`` (SQL over ``tf.term``) replaces
+    the IN-list for multi-term expansions; ``require_term`` adds a
+    non-scoring FILTER (doc must contain it); ``weight_factor`` scales
+    each term's contribution (fuzzy similarity boosts)."""
+    pred = term_pred or ("tf.term IN ("
+                         + ", ".join(f"'{t}'" for t in terms) + ")")
     excl = (f"AND tf.doc_id NOT IN (SELECT doc_id FROM toks WHERE term = "
             f"'{exclude_term}')" if exclude_term else "")
+    req = (f"AND tf.doc_id IN (SELECT doc_id FROM toks WHERE term = "
+           f"'{require_term}')" if require_term else "")
     having = f"HAVING {extra_having}" if extra_having else ""
     return f"""
 WITH {_BM25_CTES},
 sc AS (
-  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  SELECT tf.doc_id, sum(({weight_factor}) * {_score_expr()}) AS s
   FROM tf
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN df ON tf.term = df.term
   CROSS JOIN st
-  WHERE tf.term IN ({tl}) {excl}
+  WHERE ({pred}) {excl} {req}
   GROUP BY tf.doc_id
   {having}
 )
@@ -265,6 +285,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("orig_id").alias("doc_id"),
             F.round("score", 4).alias("score"), "rank")
     q["ft_search_after"] = ft_search_after
+
+    def ft_filter_topk(s, d):
+        """FILTER clause: required, never scored (BooleanQuery.java:120)."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause, Occur,
+                                                 TermQuery)
+        q = BooleanQuery((Clause(TermQuery("spark"), Occur.MUST),
+                          Clause(TermQuery("merge"), Occur.FILTER)))
+        return _topk_query(s, d, q)
+    q["ft_filter_topk"] = ft_filter_topk
+
+    def ft_prefix_topk(s, d):
+        """Scored prefix expansion (ScoringRewrite, MultiTermQuery.java)."""
+        from lucene_1_spark.search.query import PrefixQuery
+        return _topk_query(s, d, PrefixQuery("s"))
+    q["ft_prefix_topk"] = ft_prefix_topk
+
+    def ft_wildcard_topk(s, d):
+        from lucene_1_spark.search.query import WildcardQuery
+        return _topk_query(s, d, WildcardQuery("s?a*"))
+    q["ft_wildcard_topk"] = ft_wildcard_topk
+
+    def ft_fuzzy_topk(s, d):
+        """Fuzzy with similarity-scaled member boosts (FuzzyTermsEnum)."""
+        from lucene_1_spark.search.query import FuzzyQuery
+        return _topk_query(s, d, FuzzyQuery("bigg", max_edits=2))
+    q["ft_fuzzy_topk"] = ft_fuzzy_topk
+
+    def ft_sloppy_phrase_topk(s, d):
+        """slop=2 phrase: in-slop pairs weighted 1/(1+displacement)."""
+        from lucene_1_spark.search.query import PhraseQuery
+        return _topk_query(s, d, PhraseQuery(("sort", "merge"), slop=2))
+    q["ft_sloppy_phrase_topk"] = ft_sloppy_phrase_topk
+
+    def ft_sort_by_field(s, d):
+        """TopFieldCollector analog: hits ordered by stored fields."""
+        se = _searcher(s, d)
+        res = se.search_sorted("dup", by=[("lang", "asc"),
+                                          ("length", "desc")], k=10)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (res.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "lang",
+                        F.col("length").cast("long").alias("length")))
+    q["ft_sort_by_field"] = ft_sort_by_field
 
     # ---- counting collectors (§2.3) ----
     q["ft_term_count"] = lambda s, d: (
@@ -439,6 +503,58 @@ def oracle_sql() -> dict[str, str]:
     o["ft_msm_topk"] = _bm25_sql(["spark", "merge", "window"],
                                  extra_having="count(DISTINCT tf.term) >= 2")
     o["ft_search_after"] = _bm25_sql(["spark", "merge", "window"], rank_lo=11)
+
+    # FILTER: doc must contain 'merge', but only 'spark' scores
+    o["ft_filter_topk"] = _bm25_sql(["spark"], require_term="merge")
+    # scored multi-term expansions
+    o["ft_prefix_topk"] = _bm25_sql(None, term_pred="tf.term LIKE 's%'")
+    o["ft_wildcard_topk"] = _bm25_sql(None, term_pred="tf.term LIKE 's_a%'")
+    o["ft_fuzzy_topk"] = _bm25_sql(
+        None, term_pred="levenshtein(tf.term, 'bigg') <= 2",
+        weight_factor=("greatest(0.0, 1.0 - levenshtein(tf.term, 'bigg')"
+                       " / least(length(tf.term), 4))"))
+
+    # sloppy phrase (slop=2): pairs within displacement 2, each weighted
+    # 1/(1+|displacement|); scored as one pseudo-term
+    o["ft_sloppy_phrase_topk"] = f"""
+WITH {_BM25_CTES},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+pairs AS (
+  SELECT sp.doc_id, (mp.ord - sp.ord - 1) AS e
+  FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') sp
+  JOIN (SELECT doc_id, ord FROM ordered WHERE term = 'merge') mp
+    ON sp.doc_id = mp.doc_id
+  WHERE abs(mp.ord - sp.ord - 1) <= 2),
+pf AS (SELECT doc_id, sum(1.0 / (1 + abs(e))) AS pfreq
+       FROM pairs GROUP BY doc_id),
+w AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge')),
+sc AS (
+  SELECT pf.doc_id,
+         w.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # sort-by-field: docs matching 'dup' ordered by (lang asc, token
+    # length desc, doc_id asc)
+    o["ft_sort_by_field"] = f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+SELECT d.doc_id, d.lang AS lang, dl.len::BIGINT AS length
+FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+ORDER BY d.lang ASC, dl.len DESC, d.doc_id ASC LIMIT 10"""
 
     # exact phrase: occurrence count via adjacent-token window, scored
     # as one pseudo-term with weight = sum of member idfs
