@@ -83,6 +83,116 @@ def _searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+_MUT_SEARCHERS: dict[str, object] = {}
+
+
+def _mut_searcher(spark: SparkSession, sf_dir: str):
+    """The mutable-index scenario (IndexWriter.java:1837 semantics):
+    bootstrap over ``documents``, update_documents() every doc with
+    doc_id % 10 == 3 (text + ' graftmarker'), delete_by_term('window'),
+    then compact (SegmentMerger analog) so stats are exact.  Cached per
+    sf_dir; a MUTATION_DONE marker makes cross-process reuse safe."""
+    import shutil
+
+    from lucene_1_spark.index import IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+    key = os.path.abspath(sf_dir)
+    if key in _MUT_SEARCHERS:
+        return _MUT_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_mut_v1",
+        hashlib.md5(key.encode()).hexdigest()[:12])
+    marker = os.path.join(idx_dir, "MUTATION_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        corpus = _docs(spark, sf_dir).select(
+            F.lit("docs").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+        cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
+                          n_buckets=8, n_doc_partitions=8)
+        w = IncrementalIndexWriter(spark, idx_dir, cfg)
+        w.append(corpus)
+        updated = (corpus
+                   .filter(F.pmod(F.col("path").cast("bigint"), F.lit(10)) == 3)
+                   .withColumn("content", F.concat(F.col("content"),
+                                                   F.lit(" graftmarker"))))
+        w.update_documents(updated)
+        w.delete_by_term("window")
+        w.compact()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _MUT_SEARCHERS[key] = s
+    return s
+
+
+def _mut_topk(spark, sf_dir, qtext: str, k: int = 10) -> DataFrame:
+    se = _mut_searcher(spark, sf_dir)
+    top = se.search_df(qtext, k=k).withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+    docs = se.reader.docs().select(
+        "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+    return (top.join(docs, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 4).alias("score"), "rank"))
+
+
+# oracle twin of the mutated corpus: updated text, minus docs whose
+# (updated) text contains 'window'.  Engine tie-break reproduced: the
+# re-added updated docs sort AFTER all originals (new docIDs in a later
+# segment), each group in original-id order.
+_MUT_CTES = """corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3
+              THEN coalesce(text, '') || ' graftmarker'
+              ELSE text END AS text
+  FROM documents),
+toks0 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+    FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''
+  ) WHERE term <> ''),
+toks AS (
+  SELECT * FROM toks0 WHERE doc_id NOT IN
+    (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1)"""
+
+
+def _mut_bm25_sql(terms: list[str], k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_MUT_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ({tl})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY s DESC,
+                    (CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) ASC,
+                    doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
 def _orig_id(df: DataFrame, searcher) -> DataFrame:
     """Map engine doc_ids back to the original ``documents.doc_id``
     (stored-field retrieval: join the docs table, parse the path)."""
@@ -330,6 +440,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("length").cast("long").alias("length")))
     q["ft_sort_by_field"] = ft_sort_by_field
 
+    # ---- mutable index: upsert + delete + compaction (§2.1, §2.10) ----
+    q["ft_upsert_topk"] = lambda s, d: _mut_topk(s, d, "graftmarker merge")
+    q["ft_delete_topk"] = lambda s, d: _mut_topk(s, d, "spark merge")
+
+    def ft_live_doc_count(s, d):
+        from lucene_1_spark.search.query import MatchAllDocsQuery
+        se = _mut_searcher(s, d)
+        return s.createDataFrame([(se.count(MatchAllDocsQuery()),)], "n long")
+    q["ft_live_doc_count"] = ft_live_doc_count
+
     # ---- counting collectors (§2.3) ----
     q["ft_term_count"] = lambda s, d: (
         _all_matches(s, d, "batch").agg(F.count("*").cast("long").alias("n")))
@@ -545,6 +665,14 @@ sc AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # mutable-index scenario: upsert + delete-by-term + compaction
+    o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])
+    o["ft_delete_topk"] = _mut_bm25_sql(["spark", "merge"])
+    o["ft_live_doc_count"] = f"""
+WITH {_MUT_CTES}
+SELECT count(*)::BIGINT AS n FROM corpus
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')"""
 
     # sort-by-field: docs matching 'dup' ordered by (lang asc, token
     # length desc, doc_id asc)

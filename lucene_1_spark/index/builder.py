@@ -50,7 +50,6 @@ table write below becomes an Iceberg commit (documented deviation).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -112,6 +111,16 @@ class IndexConfig:
     # "bm25_double"  = double precision + exact uint32 lengths (the
     # SQL-oracle-reproducible similarity; SURVEY.md §2.11 pluggable sim)
     similarity: str = "bm25_float32"
+    # how the range-shuffled source is shared by the two kernel passes:
+    # "persist"     — cache executor-side (MEMORY_AND_DISK).  Right for
+    #                 sources that fit the cluster's cache tier.
+    # "materialize" — write the keyed source (with baked docIDs) to
+    #                 storage once and column-prune the two re-reads.
+    #                 Right at 100 TB: no cache pressure, and a driver
+    #                 failure between passes resumes WITHOUT redoing the
+    #                 range shuffle (the materialized table freezes the
+    #                 nondeterministic range-sampling boundaries).
+    source_mode: str = "persist"
 
     @property
     def norms_encoding(self) -> str:
@@ -122,8 +131,10 @@ def range_partition(source: DataFrame, cfg: IndexConfig, base: int = 0):
     """Range-shuffle + sort the source by doc key; returns the PERSISTED
     keyed DataFrame and the per-partition docID offsets (base + rank).
     Shared by the docs and postings kernel passes so the shuffle runs
-    once."""
-    n_part = min(cfg.n_doc_partitions, 200)
+    once.  Partition count is exactly ``cfg.n_doc_partitions`` — sized
+    by the caller from input bytes (no hidden clamp; at 10^12 files you
+    want 10^5-10^6 partitions, one Lucene-style segment each)."""
+    n_part = cfg.n_doc_partitions
     keyed = (source.repartitionByRange(n_part, *DOC_KEY_COLS)
              .sortWithinPartitions(*DOC_KEY_COLS)).persist()
     counts = (keyed.select(F.spark_partition_id().alias("pid"))
@@ -136,15 +147,77 @@ def range_partition(source: DataFrame, cfg: IndexConfig, base: int = 0):
     return keyed, offsets
 
 
-def docs_meta_df(keyed: DataFrame, offsets: dict[int, int],
+def materialize_keyed_source(spark: SparkSession, source: DataFrame,
+                             cfg: IndexConfig, staging_path: str,
+                             base: int = 0) -> DataFrame:
+    """The 100-TB alternative to :func:`range_partition`: range-shuffle
+    once, bake the docID into a materialized parquet copy, and let both
+    kernel passes re-read it column-pruned.
+
+    docID = base + global lexicographic rank of (repo, path, commit),
+    assembled as offset[pid] + seq: the shuffle's (pid, seq) pair is
+    frozen by the write, so the assignment is deterministic even though
+    RangePartitioner samples boundaries nondeterministically.  Kernel
+    passes then consume the explicit ``doc_id`` column (offsets=None
+    mode) — correctness does not depend on read-back task alignment
+    because the pack kernel doc-sorts per term and the decode tolerates
+    overlapping block runs."""
+    n_part = cfg.n_doc_partitions
+    keyed = (source.repartitionByRange(n_part, *DOC_KEY_COLS)
+             .sortWithinPartitions(*DOC_KEY_COLS))
+    src_cols = source.columns
+
+    tag_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType()),
+         T.StructField("_seq", T.LongType())]
+        + [f for f in source.schema.fields])
+
+    def tag(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            out = pdf.copy()
+            out.insert(0, "_seq", seen + np.arange(n, dtype=np.int64))
+            out.insert(0, "_pid", np.full(n, pid, dtype=np.int32))
+            seen += n
+            yield out
+
+    keyed.mapInPandas(tag, tag_schema) \
+        .write.mode("overwrite").parquet(staging_path)
+
+    staged = spark.read.parquet(staging_path)
+    counts = (staged.groupBy("_pid").count().collect())
+    sizes = {r["_pid"]: r["count"] for r in counts}
+    offsets, acc = {}, base
+    for pid in range(n_part):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _off long")
+    return (staged.join(F.broadcast(off_df), "_pid")
+            .withColumn("doc_id", F.col("_off") + F.col("_seq"))
+            .select("doc_id", *src_cols))
+
+
+def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
                  cfg: IndexConfig) -> DataFrame:
-    """Tokenize + assign docIDs, emitting META ONLY (no term maps)."""
+    """Tokenize + assign docIDs, emitting META ONLY (no term maps).
+    ``offsets=None`` means ``keyed`` already carries an explicit
+    ``doc_id`` column (the materialized-source mode).  sha256 is a JVM
+    column expression (``F.sha2``), not Python — only tokenization runs
+    in the Arrow kernel."""
     analyzer_name = cfg.analyzer
+    explicit_ids = offsets is None
+    withsha = keyed.withColumn(
+        "_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        off = offsets.get(pid, 0)
+        off = (offsets or {}).get(pid, 0)
         an = get_analyzer(analyzer_name)
         seen = 0
         for pdf in it:
@@ -152,25 +225,27 @@ def docs_meta_df(keyed: DataFrame, offsets: dict[int, int],
             content = pdf["content"].fillna("")
             lengths = content.map(lambda c: len(an.tokens(c))) \
                 .to_numpy(dtype=np.int64)
-            sha = content.map(
-                lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
+            if explicit_ids:
+                ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            else:
+                ids = off + seen + np.arange(n, dtype=np.int64)
             yield pd.DataFrame({
-                "doc_id": off + seen + np.arange(n, dtype=np.int64),
+                "doc_id": ids,
                 "repo": pdf["repo"].values,
                 "path": pdf["path"].values,
                 "commit": pdf["commit"].values,
                 "lang": pdf["lang"].values,
                 "length": lengths,
                 "norm_byte": int_to_byte4(lengths).astype(np.int32),
-                "content_sha256": sha.values,
+                "content_sha256": pdf["_sha"].values,
                 "build_partition": np.full(n, pid, dtype=np.int32),
             })
             seen += n
 
-    return keyed.mapInPandas(assign, schema=DOCS_SCHEMA)
+    return withsha.mapInPandas(assign, schema=DOCS_SCHEMA)
 
 
-def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int],
+def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
                    cfg: IndexConfig,
                    exclude_buckets: set[int] | None = None,
                    flush_docs: int = 250_000) -> DataFrame:
@@ -248,12 +323,14 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int],
                 ))
         return rows
 
+    explicit_ids = offsets is None
+
     def pack_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        off = offsets.get(pid, 0)
+        off = (offsets or {}).get(pid, 0)
         an = get_analyzer(analyzer_name)
         seen = 0
         acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
@@ -287,7 +364,10 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int],
             else:
                 acc_norms.extend(int_to_byte4(lengths).tolist())
             acc_tfs.extend(toks.map(lambda ts: dict(Counter(ts))).tolist())
-            acc_docs.extend(range(off + seen, off + seen + n))
+            if explicit_ids:
+                acc_docs.extend(pdf["doc_id"].tolist())
+            else:
+                acc_docs.extend(range(off + seen, off + seen + n))
             seen += n
             n_acc += n
             if n_acc >= flush_docs:
@@ -350,12 +430,21 @@ class IndexBuilder:
 
     def _keyed_offsets(self, source: DataFrame):
         if self._keyed is None:
-            self._keyed, self._offsets = range_partition(source, self.cfg)
+            if self.cfg.source_mode == "materialize":
+                self._keyed = materialize_keyed_source(
+                    self.spark, source, self.cfg, self.path("keyed_source"))
+                self._offsets = None
+            else:
+                self._keyed, self._offsets = range_partition(source, self.cfg)
         return self._keyed, self._offsets
 
     def _release(self):
         if self._keyed is not None:
-            self._keyed.unpersist()
+            if self.cfg.source_mode == "materialize":
+                import shutil
+                shutil.rmtree(self.path("keyed_source"), ignore_errors=True)
+            else:
+                self._keyed.unpersist()
             self._keyed = None
             self._offsets = None
 
@@ -392,45 +481,84 @@ class IndexBuilder:
         self._write_checkpoint(-1, "docs", "done", n_docs)
 
     # -- stage 2: posting blocks -------------------------------------------
+    def _promote_staged_postings(self, buckets: set[int]) -> None:
+        """Move staged bucket files into the live postings table and mark
+        them done.  Idempotent under replay: os.rename removes a file
+        from staging atomically, so a crashed move just continues."""
+        staging = self.path("postings_staging")
+        final = self.path("postings")
+        if os.path.exists(staging):
+            for entry in sorted(os.listdir(staging)):
+                src = os.path.join(staging, entry)
+                if not (entry.startswith("bucket=") and os.path.isdir(src)):
+                    continue
+                dst = os.path.join(final, entry)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet"):
+                        os.replace(os.path.join(src, fn),
+                                   os.path.join(dst, fn))
+        cp = self._checkpoint_rows()
+        already = set(cp[(cp.stage == "postings")
+                         & (cp.status == "done")]["partition_id"])
+        pending = sorted(b for b in buckets if b not in already)
+        if pending:
+            self._write_checkpoints(
+                [(int(b), "postings", "done", -1) for b in pending])
+        if os.path.exists(staging):
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+
     def build_postings(self, source: DataFrame) -> None:
+        """Pack + commit posting blocks with a staged, resumable commit:
+        blocks land in ``postings_staging`` first, a ``postings_staged``
+        checkpoint records the durable intent, files are renamed into
+        the live table, then per-bucket ``postings`` checkpoints commit.
+        A driver failure at ANY point replays without duplicating rows
+        (the raw re-append of the previous design doubled doc_freq if
+        the crash hit between the parquet commit and the checkpoint)."""
         cfg = self.cfg
         cp = self._checkpoint_rows()
         done_buckets = set(
             cp[(cp.stage == "postings") & (cp.status == "done")]["partition_id"])
+        staged_buckets = set(
+            cp[(cp.stage == "postings_staged")
+               & (cp.status == "done")]["partition_id"])
+        pending = staged_buckets - done_buckets
+        if pending:  # crashed between staging and commit: finish the move
+            self._promote_staged_postings(pending)
+            done_buckets |= pending
+        elif os.path.exists(self.path("postings_staging")):
+            import shutil  # crashed mid-staging-write: discard, redo
+            shutil.rmtree(self.path("postings_staging"), ignore_errors=True)
         todo = [b for b in range(cfg.n_buckets) if b not in done_buckets]
         if not todo:
             return
         keyed, offsets = self._keyed_offsets(source)
         blocks = pack_blocks_df(keyed, offsets, cfg,
                                 exclude_buckets=done_buckets)
-        blocks.write.mode("append").partitionBy("bucket") \
-            .parquet(self.path("postings"))
+        staging = self.path("postings_staging")
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(staging)
 
-        written = self.spark.read.parquet(self.path("postings"))
-        if done_buckets:
-            written = written.filter(~F.col("bucket").isin(*done_buckets))
-        # ONE read-back agg feeds lineage, per-bucket checkpoints, and
-        # sum_doc_freq for the stats stage
-        agg_rows = (written.groupBy("bucket")
+        # ONE read-back agg over the staged files feeds lineage and the
+        # per-bucket staged checkpoints
+        agg_rows = (self.spark.read.parquet(staging).groupBy("bucket")
                     .agg(F.count("*").alias("blocks"),
                          F.approx_count_distinct("term").alias("terms"),
                          F.sum("num_docs").alias("postings"),
                          (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
                           + F.sum(F.length("norms"))).alias("bytes"))
                     .collect())
-        prev = self._read_json("postings_stats.json") or {"sum_doc_freq": 0}
-        self._write_json("postings_stats.json", {
-            "sum_doc_freq": prev["sum_doc_freq"]
-            + int(sum(r["postings"] for r in agg_rows))})
+        self._write_checkpoints([
+            (int(r["bucket"]), "postings_staged", "done", r["blocks"])
+            for r in agg_rows])
         (self.spark.createDataFrame(
             [(int(r["bucket"]), None, r["terms"], r["postings"], r["bytes"])
              for r in agg_rows],
             "partition_id int, docs long, terms long, postings long, bytes long")
          .coalesce(1).withColumn("stage", F.lit("postings"))
          .write.mode("append").parquet(self.path("lineage_metrics")))
-        self._write_checkpoints([
-            (int(r["bucket"]), "postings", "done", r["blocks"])
-            for r in agg_rows])
+        self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
 
     # -- stage 3: stats ------------------------------------------------------
     def build_stats(self) -> None:
@@ -441,6 +569,9 @@ class IndexBuilder:
             blocks.groupBy("bucket", "term")
             .agg(F.sum("num_docs").alias("doc_freq"),
                  F.sum("sum_freq").alias("total_term_freq"))
+            # term-sorted files: parquet row-group min/max stats prune
+            # the dictionary scan for prefix/range multi-term rewrites
+            .sortWithinPartitions("term")
         )
         term_stats.write.mode("overwrite").partitionBy("bucket") \
             .parquet(self.path("term_stats"))
@@ -457,10 +588,11 @@ class IndexBuilder:
             ds = {"n_docs": int(row["n_docs"]),
                   "doc_count": int(row["doc_count"]),
                   "sum_total_term_freq": int(row["sum_total_term_freq"])}
-        if ps is None:
+        if ps is None:  # derived from term_stats (one tiny agg)
             ps = {"sum_doc_freq": int(
                 self.spark.read.parquet(self.path("term_stats"))
                 .agg(F.sum("doc_freq")).collect()[0][0] or 0)}
+            self._write_json("postings_stats.json", ps)
         stats = {**ds, "sum_doc_freq": int(ps["sum_doc_freq"])}
         manifest = {
             "format_version": 1,

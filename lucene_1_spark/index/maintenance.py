@@ -1,0 +1,229 @@
+"""Index maintenance: tombstone writes and compaction — the roles of
+``IndexWriter.deleteDocuments`` / ``updateDocument``
+(``index/IndexWriter.java:1837``) and the merge machinery
+(``index/SegmentMerger.java:113-244``, TieredMergePolicy) re-expressed
+relationally.
+
+**Deletes** are tombstones: an appended ``tombstones`` parquet of
+doc_ids.  Queries mask hits against it (liveDocs,
+``search/IndexSearcher.java:826``); doc_freq / collection stats stay
+STALE until compaction — exactly Lucene's deleted-docs-still-count
+semantics (df shrinks only when segments merge).
+
+**Compaction** is the SegmentMerger analog and serves two needs:
+
+1. reclaim deleted docs (drop tombstoned rows from docs + postings,
+   recompute exact stats);
+2. defragment postings: segment-local packing leaves a term's postings
+   as one short block run per build partition — at 10^5+ partitions a
+   rare term fragments into thousands of tiny blocks.  Compaction
+   groups each term's blocks (one shuffle keyed by (bucket, term) —
+   partition count scales with executors), decodes, drops dead docs,
+   and repacks into FULL 128-doc blocks.
+
+Each compaction writes new table generations (``postings_v<g>`` etc.)
+and atomically swaps the manifest pointers — readers opened before the
+swap keep a consistent older view (the Iceberg-snapshot analog).
+
+Scale note: the tombstone set is collected and broadcast into the
+repack kernel (fine to ~10^7 ids).  Beyond that, run the decode as an
+exploded (term, doc_id) anti-join before repacking — one extra shuffle,
+same output; the kernel below is the common path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_1_spark.functions import codecs
+from lucene_1_spark.functions.smallfloat import LENGTH_TABLE
+from lucene_1_spark.index.builder import BLOCKS_SCHEMA
+from lucene_1_spark.index.reader import IndexReader
+
+
+def _manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic snapshot commit: write-new + rename."""
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def append_tombstones(spark: SparkSession, index_dir: str,
+                      doc_ids: DataFrame) -> int:
+    """Record deletions (doc_id rows).  Returns the number appended.
+    The parquet append is durable before the manifest flags deletes, so
+    a reader never sees the flag without the data."""
+    rows = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    n = rows.count()
+    if n == 0:
+        return 0
+    rows.coalesce(1).write.mode("append") \
+        .parquet(os.path.join(index_dir, "tombstones"))
+    m = _manifest(index_dir)
+    m["has_deletes"] = True
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)
+    return n
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  drop_old: bool = True) -> dict:
+    """Merge every term's block runs into full blocks, dropping
+    tombstoned docs; rewrite docs/term_stats; recompute exact
+    collection stats; swap manifest pointers atomically.
+
+    Returns the new collection stats."""
+    reader = IndexReader(spark, index_dir)
+    cfg = reader.cfg
+    gen = int(reader.manifest.get("generation", 0)) + 1
+    block_size = int(cfg["block_size"])
+    exact_norms = cfg.get("norms_encoding", "byte4") == "exact32"
+    want_positions = bool(cfg.get("positions", False))
+
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if reader.has_deletes:
+        dead = np.sort(np.array(
+            [r["doc_id"] for r in reader.tombstones().collect()],
+            dtype=np.int64))
+    else:
+        dead = np.zeros(0, dtype=np.int64)
+
+    length_table = LENGTH_TABLE
+    block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
+
+    def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, term = int(key[0]), key[1]
+        pdf = pdf.sort_values("first_doc")
+        dids_l, freqs_l, norms_l, possegs = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            n = int(row.num_docs)
+            dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                         int(row.first_doc), n)
+            freqs = codecs.decode_freqs(bytes(row.freqs), n)
+            norms = np.frombuffer(bytes(row.norms),
+                                  dtype="<u4" if exact_norms else np.uint8)
+            keep = np.ones(n, dtype=bool)
+            if len(dead):
+                pos = np.searchsorted(dead, dids)
+                pos[pos >= len(dead)] = len(dead) - 1
+                keep = dead[pos] != dids
+            if want_positions:
+                # per-doc delta segments are unchanged by doc removal:
+                # slice the flat delta stream at freq boundaries
+                total = int(freqs.sum())
+                deltas = codecs.bitunpack(bytes(row.positions), total)
+                ends = np.cumsum(freqs)
+                starts = np.concatenate([[0], ends[:-1]])
+                possegs.extend(deltas[s:e] for s, e, k2
+                               in zip(starts, ends, keep) if k2)
+            dids_l.append(dids[keep])
+            freqs_l.append(freqs[keep])
+            norms_l.append(norms[keep])
+        dids = np.concatenate(dids_l)
+        if len(dids) == 0:
+            return pd.DataFrame(columns=block_cols)
+        freqs = np.concatenate(freqs_l)
+        norms = np.concatenate(norms_l)
+        rows = []
+        for seq, st in enumerate(range(0, len(dids), block_size)):
+            d = dids[st:st + block_size]
+            f = freqs[st:st + block_size]
+            nv = norms[st:st + block_size]
+            if exact_norms:
+                lens = nv.astype(np.float64)
+                norm_buf = nv.astype("<u4").tobytes()
+                min_byte = 0
+            else:
+                lens = length_table[nv]
+                norm_buf = nv.astype(np.uint8).tobytes()
+                min_byte = int(nv[int(np.argmin(lens))])
+            if want_positions:
+                pos_buf = codecs.bitpack(np.concatenate(
+                    possegs[st:st + block_size]) if len(d) else
+                    np.zeros(0, dtype=np.int64))
+            else:
+                pos_buf = None
+            rows.append((term, seq, len(d), int(d[0]), int(d[-1]),
+                         int(f.max()), int(lens.min()), min_byte,
+                         int(f.sum()), codecs.encode_doc_gaps(d),
+                         codecs.encode_freqs(f), norm_buf, pos_buf, bucket))
+        return pd.DataFrame(rows, columns=block_cols)
+
+    new_postings = reader.postings().groupBy("bucket", "term") \
+        .applyInPandas(repack, BLOCKS_SCHEMA)
+    postings_name = f"postings_v{gen}"
+    new_postings.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(os.path.join(index_dir, postings_name))
+
+    # docs: drop tombstoned rows (anti-join, no driver materialization)
+    docs = reader.docs()
+    if reader.has_deletes:
+        docs = docs.join(reader.tombstones(), "doc_id", "left_anti")
+    docs_name = f"docs_v{gen}"
+    docs.write.mode("overwrite").parquet(os.path.join(index_dir, docs_name))
+
+    # term stats from the compacted postings (term-sorted within files
+    # so the dictionary scan gets row-group min/max pruning)
+    blocks = spark.read.parquet(os.path.join(index_dir, postings_name))
+    ts_name = f"term_stats_v{gen}"
+    (blocks.groupBy("bucket", "term")
+     .agg(F.sum("num_docs").alias("doc_freq"),
+          F.sum("sum_freq").alias("total_term_freq"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(index_dir, ts_name)))
+
+    # exact stats over the survivors
+    drow = (spark.read.parquet(os.path.join(index_dir, docs_name))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
+                 .alias("doc_count"),
+                 F.sum("length").alias("sum_total_term_freq"))
+            .collect()[0])
+    sum_df = (spark.read.parquet(os.path.join(index_dir, ts_name))
+              .agg(F.sum("doc_freq")).collect()[0][0])
+    stats = {"n_docs": int(drow["n_docs"]),
+             "doc_count": int(drow["doc_count"] or 0),
+             "sum_total_term_freq": int(drow["sum_total_term_freq"] or 0),
+             "sum_doc_freq": int(sum_df or 0)}
+
+    m = _manifest(index_dir)
+    old = {name: m.get(f"{name}_path", name)
+           for name in ("postings", "docs", "term_stats")}
+    m["postings_path"] = postings_name
+    m["docs_path"] = docs_name
+    m["term_stats_path"] = ts_name
+    m["generation"] = gen
+    m["collection_stats"] = stats
+    m["has_deletes"] = False
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)  # the atomic snapshot swap
+
+    # post-commit cleanup (crash-safe: manifest no longer references these)
+    if os.path.exists(tomb_path):
+        shutil.rmtree(tomb_path, ignore_errors=True)
+    if drop_old:
+        for name, path in old.items():
+            full = os.path.join(index_dir, path)
+            if path != m[f"{name}_path"] and os.path.exists(full):
+                shutil.rmtree(full, ignore_errors=True)
+    # keep the builder's stage stats coherent for later appends/resumes
+    with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
+        json.dump({k: stats[k] for k in
+                   ("n_docs", "doc_count", "sum_total_term_freq")}, fh)
+    with open(os.path.join(index_dir, "postings_stats.json"), "w") as fh:
+        json.dump({"sum_doc_freq": stats["sum_doc_freq"]}, fh)
+    return stats

@@ -24,15 +24,42 @@ class IndexReader:
     def n_buckets(self) -> int:
         return int(self.cfg["n_buckets"])
 
+    def table_path(self, name: str) -> str:
+        """Physical path of a logical table — the manifest may point at
+        a compacted generation (``<name>_path``), the Iceberg-snapshot
+        analog of following the current table pointer."""
+        return os.path.join(self.dir, self.manifest.get(f"{name}_path", name))
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        return self.spark.read.parquet(self.table_path("postings"))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+        return self.spark.read.parquet(self.table_path("term_stats"))
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docs")) \
+        return self.spark.read.parquet(self.table_path("docs")) \
             .drop("term_freqs")
+
+    # -- live docs (deletes) ------------------------------------------------
+    @property
+    def has_deletes(self) -> bool:
+        """True if uncompacted tombstones exist — the liveDocs-present
+        check (``index/SegmentReader.java`` hasDeletions)."""
+        p = os.path.join(self.dir, "tombstones")
+        return bool(self.manifest.get("has_deletes")) and os.path.exists(p)
+
+    def tombstones(self) -> DataFrame:
+        """Deleted doc_ids (one column ``doc_id``).  Query-time masking
+        anti-joins against this — ``IndexSearcher.java:826`` liveDocs;
+        collection/term stats stay stale until compaction, exactly
+        Lucene's deleted-docs-still-count-in-df semantics."""
+        return self.spark.read.parquet(os.path.join(self.dir, "tombstones")) \
+            .select("doc_id").distinct()
+
+    def n_live_docs(self) -> int:
+        if not self.has_deletes:
+            return int(self.stats["n_docs"])
+        return int(self.stats["n_docs"]) - self.tombstones().count()
 
     def bucket_of(self, term: str) -> int:
         """Driver-side pmod(xxhash64(term), B) — pure Python (no Spark

@@ -214,7 +214,25 @@ class IndexSearcher:
                   after: tuple[float, int] | None = None) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), rank-ordered.
         ``k=None`` returns ALL matching docs with scores, unsorted (the
-        exhaustive-collector mode used by facets/grouping)."""
+        exhaustive-collector mode used by facets/grouping).
+
+        With uncompacted deletes, results are masked against the
+        tombstone set (liveDocs, ``search/IndexSearcher.java:826``) and
+        block-max pruning is disabled — the θ probe could learn a bound
+        from a deleted doc and over-prune; compaction restores it."""
+        if self.reader.has_deletes:
+            matches = self._search_inner(query, k=None, prune=False,
+                                         after=after)
+            live = matches.join(self.reader.tombstones(), "doc_id",
+                                "left_anti")
+            if k is None:
+                return live
+            return live.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._search_inner(query, k, prune=prune, after=after)
+
+    def _search_inner(self, query: Query | str, k: int | None = 10,
+                      prune: bool = True,
+                      after: tuple[float, int] | None = None) -> DataFrame:
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"])
         query = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(query)))
@@ -232,7 +250,7 @@ class IndexSearcher:
         if isinstance(query, PhraseQuery):
             return self._phrase_search(query, k, after)
         if isinstance(query, ConstantScoreQuery):
-            matches = self.search_df(query.query, k=None, prune=False)
+            matches = self._search_inner(query.query, k=None, prune=False)
             scored = matches.select(
                 "doc_id", F.lit(float(query.boost))
                 .cast("double" if self.double_mode else "float")
@@ -849,7 +867,7 @@ class IndexSearcher:
         if isinstance(query, MatchNoDocsQuery):
             return 0
         if isinstance(query, MatchAllDocsQuery):
-            return self.reader.stats["n_docs"]
+            return self.reader.n_live_docs()
         return self.search_df(query, k=None, prune=False).count()
 
     def search_sorted(self, query: Query | str,

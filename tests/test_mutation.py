@@ -1,0 +1,179 @@
+"""Deletes (tombstones + liveDocs masking), updates (delete+append),
+compaction (SegmentMerger analog), materialized-source builds, staged
+postings commit resume, and streaming batch idempotency."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark.index import IndexBuilder, IndexReader
+from lucene_1_spark.index.builder import IndexConfig, pack_blocks_df
+from lucene_1_spark.index.maintenance import compact_index
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+CFG = dict(n_buckets=4, n_doc_partitions=4, positions=True)
+
+
+def _tokens(text: str) -> set[str]:
+    from lucene_1_spark.analysis import get_analyzer
+    return set(get_analyzer("standard").tokens(text))
+
+
+def _hits(searcher, q) -> dict[str, float]:
+    """{doc_key: float32 score} over the exhaustive match set."""
+    m = searcher.search_df(q, k=None)
+    docs = searcher.reader.docs()
+    rows = (m.join(docs, "doc_id")
+            .select(F.concat_ws("/", "repo", "path").alias("key"), "score")
+            .collect())
+    return {r["key"]: float(np.float32(r["score"])) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return corpus_mod.generate(300)
+
+
+@pytest.fixture(scope="module")
+def mut_index(spark, tmp_root, corpus):
+    """build -> update 3 docs -> delete_by_term('tok9') (pre-compaction
+    state, exercised by the delete tests)."""
+    d = os.path.join(tmp_root, "idx_mut")
+    src = spark.createDataFrame(corpus).repartition(4, "repo")
+    w = IncrementalIndexWriter(spark, d, IndexConfig(**CFG))
+    w.append(src)
+    upd_keys = corpus.sort_values(["repo", "path", "commit"]).iloc[:3]
+    updated = spark.createDataFrame(upd_keys).withColumn(
+        "content", F.lit("updatedmarker tok1 tok1 tok2"))
+    w.update_documents(updated)
+    w.delete_by_term("tok9")
+    return d, w, upd_keys
+
+
+def test_delete_masks_hits_and_keeps_stale_stats(spark, tmp_root, corpus,
+                                                 mut_index):
+    d, w, upd_keys = mut_index
+    s = IndexSearcher(IndexReader(spark, d))
+    assert s.reader.has_deletes
+    upd_key_set = {f"{r.repo}/{r.path}" for r in upd_keys.itertuples()}
+    # no hit may contain tok9 (deleted); updated docs judged on NEW text
+    hits = _hits(s, "tok1")
+    dead_keys = {f"{r.repo}/{r.path}" for r in corpus.itertuples()
+                 if "tok9" in _tokens(r.content)} - upd_key_set
+    assert hits and not (set(hits) & dead_keys)
+    assert s.count("tok9") == 0
+    # updated docs match their NEW content (exactly once per key)
+    upd = _hits(s, "updatedmarker")
+    assert set(upd) == upd_key_set and len(upd) == 3
+    # match-all count reflects live docs
+    n_tomb = s.reader.tombstones().count()
+    from lucene_1_spark.search.query import MatchAllDocsQuery
+    assert s.count(MatchAllDocsQuery()) == s.reader.stats["n_docs"] - n_tomb
+
+
+def test_compaction_equals_fresh_build(spark, tmp_root, corpus, mut_index):
+    d, w, upd_keys = mut_index
+    stats = w.compact()
+    s = IndexSearcher(IndexReader(spark, d))
+    assert not s.reader.has_deletes
+
+    # reference: a fresh build over the equivalent mutated corpus
+    ref = corpus.copy()
+    upd_idx = ref.sort_values(["repo", "path", "commit"]).index[:3]
+    ref.loc[upd_idx, "content"] = "updatedmarker tok1 tok1 tok2"
+    keep = [i for i in ref.index if "tok9" not in _tokens(ref.loc[i, "content"])]
+    ref = ref.loc[keep]
+    d2 = os.path.join(tmp_root, "idx_mut_ref")
+    IndexBuilder(spark, d2, IndexConfig(**CFG)).build(
+        spark.createDataFrame(ref).repartition(4, "repo"))
+    s2 = IndexSearcher(IndexReader(spark, d2))
+
+    for k in ("n_docs", "doc_count", "sum_total_term_freq", "sum_doc_freq"):
+        assert s.reader.stats[k] == s2.reader.stats[k], k
+    for q in ["tok1", "+tok2 +tok3", "updatedmarker", '"tok0 tok1"']:
+        assert _hits(s, q) == _hits(s2, q), q
+
+
+def test_compaction_bounds_blocks_per_term(spark, mut_index):
+    d, w, _ = mut_index  # compacted by the previous test
+    r = IndexReader(spark, d)
+    bad = (r.postings().groupBy("term")
+           .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
+           .filter(F.col("nb") != F.ceil(F.col("df") / 128)).count())
+    assert bad == 0
+
+
+def test_materialized_source_build_identical(spark, tmp_root, corpus):
+    pdf = corpus.iloc[:250]
+    src = spark.createDataFrame(pdf).repartition(4, "repo")
+    cfg_p = IndexConfig(n_buckets=4, n_doc_partitions=4)
+    cfg_m = IndexConfig(n_buckets=4, n_doc_partitions=4,
+                        source_mode="materialize")
+    dp = os.path.join(tmp_root, "idx_src_persist")
+    dm = os.path.join(tmp_root, "idx_src_mat")
+    IndexBuilder(spark, dp, cfg_p).build(src)
+    IndexBuilder(spark, dm, cfg_m).build(src)
+    assert not os.path.exists(os.path.join(dm, "keyed_source"))
+
+    cols = ["doc_id", "repo", "path", "commit", "length", "norm_byte",
+            "content_sha256"]
+    a = sorted(map(tuple, spark.read.parquet(os.path.join(dp, "docs"))
+                   .select(cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(os.path.join(dm, "docs"))
+                   .select(cols).collect()))
+    assert a == b
+    sa = IndexSearcher(IndexReader(spark, dp))
+    sb = IndexSearcher(IndexReader(spark, dm))
+    for q in ["tok0", "tok1 tok2", "+tok3 +tok4"]:
+        assert _hits(sa, q) == _hits(sb, q), q
+
+
+def test_staged_postings_resume_completes_commit(spark, tmp_root, corpus):
+    """Simulate a driver crash after the staging write + staged
+    checkpoints but before the rename-commit: the next build() must
+    promote the staged files without re-packing (no doubled doc_freq)."""
+    pdf = corpus.iloc[:200]
+    src = spark.createDataFrame(pdf).repartition(4, "repo")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=4)
+    d_ref = os.path.join(tmp_root, "idx_stage_ref")
+    IndexBuilder(spark, d_ref, cfg).build(src)
+
+    d = os.path.join(tmp_root, "idx_stage_crash")
+    b = IndexBuilder(spark, d, cfg)
+    os.makedirs(d, exist_ok=True)
+    b.build_docs(src)
+    keyed, offsets = b._keyed_offsets(src)
+    pack_blocks_df(keyed, offsets, cfg).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(b.path("postings_staging"))
+    staged = (spark.read.parquet(b.path("postings_staging"))
+              .groupBy("bucket").count().collect())
+    b._write_checkpoints([(int(r["bucket"]), "postings_staged", "done",
+                           r["count"]) for r in staged])
+    b._release()
+    # --- crash; resume from scratch ---
+    IndexBuilder(spark, d, cfg).build(src)
+    ts_a = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d_ref, "term_stats")).collect()))
+    ts_b = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d, "term_stats")).collect()))
+    assert ts_a == ts_b
+
+
+def test_streaming_batch_replay_is_idempotent(spark, tmp_root, corpus):
+    d = os.path.join(tmp_root, "idx_replay")
+    w = IncrementalIndexWriter(spark, d,
+                               IndexConfig(n_buckets=4, n_doc_partitions=2))
+    b0 = spark.createDataFrame(corpus.iloc[:100])
+    b1 = spark.createDataFrame(corpus.iloc[100:150])
+    w.append(b0, batch_id=0)
+    w.append(b1, batch_id=1)
+    n1 = IndexReader(spark, d).stats["n_docs"]
+    w.append(b1, batch_id=1)  # redelivered micro-batch
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == n1 == 150
+    w.append(spark.createDataFrame(corpus.iloc[150:170]), batch_id=2)
+    assert IndexReader(spark, d).stats["n_docs"] == 170
