@@ -551,12 +551,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = sim_cosine_topk
 
     def sim_near_dup_pairs(s, d):
-        from lucene_1_spark.pipeline.similarity import (
-            embedding_near_dup_pairs_exact)
+        """LSH-bucketed near-dup pairs — the 100-TB path (one self-join
+        keyed by bucket, not all-pairs); verified against the exact
+        O(n^2) baseline by the SQL oracle AND by
+        tests/test_pipeline.py."""
+        from lucene_1_spark.pipeline.similarity import embedding_near_dup_pairs
         e = _emb(s, d).select("vec_id", "embedding")
         e2 = e.unionByName(e.select((F.col("vec_id") + 1_000_000)
                                     .alias("vec_id"), "embedding"))
-        return embedding_near_dup_pairs_exact(e2, threshold=0.98)
+        return embedding_near_dup_pairs(e2, threshold=0.98)
     q["sim_near_dup_pairs"] = sim_near_dup_pairs
 
     def sim_ann_topk(s, d):  # approximate — rows-only check (no oracle)

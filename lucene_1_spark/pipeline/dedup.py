@@ -33,15 +33,20 @@ def _md5_48(col: F.Column) -> F.Column:
 MINHASH_PRIME = 281474976710597  # largest prime < 2^48
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     max_listed: int = 1000) -> DataFrame:
     """Groups of byte-identical docs: (digest, n_dups, keep_doc_id,
-    dup_doc_ids) for groups with n>1; keep = lowest doc_id."""
+    dup_doc_ids) for groups with n>1; keep = lowest doc_id.
+    ``dup_doc_ids`` is capped at ``max_listed`` ids (``n_dups`` stays
+    exact) so one degenerate group — billions of identical docs — can
+    never blow a single task's memory at 100 TB."""
     return (
         docs.select("doc_id", F.md5(F.col(text_col)).alias("digest"))
         .groupBy("digest")
         .agg(F.count("*").alias("n_dups"),
              F.min("doc_id").alias("keep_doc_id"),
-             F.sort_array(F.collect_list("doc_id")).alias("dup_doc_ids"))
+             F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_listed)
+             .alias("dup_doc_ids"))
         .filter(F.col("n_dups") > 1)
     )
 
@@ -77,11 +82,24 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle
     (inverted-index join). Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard >= threshold."""
+    doc_a < doc_b and jaccard >= threshold.
+
+    ``max_shingle_df`` removes shingles shared by more than that many
+    docs from the shingle universe (sizes AND intersections — Jaccard
+    stays internally exact over the restricted universe): a hot shingle
+    (a boilerplate 3-gram) makes the self-join quadratic in its doc
+    count, so at 100 TB cap it (e.g. 10_000) — the standard
+    stop-shingle mitigation for inverted-index joins.  Pairs similar
+    ONLY through ultra-hot shingles are the documented recall loss."""
     sh = _shingles(docs, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

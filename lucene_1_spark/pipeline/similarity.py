@@ -61,25 +61,63 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
 
 
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             bits: int = 6, multiprobe: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """LSH-bucketed approximate top-k: scan only the query's bucket plus
-    ``multiprobe`` single-bit-flip neighbors."""
+             bits: int = 6, multiprobe: int = 1, tables: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """LSH-bucketed approximate top-k.
+
+    ``tables`` independent random-hyperplane tables (the classic L-table
+    LSH recall lever): a row is a candidate if it collides with the
+    query in ANY table; per table, the query also probes ``multiprobe``
+    single-bit-flip neighbor buckets (lowest-margin planes first).
+    Expected scan fraction ~= tables * (1 + multiprobe) / 2^bits — the
+    one-table single-probe case is O(N / 2^bits).  All signatures are
+    computed in ONE scan (the per-table bucket columns live in the same
+    projection), so cost is one pass over the candidate filter."""
     dim = len(query_vec)
-    planes = hyperplanes(dim, bits, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(qv, p)) >= 0:
-            qsig |= 1 << i
-    probes = {qsig}
-    if multiprobe > 0:
-        margins = np.abs(planes @ qv)
-        for i in np.argsort(margins)[:multiprobe]:
-            probes.add(qsig ^ (1 << int(i)))
-    bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
-    cand = bucketed.filter(F.col("_bucket").isin([int(p) for p in probes]))
+    cond = None
+    bucketed = embeddings
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + 97 * t)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qv, p)) >= 0:
+                qsig |= 1 << i
+        probes = {qsig}
+        if multiprobe > 0:
+            margins = np.abs(planes @ qv)
+            for i in np.argsort(margins)[:multiprobe]:
+                probes.add(qsig ^ (1 << int(i)))
+        col = f"_bucket_{t}"
+        bucketed = bucketed.withColumn(col, lsh_bucket_col(vec_col, planes))
+        c = F.col(col).isin([int(p) for p in probes])
+        cond = c if cond is None else cond | c
+    cand = bucketed.filter(cond)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ann_recall_at_k(embeddings: DataFrame, query_ids: list[int],
+                    k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding", **ann_kwargs) -> float:
+    """Measured recall@k of :func:`ann_topk` vs the exact
+    :func:`cosine_topk` over the given query ids (mean of
+    |ANN ∩ exact| / k).  The quantified-approximation harness the ANN
+    path is graded by."""
+    e = embeddings.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias(vec_col))
+    qrows = {r[id_col]: [float(x) for x in r[vec_col]]
+             for r in e.filter(F.col(id_col).isin(query_ids)).collect()}
+    total = 0.0
+    for qid in query_ids:
+        qv = qrows[qid]
+        exact = {r[id_col] for r in
+                 cosine_topk(e, qv, k, id_col, vec_col).collect()}
+        approx = {r[id_col] for r in
+                  ann_topk(e, qv, k, id_col=id_col, vec_col=vec_col,
+                           **ann_kwargs).collect()}
+        total += len(exact & approx) / k
+    return total / len(query_ids)
 
 
 def embedding_near_dup_pairs_exact(embeddings: DataFrame,

@@ -73,6 +73,67 @@ def test_cosine_topk(spark):
     assert ann[0]["vec_id"] in (0, 13)
 
 
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=10, dim=16,
+                          noise=0.05, seed=11):
+    """Realistic ANN fixture: tight clusters (planted near-neighbors)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = centers[c] + noise * rng.normal(size=dim)
+            rows.append((c * per_cluster + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_recall_at_k_clustered(spark):
+    """Quantified approximation: multi-table LSH must reach recall@10
+    >= 0.9 on clustered data (planted neighbors)."""
+    from lucene_1_spark.pipeline.similarity import ann_recall_at_k
+    e = _clustered_embeddings(spark)
+    rec = ann_recall_at_k(e, query_ids=[0, 30, 77, 120, 155], k=10,
+                          bits=6, multiprobe=2, tables=4)
+    assert rec >= 0.9, rec
+
+
+def test_lsh_near_dup_pairs_match_exact(spark):
+    from lucene_1_spark.pipeline.similarity import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_exact)
+    e = _clustered_embeddings(spark, n_clusters=8, per_cluster=6,
+                              noise=0.01)
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs_exact(e, 0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_pairs(e, 0.99).collect()}
+    assert exact and lsh == exact
+
+
+def test_exact_duplicates_caps_listed_ids(spark):
+    from lucene_1_spark.pipeline.dedup import exact_duplicates
+    df = spark.createDataFrame([(i, "same text") for i in range(20)],
+                               "doc_id long, text string")
+    g = exact_duplicates(df, max_listed=5).collect()[0]
+    assert g["n_dups"] == 20            # count stays exact
+    assert len(g["dup_doc_ids"]) == 5   # listing is capped
+    assert g["keep_doc_id"] == 0
+
+
+def test_ngram_jaccard_shingle_df_cap(docs):
+    from lucene_1_spark.pipeline.dedup import ngram_jaccard_pairs
+    # uncapped and generously-capped runs agree on this corpus
+    a = {(r["doc_a"], r["doc_b"]) for r in
+         ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in
+         ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                             max_shingle_df=100).collect()}
+    assert a == b
+    # a cap of 1 removes every shared shingle -> no candidate pairs
+    c = ngram_jaccard_pairs(docs, n=3, threshold=0.0,
+                            max_shingle_df=1).count()
+    assert c == 0
+
+
 def test_textstats(spark):
     from lucene_1_spark.pipeline.textstats import (
         fingerprint, language_id, quality_score, token_count)
