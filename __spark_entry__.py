@@ -428,6 +428,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_query(s, d, PhraseQuery(("sort", "merge"), slop=2))
     q["ft_sloppy_phrase_topk"] = ft_sloppy_phrase_topk
 
+    def ft_parent_join_topk(s, d):
+        """ToParentBlockJoinQuery analog: child hits roll up to their
+        lang 'parent' with ScoreMode.Max."""
+        from lucene_1_spark.search.joins import search_parents
+        se = _searcher(s, d)
+        return (search_parents(se, "spark merge", "lang", "max", k=10)
+                .select("parent", F.round("score", 4).alias("score"),
+                        "n_children"))
+    q["ft_parent_join_topk"] = ft_parent_join_topk
+
     def ft_sort_by_field(s, d):
         """TopFieldCollector analog: hits ordered by stored fields."""
         se = _searcher(s, d)
@@ -676,6 +686,21 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 WITH {_MUT_CTES}
 SELECT count(*)::BIGINT AS n FROM corpus
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')"""
+
+    # parent/child roll-up: max child BM25 per lang parent
+    o["ft_parent_join_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id)
+SELECT d.lang AS parent, round(max(sc.s), 4) AS score,
+       count(*)::BIGINT AS n_children
+FROM sc JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY max(sc.s) DESC, d.lang ASC LIMIT 10"""
 
     # sort-by-field: docs matching 'dup' ordered by (lang asc, token
     # length desc, doc_id asc)

@@ -120,7 +120,25 @@ _REGISTRY = {
 
 
 def get_analyzer(name: str):
-    return _REGISTRY[name]
+    """Analyzer registry (Analyzer.createComponents extension point).
+    Built-ins: ``standard``, ``whitespace``, ``english`` (Porter chain),
+    plus name specs ``shingle:<base>:<min>:<max>`` /
+    ``ngram:<base>:<min>:<max>`` — every name is reconstructible inside
+    Python workers from the manifest string alone."""
+    hit = _REGISTRY.get(name)
+    if hit is not None:
+        return hit
+    if name == "english":
+        from lucene_1_spark.analysis.english import EnglishAnalyzer
+        _REGISTRY[name] = EnglishAnalyzer()
+        return _REGISTRY[name]
+    if ":" in name:
+        from lucene_1_spark.analysis.filters import resolve_spec
+        an = resolve_spec(name)
+        if an is not None:
+            _REGISTRY[name] = an
+            return an
+    raise KeyError(f"unknown analyzer '{name}'")
 
 
 def analyze_batch(texts: pd.Series, analyzer_name: str = STANDARD) -> pd.Series:

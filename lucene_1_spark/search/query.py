@@ -242,29 +242,253 @@ def rewrite_fixpoint(q: Query, max_iter: int = 16) -> Query:
 
 import re as _re
 
-_CLAUSE_RE = _re.compile(r'([+-]?)("[^"]*"|\S+)')
+_VALID_FIELDS = {"content", "text"}  # the engine's single indexed field
+_SUFFIX_RE = _re.compile(
+    r"^(?P<body>.+?)(?:~(?P<fuzz>\d*))?(?:\^(?P<boost>[\d.]+))?$")
+_BOOST_RE = _re.compile(r"\^([\d.]+)")
 
 
-def parse_query(text: str, analyzer: str = "standard") -> Query:
-    """FIXTURES.md §2 syntax: whitespace clauses, ``+t``=MUST,
-    ``-t``=MUST_NOT, bare=SHOULD, ``"a b"``=exact phrase; clause text
-    analyzed with the same analyzer as indexing
-    (demo/SearchFiles.java:109-120)."""
-    an = get_analyzer(analyzer)
+def _apply_boost(q: Query, b: float) -> Query:
+    """Distribute a boost onto a parsed subtree (BoostQuery analog —
+    BM25 contributions are linear in the weight, so distributing over a
+    disjunction/boolean is score-identical to an outer multiplier)."""
+    if b == 1.0:
+        return q
+    if isinstance(q, TermQuery):
+        return TermQuery(q.term, q.boost * b)
+    if isinstance(q, PhraseQuery):
+        return PhraseQuery(q.terms, q.boost * b, q.slop)
+    if isinstance(q, SynonymQuery):
+        return SynonymQuery(q.terms, q.boost * b)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(q.query, q.boost * b)
+    if isinstance(q, MatchAllDocsQuery):
+        return MatchAllDocsQuery(q.boost * b)
+    if isinstance(q, PrefixQuery):
+        return PrefixQuery(q.prefix, q.boost * b, q.rewrite_method)
+    if isinstance(q, WildcardQuery):
+        return WildcardQuery(q.pattern, q.boost * b, q.rewrite_method)
+    if isinstance(q, RegexpQuery):
+        return RegexpQuery(q.regex, q.boost * b, q.rewrite_method)
+    if isinstance(q, FuzzyQuery):
+        return FuzzyQuery(q.term, q.max_edits, q.prefix_length, q.boost * b,
+                          q.boost_by_similarity, q.rewrite_method)
+    if isinstance(q, TermRangeQuery):
+        return TermRangeQuery(q.lower, q.upper, q.include_lower,
+                              q.include_upper, q.boost * b, q.rewrite_method)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(tuple(Clause(_apply_boost(c.query, b), c.occur)
+                                  for c in q.clauses),
+                            q.minimum_should_match)
+    return q
+
+
+class _Scanner:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def next(self) -> str:
+        ch = self.peek()
+        self.i += 1
+        return ch
+
+    def skip_ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def read_until(self, stop: str) -> str:
+        j = self.s.find(stop, self.i)
+        if j < 0:
+            out, self.i = self.s[self.i:], len(self.s)
+            return out
+        out = self.s[self.i:j]
+        self.i = j + len(stop)
+        return out
+
+    def read_word(self) -> str:
+        j = self.i
+        while j < len(self.s) and not self.s[j].isspace() \
+                and self.s[j] not in '()"':
+            j += 1
+        out = self.s[self.i:j]
+        self.i = j
+        return out
+
+    def read_boost(self) -> float:
+        m = _BOOST_RE.match(self.s[self.i:])
+        if not m:
+            return 1.0
+        self.i += m.end()
+        return float(m.group(1))
+
+    def read_suffix(self) -> tuple[int | None, float]:
+        """Optional ~slop/~fuzz then optional ^boost after a closing
+        quote/bracket."""
+        tilde = None
+        if self.peek() == "~":
+            self.next()
+            digits = ""
+            while self.peek().isdigit():
+                digits += self.next()
+            tilde = int(digits) if digits else -1
+        return tilde, self.read_boost()
+
+
+def _word_atom(word: str, an) -> Query | None:
+    """One bare word -> Term/Prefix/Wildcard/Fuzzy query with optional
+    ``field:``, ``~fuzz`` and ``^boost`` suffixes."""
+    if ":" in word:
+        field, rest = word.split(":", 1)
+        if field not in _VALID_FIELDS:
+            raise ValueError(f"unknown field '{field}' "
+                             f"(indexed fields: {sorted(_VALID_FIELDS)})")
+        word = rest
+        if not word:
+            return None
+    m = _SUFFIX_RE.match(word)
+    if not m:
+        return None
+    body = m.group("body")
+    boost = float(m.group("boost")) if m.group("boost") else 1.0
+    if m.group("fuzz") is not None:
+        edits = int(m.group("fuzz")) if m.group("fuzz") else 2
+        return FuzzyQuery(body.lower(), max_edits=edits, boost=boost)
+    if "*" in body or "?" in body:
+        # multi-term atoms are normalized (lowercased), NOT analyzed —
+        # QueryParserBase.getWildcardQuery
+        if body.endswith("*") and len(body) > 1 \
+                and not any(c in body[:-1] for c in "*?"):
+            return PrefixQuery(body[:-1].lower(), boost=boost)
+        return WildcardQuery(body.lower(), boost=boost)
+    terms = an.tokens(body)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return TermQuery(terms[0], boost)
+    return BooleanQuery(tuple(Clause(TermQuery(t, boost), Occur.SHOULD)
+                              for t in terms))
+
+
+def _parse_clauses(sc: _Scanner, an) -> Query:
     clauses: list[Clause] = []
-    for sign, raw in _CLAUSE_RE.findall(text):
-        occur = {"+": Occur.MUST, "-": Occur.MUST_NOT}.get(sign, Occur.SHOULD)
-        if raw.startswith('"') and raw.endswith('"'):
-            terms = tuple(an.tokens(raw[1:-1]))
-            if len(terms) >= 2:
-                clauses.append(Clause(PhraseQuery(terms), occur))
-            elif terms:
-                clauses.append(Clause(TermQuery(terms[0]), occur))
+    pending: Occur | None = None
+    last_op: str | None = None
+
+    def push(q: Query | None) -> None:
+        nonlocal pending, last_op
+        if q is not None:
+            occur = pending if pending is not None else Occur.SHOULD
+            if last_op == "AND":
+                # a AND b / a AND NOT b -> previous clause is required too
+                if clauses and clauses[-1].occur == Occur.SHOULD:
+                    clauses[-1] = Clause(clauses[-1].query, Occur.MUST)
+                if pending is None:
+                    occur = Occur.MUST
+            clauses.append(Clause(q, occur))
+        pending, last_op = None, None
+
+    while True:
+        sc.skip_ws()
+        ch = sc.peek()
+        if ch == "" or ch == ")":
+            break
+        if ch == "(":
+            sc.next()
+            sub = _parse_clauses(sc, an)
+            if sc.peek() == ")":
+                sc.next()
+            _, boost = sc.read_suffix()
+            push(_apply_boost(sub, boost))
             continue
-        for term in an.tokens(raw):
-            clauses.append(Clause(TermQuery(term), occur))
+        if ch == '"':
+            sc.next()
+            raw = sc.read_until('"')
+            tilde, boost = sc.read_suffix()
+            slop = max(tilde, 0) if tilde is not None else 0
+            terms = an.tokens(raw)
+            if len(terms) >= 2:
+                push(PhraseQuery(tuple(terms), boost, slop))
+            elif terms:
+                push(TermQuery(terms[0], boost))
+            else:
+                push(None)
+            continue
+        if ch in "[{":
+            inc_lo = sc.next() == "["
+            ends = [j for j in (sc.s.find("]", sc.i), sc.s.find("}", sc.i))
+                    if j >= 0]
+            if ends:
+                j = min(ends)
+                raw, inc_hi = sc.s[sc.i:j], sc.s[j] == "]"
+                sc.i = j + 1
+            else:
+                raw, inc_hi = sc.s[sc.i:], True
+                sc.i = len(sc.s)
+            parts = raw.split()
+            if len(parts) == 3 and parts[1].upper() == "TO":
+                lo = None if parts[0] == "*" else parts[0].lower()
+                hi = None if parts[2] == "*" else parts[2].lower()
+                _, boost = sc.read_suffix()
+                push(TermRangeQuery(lo, hi, inc_lo, inc_hi, boost=boost))
+            else:
+                push(None)
+            continue
+        if ch == "/":
+            sc.next()
+            raw = sc.read_until("/")
+            _, boost = sc.read_suffix()
+            push(RegexpQuery(raw, boost=boost))
+            continue
+        if ch == "+":
+            sc.next()
+            pending = Occur.MUST
+            continue
+        if ch == "-":
+            sc.next()
+            pending = Occur.MUST_NOT
+            continue
+        word = sc.read_word()
+        if word in ("AND", "&&"):
+            last_op = "AND"
+            continue
+        if word in ("OR", "||"):
+            last_op = "OR"
+            continue
+        if word in ("NOT", "!"):
+            pending = Occur.MUST_NOT
+            continue
+        if word == "*" or word == "*:*":
+            push(MatchAllDocsQuery())
+            continue
+        push(_word_atom(word, an))
+
     if not clauses:
         return MatchNoDocsQuery()
     if len(clauses) == 1 and clauses[0].occur != Occur.MUST_NOT:
         return clauses[0].query
     return BooleanQuery(tuple(clauses))
+
+
+def parse_query(text: str, analyzer: str = "standard") -> Query:
+    """Classic-syntax query parser — the role of
+    ``queryparser/classic/QueryParser.jj:196-320`` (the reference's
+    user-facing entry point, ``demo/SearchFiles.java:109-120``):
+
+    - bare terms (default operator OR), ``+must``, ``-not``, ``NOT``;
+    - ``AND``/``OR`` (also ``&&``/``||``) — ``a AND b`` requires both;
+    - parentheses for grouping, ``^boost`` on any atom or group;
+    - ``"a b"`` exact phrase, ``"a b"~n`` sloppy phrase;
+    - ``term~`` / ``term~1`` fuzzy (default 2 edits);
+    - ``pre*`` prefix, ``wi?ld*`` wildcard, ``/regexp/``;
+    - ``[a TO b]`` / ``{a TO b}`` term ranges (``*`` = open bound);
+    - ``field:atom`` — validated against the single indexed field;
+    - ``*:*`` MatchAllDocs.
+
+    Analyzed atoms (terms, phrases) run through the same analyzer as
+    indexing; multi-term atoms (wildcard/fuzzy/range/regexp) are only
+    lowercase-normalized, as in QueryParserBase."""
+    return _parse_clauses(_Scanner(text), get_analyzer(analyzer))

@@ -47,3 +47,69 @@ def test_code_identifiers():
 def test_whitespace_analyzer():
     wa = get_analyzer("whitespace")
     assert wa.tokens("Key AGG row") == ["key", "agg", "row"]
+
+
+def test_porter_stemmer_goldens():
+    from lucene_1_spark.analysis.english import porter_stem
+    goldens = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "sing": "sing", "conflated": "conflat", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "oscillators": "oscil",
+        "connection": "connect", "connections": "connect",
+        "connected": "connect", "connecting": "connect",
+        "connects": "connect", "generalizations": "gener",
+        "adjustable": "adjust", "dependent": "depend",
+        "effective": "effect", "formalize": "formal",
+    }
+    for w, exp in goldens.items():
+        assert porter_stem(w) == exp, (w, porter_stem(w), exp)
+
+
+def test_english_analyzer_chain():
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("english")
+    # stopwords dropped (with position gaps), possessives stripped, stemmed
+    assert an.tokens("The Connected systems of a user's design") == \
+        ["connect", "system", "user", "design"]
+    pos = dict(an.tokens_with_positions("the happy dog"))
+    assert pos == {"happi": 1, "dog": 2}  # 'the' leaves a gap at 0
+
+
+def test_shingle_and_ngram_filters():
+    from lucene_1_spark.analysis import get_analyzer
+    sh = get_analyzer("shingle:whitespace:2:2")
+    assert sh.tokens("a b c") == ["a", "a b", "b", "b c", "c"]
+    ng = get_analyzer("ngram:whitespace:3:3")
+    assert ng.tokens("spark") == ["spa", "par", "ark"]
+
+
+def test_synonym_analyzer_same_position():
+    from lucene_1_spark.analysis.filters import SynonymAnalyzer
+    an = SynonymAnalyzer("whitespace", (("fast", ("quick", "rapid")),))
+    toks = an.tokens_with_positions("fast car")
+    assert ("fast", 0) in toks and ("quick", 0) in toks \
+        and ("rapid", 0) in toks and ("car", 1) in toks
+
+
+def test_english_index_end_to_end(spark, tmp_root):
+    """Stemmed index: a query for 'connection' must hit docs that only
+    contain morphological variants."""
+    import os
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    rows = [("r", f"d{i}", "c", "x", t) for i, t in enumerate([
+        "the connected pipeline", "connecting services", "connection pool",
+        "a totally unrelated document", "disconnected graphs"])]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    d = os.path.join(tmp_root, "idx_english")
+    IndexBuilder(spark, d, IndexConfig(analyzer="english", n_buckets=4,
+                                       n_doc_partitions=2)).build(src)
+    s = IndexSearcher(IndexReader(spark, d))
+    hits = {h["path"] for h in s.search("connection", k=10)}
+    assert hits == {"d0", "d1", "d2"}

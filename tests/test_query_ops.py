@@ -247,6 +247,41 @@ def test_conjunction_pruning_decodes_fewer_blocks(searcher):
 
 
 # ---------------------------------------------------------------------------
+# parent/child block join (lucene/join module analog)
+# ---------------------------------------------------------------------------
+
+def test_to_parent_and_child_join(searcher):
+    from lucene_1_spark.search.joins import (search_parents, to_child_join,
+                                             to_parent_join)
+    hits = searcher.search_df("tok0 tok1", k=None)
+    docs = searcher.reader.docs().select(
+        "doc_id", F.col("repo").alias("parent_id"))
+    # parent score == max child score per repo (ScoreMode.Max)
+    parents = {r["parent_id"]: (r["score"], r["n_children"])
+               for r in to_parent_join(hits, docs, "max").collect()}
+    manual: dict = {}
+    for r in hits.join(docs, "doc_id").collect():
+        s, n = manual.get(r["parent_id"], (0.0, 0))
+        manual[r["parent_id"]] = (max(s, r["score"]), n + 1)
+    assert {k: (round(v[0], 5), v[1]) for k, v in parents.items()} \
+        == {k: (round(v[0], 5), v[1]) for k, v in manual.items()}
+    # total mode sums; none mode zeroes
+    tot = {r["parent_id"]: r["score"]
+           for r in to_parent_join(hits, docs, "total").collect()}
+    assert all(tot[k] >= parents[k][0] for k in parents)
+    none = to_parent_join(hits, docs, "none").collect()
+    assert all(r["score"] == 0.0 for r in none)
+    # child join fans parents back out to ALL their docs
+    top_parent = search_parents(searcher, "tok0 tok1", "repo", "max", k=1)
+    kids = to_child_join(
+        top_parent.select(F.col("parent").alias("parent_id"), "score"),
+        docs).count()
+    n_in_repo = docs.filter(
+        F.col("parent_id") == top_parent.collect()[0]["parent"]).count()
+    assert kids == n_in_repo
+
+
+# ---------------------------------------------------------------------------
 # sort-by-field (TopFieldCollector analog)
 # ---------------------------------------------------------------------------
 
