@@ -87,6 +87,71 @@ def build_and_query(cores: int, n_docs: int, tag: str) -> dict:
     return out
 
 
+def high_partition_build(n_docs: int, cores: int, n_parts: int = 512) -> dict:
+    """VERDICT r1 item 4 evidence: build at n_doc_partitions=512 (the
+    10^12-file segment shape), verify query results identical to the
+    low-partition index, compact, and confirm blocks-per-term is bounded
+    at ceil(df/128) afterward."""
+    from pyspark.sql import functions as F
+
+    from lucene_1_spark import corpus as corpus_mod
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.index.maintenance import compact_index
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.session import get_spark
+
+    spark = get_spark("bench-parts", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_path = os.path.join(tempfile.gettempdir(),
+                               f"l1s_bench_corpus_{n_docs}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus_mod.write_corpus_parquet(spark, n_docs, corpus_path)
+    src = spark.read.parquet(corpus_path)
+
+    ref_dir = os.path.join(tempfile.gettempdir(), f"l1s_bench_idx_c{cores}")
+    if not os.path.exists(os.path.join(ref_dir, "manifest.json")):
+        build_index(spark, src, ref_dir,
+                    IndexConfig(n_buckets=min(cores, 32),
+                                n_doc_partitions=cores))
+    hi_dir = os.path.join(tempfile.gettempdir(), f"l1s_bench_idx_p{n_parts}")
+    shutil.rmtree(hi_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, src, hi_dir,
+                IndexConfig(n_buckets=min(cores, 32),
+                            n_doc_partitions=n_parts))
+    build_sec = time.time() - t0
+
+    s_ref = IndexSearcher(IndexReader(spark, ref_dir))
+    s_hi = IndexSearcher(IndexReader(spark, hi_dir))
+    probes = ["tok0", "tok1 tok2", "+tok0 +tok3", "tok4 -tok0", "def class"]
+    identical = all(
+        [(r["doc_id"], r["score"]) for r in s_ref.search_df(q, 10).collect()]
+        == [(r["doc_id"], r["score"]) for r in s_hi.search_df(q, 10).collect()]
+        for q in probes)
+
+    t0 = time.time()
+    compact_index(spark, hi_dir)
+    compact_sec = time.time() - t0
+    frag = (IndexReader(spark, hi_dir).postings().groupBy("term")
+            .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
+            .filter(F.col("nb") != F.ceil(F.col("df") / 128)).count())
+    s_hi2 = IndexSearcher(IndexReader(spark, hi_dir))
+    identical_after = all(
+        [(r["doc_id"], r["score"]) for r in s_ref.search_df(q, 10).collect()]
+        == [(r["doc_id"], r["score"]) for r in s_hi2.search_df(q, 10).collect()]
+        for q in probes)
+    spark.stop()
+    return {
+        "n_doc_partitions": n_parts,
+        "build_sec": round(build_sec, 2),
+        "results_identical_to_low_partition_index": identical,
+        "compact_sec": round(compact_sec, 2),
+        "fragmented_terms_after_compaction": frag,
+        "results_identical_after_compaction": identical_after,
+    }
+
+
 def driver_table_queries(sf_dir: str, cores: int) -> dict:
     """Timings for a representative subset of the __spark_entry__ suite."""
     import __spark_entry__ as entrymod
@@ -94,15 +159,29 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
 
     spark = get_spark("bench-tables", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    subset = ["ft_term_topk", "ft_or_topk", "ft_and_topk", "ft_facet_lang",
+    subset = ["ft_term_topk", "ft_or_topk", "ft_and_topk", "ft_filter_topk",
+              "ft_prefix_topk", "ft_fuzzy_topk", "ft_sloppy_phrase_topk",
+              "ft_parent_join_topk", "ft_facet_lang", "ft_delete_topk",
               "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
-              "sim_cosine_topk", "text_quality", "text_fingerprint"]
+              "sim_cosine_topk", "sim_near_dup_pairs", "text_quality",
+              "text_fingerprint"]
     qs = entrymod.queries()
     out = {}
     for name in subset:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         out[name] = round(time.time() - t0, 3)
+
+    # quantified ANN approximation: recall@10 vs exact cosine
+    from pyspark.sql import functions as F
+
+    from lucene_1_spark.pipeline.similarity import ann_recall_at_k
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.time()
+    out["ann_recall_at_10"] = round(ann_recall_at_k(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10,
+        bits=6, multiprobe=2, tables=4), 3)
+    out["ann_recall_eval_sec"] = round(time.time() - t0, 3)
     spark.stop()
     return out
 
@@ -120,6 +199,8 @@ def main():
     main_run = build_and_query(cores, n_docs, f"c{cores}")
     main_run["requested_cores"] = req_cores
     table_q = driver_table_queries(sf_dir, cores)
+    parts = high_partition_build(n_docs, cores, n_parts=int(
+        os.environ.get("BENCH_HI_PARTS", "512")))
 
     result = {
         "metric": "index_build_plus_query_sec",
@@ -127,6 +208,7 @@ def main():
         "unit": "sec",
         "sf": sf_dir,
         "index_build": main_run,
+        "high_partition_build": parts,
         "queries": table_q,
     }
 
