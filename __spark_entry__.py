@@ -428,6 +428,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_query(s, d, PhraseQuery(("sort", "merge"), slop=2))
     q["ft_sloppy_phrase_topk"] = ft_sloppy_phrase_topk
 
+    def ft_suggest_prefix(s, d):
+        """Weighted prefix completion from the term dictionary."""
+        from lucene_1_spark.search.highlight import suggest_terms
+        se = _searcher(s, d)
+        return suggest_terms(se.reader, "s", k=5)
+    q["ft_suggest_prefix"] = ft_suggest_prefix
+
+    def ft_highlight(s, d):  # rows-only: snippet strings have no SQL twin
+        """UnifiedHighlighter analog over the documents table."""
+        from lucene_1_spark.search.highlight import highlight
+        texts = _docs(s, d).select("doc_id", "text")
+        return (highlight(texts, {"spark", "merge"}, analyzer="whitespace")
+                .orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(10))
+    q["ft_highlight"] = ft_highlight
+
     def ft_parent_join_topk(s, d):
         """ToParentBlockJoinQuery analog: child hits roll up to their
         lang 'parent' with ScoreMode.Max."""
@@ -686,6 +701,13 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 WITH {_MUT_CTES}
 SELECT count(*)::BIGINT AS n FROM corpus
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')"""
+
+    o["ft_suggest_prefix"] = f"""WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+FROM toks WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
+    # ft_highlight: intentionally no oracle (snippet extraction is not
+    # SQL-expressible) -> rows-only check
 
     # parent/child roll-up: max child BM25 per lang parent
     o["ft_parent_join_topk"] = f"""

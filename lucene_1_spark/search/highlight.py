@@ -1,0 +1,124 @@
+"""Highlighting + suggest — compact analogs of the reference's
+``lucene/highlighter`` (UnifiedHighlighter) and ``lucene/suggest``
+modules, declared in-scope for v2 at "useful subset" depth:
+
+- :func:`highlight` — passage extraction over a (doc_id, text) table:
+  re-analyzes stored text (the UnifiedHighlighter ANALYSIS offset
+  strategy — our index stores no offsets, like its default), scores
+  fixed-size token windows by distinct matched query terms then total
+  matches, wraps matches in pre/post tags.  Runs as one Arrow-batched
+  pandas pass over the texts (string work is inherently per-doc; the
+  plan stays a single projection, no shuffle).
+- :func:`suggest_terms` — prefix completion from the term dictionary
+  ordered by doc_freq (PrefixCompletionQuery over a weighted FST in the
+  reference; here the term-sorted, bucket-partitioned term_stats table
+  IS the weighted dictionary).
+- :func:`suggest_terms_fuzzy` — FuzzyCompletionQuery analog
+  (edit-distance-filtered, weight-ordered).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_1_spark.analysis import get_analyzer
+from lucene_1_spark.search.query import (BooleanQuery, ConstantScoreQuery,
+                                         PhraseQuery, Query, SynonymQuery,
+                                         TermQuery)
+
+
+def query_terms(q: Query) -> set[str]:
+    """All positive terms in a (rewritten) query tree — the highlight
+    term extraction (UnifiedHighlighter.extractTerms)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
+        return set(q.terms)
+    if isinstance(q, ConstantScoreQuery):
+        return query_terms(q.query)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        from lucene_1_spark.search.query import Occur
+        for c in q.clauses:
+            if c.occur != Occur.MUST_NOT:
+                out |= query_terms(c.query)
+        return out
+    return set()
+
+
+def highlight(texts: DataFrame, terms: set[str] | Query,
+              analyzer: str = "standard", window: int = 24,
+              max_passages: int = 1, pre: str = "<b>", post: str = "</b>",
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_matches, snippet) for docs with >= 1 matching term.
+
+    Passages are ``window``-token sliding blocks; the best passage
+    maximizes (distinct matched terms, total matches, -position).
+    ``terms`` may be a query tree (its positive terms are extracted) —
+    expand MultiTermQuery nodes with ``searcher.rewrite_multi_term``
+    first if needed."""
+    if isinstance(terms, Query):
+        terms = query_terms(terms)
+    term_set = frozenset(terms)
+    an_name = analyzer
+
+    def run(it):
+        an = get_analyzer(an_name)
+        for pdf in it:
+            ids, counts, snips = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                toks = an.tokens_with_positions(text)
+                hit_pos = [p for t, p in toks if t in term_set]
+                if not hit_pos:
+                    continue
+                # best window by (distinct terms, matches, earliest)
+                best, best_key = 0, (-1, -1, 0)
+                npos = max(p for _, p in toks) + 1 if toks else 0
+                for start in range(0, max(1, npos), max(window // 2, 1)):
+                    inwin = [(t, p) for t, p in toks
+                             if start <= p < start + window and t in term_set]
+                    key = (len({t for t, _ in inwin}), len(inwin), -start)
+                    if key > best_key:
+                        best_key, best = key, start
+                # reconstruct the passage from raw whitespace words around
+                # the window's token span (approximate char mapping)
+                words = text.split()
+                lo = max(0, best - 2)
+                passage = " ".join(words[lo:lo + window + 4])
+                for t in sorted(term_set, key=len, reverse=True):
+                    passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
+                                     f"{pre}\\1{post}", passage)
+                ids.append(rid)
+                counts.append(len(hit_pos))
+                snips.append(passage)
+            yield pd.DataFrame({"doc_id": ids, "n_matches": counts,
+                                "snippet": snips})
+
+    return texts.mapInPandas(
+        run, "doc_id long, n_matches long, snippet string")
+
+
+def suggest_terms(reader, prefix: str, k: int = 5) -> DataFrame:
+    """(term, weight): top-k dictionary completions for a prefix,
+    ordered by doc_freq desc then term asc (weighted prefix completion;
+    the parquet term-sorted files give row-group pruning on the scan)."""
+    return (reader.term_stats()
+            .filter(F.col("term").startswith(prefix))
+            .select("term", F.col("doc_freq").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k))
+
+
+def suggest_terms_fuzzy(reader, text: str, max_edits: int = 1,
+                        k: int = 5) -> DataFrame:
+    """FuzzyCompletionQuery analog: completions within ``max_edits`` of
+    the typed text, weight-ordered."""
+    return (reader.term_stats()
+            .filter(F.levenshtein(F.col("term"), F.lit(text)) <= max_edits)
+            .select("term", F.col("doc_freq").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k))

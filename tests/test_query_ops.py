@@ -282,6 +282,42 @@ def test_to_parent_and_child_join(searcher):
 
 
 # ---------------------------------------------------------------------------
+# highlighter + suggester (lucene/highlighter, lucene/suggest analogs)
+# ---------------------------------------------------------------------------
+
+def test_highlight_passages(spark, ops_index):
+    from lucene_1_spark.search.highlight import highlight, query_terms
+    from lucene_1_spark.search.query import parse_query
+    _, pdf = ops_index
+    texts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pdf["content"])],
+        "doc_id long, text string")
+    q = parse_query("tok0 tok1")
+    assert query_terms(q) == {"tok0", "tok1"}
+    out = highlight(texts, q, analyzer="standard").collect()
+    assert out
+    for r in out:
+        assert r["n_matches"] >= 1
+        assert "<b>tok0</b>" in r["snippet"] or "<b>tok1</b>" in r["snippet"]
+    # docs without either term never appear
+    with_term = {i for i, t in enumerate(pdf["content"])
+                 if "tok0" in t.split() or "tok1" in t.split()}
+    assert {r["doc_id"] for r in out} <= with_term
+
+
+def test_suggest_prefix_and_fuzzy(searcher):
+    from lucene_1_spark.search.highlight import (suggest_terms,
+                                                 suggest_terms_fuzzy)
+    got = [(r["term"], r["weight"])
+           for r in suggest_terms(searcher.reader, "tok1", k=5).collect()]
+    assert len(got) == 5 and all(t.startswith("tok1") for t, _ in got)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    fz = [r["term"] for r in
+          suggest_terms_fuzzy(searcher.reader, "tok1", 1, k=5).collect()]
+    assert "tok1" in fz
+
+
+# ---------------------------------------------------------------------------
 # sort-by-field (TopFieldCollector analog)
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,18 @@ def main() -> int:
     p = plan_of(docs2col)
     ok &= audit("docs_column_pruning", p, ["ReadSchema: struct<doc_id:bigint,lang:string>"])
 
+    # 5. multi-term dictionary scan: prefix predicate pushed to parquet
+    from lucene_1_spark.search.query import PrefixQuery
+    dict_scan = reader.term_stats().filter(
+        searcher._multi_term_predicate(PrefixQuery("tok1")))
+    p = plan_of(dict_scan)
+    ok &= audit("dictionary_prefix_pushdown", p,
+                ["PushedFilters: [IsNotNull(term), StringStartsWith(term"])
+
+    # 6. sort-by-field top-k also compiles to TakeOrderedAndProject
+    p = plan_of(searcher.search_sorted("tok1", by=[("lang", "asc")], k=10))
+    ok &= audit("sort_by_field_take_ordered", p, ["TakeOrderedAndProject"])
+
     print("ALL PASS" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
