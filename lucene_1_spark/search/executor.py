@@ -167,7 +167,9 @@ class IndexSearcher:
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                outs = []
+                # per-block numpy decode, ONE DataFrame per Arrow batch
+                # (a per-row DataFrame was the kernel's dominant cost)
+                dids_l, scores_l, terms_l, counts = [], [], [], []
                 for row in pdf.itertuples(index=False):
                     n = int(row.num_docs)
                     dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
@@ -185,10 +187,19 @@ class IndexSearcher:
                                 .astype(np.float64)
                     else:
                         s = np.zeros(n, dtype=np.float64)
-                    outs.append(pd.DataFrame({
-                        "term": row.term, "doc_id": dids, "score": s}))
-                yield pd.concat(outs) if outs else pd.DataFrame(
-                    {"term": [], "doc_id": [], "score": []})
+                    dids_l.append(dids)
+                    scores_l.append(s)
+                    terms_l.append(row.term)
+                    counts.append(n)
+                if not dids_l:
+                    yield pd.DataFrame({"term": [], "doc_id": [], "score": []})
+                    continue
+                yield pd.DataFrame({
+                    "term": np.repeat(np.asarray(terms_l, dtype=object),
+                                      counts),
+                    "doc_id": np.concatenate(dids_l),
+                    "score": np.concatenate(scores_l),
+                })
 
         return decode
 
