@@ -475,6 +475,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(se.count(MatchAllDocsQuery()),)], "n long")
     q["ft_live_doc_count"] = ft_live_doc_count
 
+    def mon_match_batch(s, d):
+        """Monitor/percolator: registered queries vs the documents batch."""
+        from lucene_1_spark.streaming.monitor import Monitor
+        m = Monitor(s, analyzer="whitespace")
+        m.register("q_and", "+spark +merge")
+        m.register("q_not", "window -batch")
+        m.register("q_term", "dup")
+        return m.match_batch(_docs(s, d))
+    q["mon_match_batch"] = mon_match_batch
+
     # ---- counting collectors (§2.3) ----
     q["ft_term_count"] = lambda s, d: (
         _all_matches(s, d, "batch").agg(F.count("*").cast("long").alias("n")))
@@ -693,6 +703,19 @@ sc AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # monitor/percolator: each registered query's match set
+    o["mon_match_batch"] = f"""WITH {_TOKS}
+SELECT doc_id, 'q_and' AS query_id FROM (
+  SELECT doc_id FROM toks WHERE term IN ('spark', 'merge')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+UNION ALL
+SELECT doc_id, 'q_not' FROM (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) = 0)
+UNION ALL
+SELECT DISTINCT doc_id, 'q_term' FROM toks WHERE term = 'dup'"""
 
     # mutable-index scenario: upsert + delete-by-term + compaction
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])

@@ -1,0 +1,124 @@
+"""Monitor / percolator — reverse search (``lucene/monitor/src/java/org/
+apache/lucene/monitor/Monitor.java``): thousands of REGISTERED queries
+are matched against each incoming document batch.
+
+Lucene builds a query index + "presearcher" to prune which queries
+could match a document.  Relationally the whole pattern collapses to
+ONE join: registered queries decompose into (query_id, term, occur)
+rows; a document batch explodes into (doc_id, term) rows; the
+term-keyed equi-join IS the presearcher, and per-(doc, query) clause
+counting replays the boolean semantics:
+
+- every MUST/FILTER term present,
+- >= minimum_should_match SHOULD terms present (>=1 if the query has
+  only SHOULD clauses),
+- no MUST_NOT term present (counted on the same join, checked = 0).
+
+One shuffle keyed by term; scales with documents x matched-terms, never
+documents x queries.  v2 scope: flat term/boolean queries (the Monitor
+default); phrase/interval percolation would add a positions
+verification pass on the candidates — documented, not built.
+
+Streaming: wire :meth:`Monitor.match_batch` into
+``writeStream.foreachBatch`` for continuous percolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_1_spark.search.query import (BooleanQuery, Occur, TermQuery,
+                                         parse_query)
+
+
+class Monitor:
+    def __init__(self, spark: SparkSession, analyzer: str = "whitespace"):
+        self.spark = spark
+        self.analyzer = analyzer
+        self._rows: list[tuple] = []   # (query_id, term, occur)
+        self._meta: list[tuple] = []   # (query_id, n_must, msm)
+
+    def register(self, query_id: str, query_text: str) -> None:
+        """Register a flat term/boolean query (MonitorQuery analog)."""
+        q = parse_query(query_text, self.analyzer)
+        if isinstance(q, TermQuery):
+            clauses = [(q.term, Occur.SHOULD)]
+            msm = 0
+        elif isinstance(q, BooleanQuery):
+            clauses = []
+            for c in q.clauses:
+                if not isinstance(c.query, TermQuery):
+                    raise NotImplementedError(
+                        "Monitor v2 percolates flat term/boolean queries")
+                clauses.append((c.query.term, c.occur))
+            msm = q.minimum_should_match
+        else:
+            raise NotImplementedError(
+                "Monitor v2 percolates flat term/boolean queries")
+        n_must = sum(1 for _, o in clauses
+                     if o in (Occur.MUST, Occur.FILTER))
+        n_should = sum(1 for _, o in clauses if o == Occur.SHOULD)
+        if n_must == 0 and n_should > 0 and msm == 0:
+            msm = 1  # pure disjunction needs >=1 SHOULD hit
+        for term, occur in clauses:
+            self._rows.append((query_id, term, occur.value))
+        self._meta.append((query_id, n_must, msm))
+
+    def _tables(self) -> tuple[DataFrame, DataFrame]:
+        qt = self.spark.createDataFrame(
+            self._rows, "query_id string, term string, occur string")
+        qm = self.spark.createDataFrame(
+            self._meta, "query_id string, n_must long, msm long")
+        return qt, qm
+
+    def match_batch(self, docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+        """(doc_id, query_id) for every registered query each doc
+        satisfies.  One term-keyed equi-join + one aggregation."""
+        from lucene_1_spark.analysis import get_analyzer
+        an_name = self.analyzer
+        qt, qm = self._tables()
+
+        if an_name == "whitespace":  # JVM-side tokenization fast path
+            toks = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.filter(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda t: t != "")).alias("term")) \
+                .distinct()
+        else:
+            import pandas as pd
+
+            def tok(it):
+                an = get_analyzer(an_name)
+                for pdf in it:
+                    ids, terms = [], []
+                    for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                        for t in set(an.tokens(txt or "")):
+                            ids.append(rid)
+                            terms.append(t)
+                    yield pd.DataFrame({"doc_id": ids, "term": terms})
+
+            toks = docs.select(id_col, text_col).mapInPandas(
+                tok, "doc_id long, term string")
+
+        hit = toks.join(F.broadcast(qt), "term")
+        agg = (hit.groupBy("doc_id", "query_id").agg(
+            F.sum(F.when(F.col("occur").isin("MUST", "FILTER"), 1)
+                  .otherwise(0)).alias("must_hit"),
+            F.sum(F.when(F.col("occur") == "SHOULD", 1)
+                  .otherwise(0)).alias("should_hit"),
+            F.sum(F.when(F.col("occur") == "MUST_NOT", 1)
+                  .otherwise(0)).alias("mnot_hit")))
+        return (agg.join(F.broadcast(qm), "query_id")
+                .filter((F.col("must_hit") >= F.col("n_must"))
+                        & (F.col("should_hit") >= F.col("msm"))
+                        & (F.col("mnot_hit") == 0))
+                .select("doc_id", "query_id"))
+
+    def foreach_batch(self, sink):
+        """``writeStream.foreachBatch`` handler: percolate each
+        micro-batch and hand (doc_id, query_id) matches to ``sink``."""
+        def handle(batch_df: DataFrame, batch_id: int):
+            sink(self.match_batch(batch_df), batch_id)
+        return handle

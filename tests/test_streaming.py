@@ -78,3 +78,34 @@ def test_foreach_batch_handler(spark, tmp_root):
     searcher = IndexSearcher(IndexReader(spark, d))
     assert searcher.reader.stats["n_docs"] == 60
     assert len(searcher.search("tok0", k=5)) > 0
+
+
+def test_monitor_percolation(spark):
+    """Reverse search: registered queries matched against a doc batch."""
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="whitespace")
+    m.register("q_and", "+spark +merge")
+    m.register("q_not", "window -batch")
+    m.register("q_term", "dup")
+    docs = spark.createDataFrame([
+        (0, "spark merge window"),        # q_and, q_not
+        (1, "spark window batch"),        # none (q_not killed by batch)
+        (2, "merge dup"),                 # q_term
+        (3, "nothing relevant"),          # none
+        (4, "spark merge dup batch"),     # q_and, q_term
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m.match_batch(docs).collect()}
+    assert got == {(0, "q_and"), (0, "q_not"), (2, "q_term"),
+                   (4, "q_and"), (4, "q_term")}
+
+
+def test_monitor_standard_analyzer_path(spark):
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="standard")
+    m.register("q", "+foo +bar")
+    docs = spark.createDataFrame([(0, "Foo,Bar!"), (1, "foo only")],
+                                 "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m.match_batch(docs).collect()}
+    assert got == {(0, "q")}
