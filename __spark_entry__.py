@@ -475,6 +475,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(se.count(MatchAllDocsQuery()),)], "n long")
     q["ft_live_doc_count"] = ft_live_doc_count
 
+    def ft_intervals_ordered(s, d):
+        """Ordered interval source with maxgaps (Intervals.ordered)."""
+        from lucene_1_spark.search.intervals import interval_counts
+        se = _searcher(s, d)
+        out = interval_counts(se, "sort", "merge", "ordered", max_gaps=3)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_ordered"] = ft_intervals_ordered
+
     def mon_match_batch(s, d):
         """Monitor/percolator: registered queries vs the documents batch."""
         from lucene_1_spark.streaming.monitor import Monitor
@@ -703,6 +714,27 @@ sc AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # ordered minimal intervals (sort ... merge, <=3 gaps): for each
+    # 'merge' the closest preceding 'sort'; per 'sort' keep the shortest
+    o["ft_intervals_ordered"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+A AS (SELECT doc_id, ord FROM ordered WHERE term = 'sort'),
+B AS (SELECT doc_id, ord FROM ordered WHERE term = 'merge'),
+pairs AS (
+  SELECT B.doc_id, B.ord AS b, max(A.ord) AS a
+  FROM B JOIN A ON A.doc_id = B.doc_id AND A.ord < B.ord
+  GROUP BY B.doc_id, B.ord),
+minimal AS (SELECT doc_id, a, min(b) AS b FROM pairs GROUP BY doc_id, a)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM minimal WHERE b - a - 1 <= 3 GROUP BY doc_id"""
 
     # monitor/percolator: each registered query's match set
     o["mon_match_batch"] = f"""WITH {_TOKS}

@@ -1,0 +1,96 @@
+"""Intervals algebra (subset) — the reference's
+``lucene/queries/.../intervals/Intervals.java`` ordered/unordered
+sources with ``maxgaps``, re-expressed over the positional index.
+
+v2 scope: TWO-term interval sources (the common proximity pattern):
+
+- **ordered(a, b, max_gaps)** — minimal intervals where `a` precedes
+  `b` with at most ``max_gaps`` positions between them.  Minimal
+  intervals computed exactly: for each occurrence of `b`, the closest
+  preceding `a`; of intervals sharing that `a`, only the shortest is
+  minimal (``intervals/OrderedIntervalsSource.java`` semantics).
+- **unordered(a, b, max_gaps)** — for each `a`, the nearest `b` on
+  either side within ``max_gaps`` (a documented simplification of
+  UnorderedIntervalsSource's minimal-window walk: windows are deduped
+  per `a`, not globally minimized).
+
+Execution reuses the phrase machinery shape: candidate docs from the
+cheap docs-only decode, positions decoded only for candidate-bearing
+blocks, one vectorized kernel per doc row."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_counts(searcher, term_a: str, term_b: str,
+                    mode: str = "ordered", max_gaps: int = 0) -> DataFrame:
+    """(doc_id, n_intervals) for docs with >= 1 matching interval."""
+    if searcher.reader.cfg.get("positions") is not True:
+        raise ValueError("intervals need a positions=True index")
+    spark = searcher.spark
+    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    stats = searcher.reader.term_statistics(sorted({term_a, term_b}))
+    if term_a not in stats or term_b not in stats:
+        return empty
+
+    from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                POSITIONS_SCHEMA)
+    blocks_all = searcher._blocks_for(sorted({term_a, term_b}))
+    docs_only = blocks_all.mapInPandas(
+        searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+    cand = (docs_only.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == 2).select("doc_id"))
+    cand_b = F.broadcast(cand)
+
+    sides = []
+    for i, t in enumerate((term_a, term_b)):
+        blocks_t = blocks_all.filter(F.col("term") == t)
+        pruned = blocks_t.join(
+            cand_b, (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+                                  POSITIONS_SCHEMA)
+               .join(cand_b, "doc_id", "left_semi")
+               .select("doc_id", F.col("positions").alias(f"p{i}")))
+        sides.append(dec)
+    joined = sides[0].join(sides[1], "doc_id")
+
+    g = int(max_gaps)
+    ordered = mode == "ordered"
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_intervals(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        out = np.zeros(len(pa), dtype=np.int64)
+        for r in range(len(pa)):
+            A = np.asarray(pa.iloc[r], dtype=np.int64)
+            B = np.asarray(pb.iloc[r], dtype=np.int64)
+            if ordered:
+                idx = np.searchsorted(A, B, side="left") - 1
+                ok = idx >= 0
+                if not ok.any():
+                    continue
+                idxv, bv = idx[ok], B[ok]
+                first = np.concatenate([[True], idxv[1:] != idxv[:-1]])
+                gaps = bv - A[idxv] - 1
+                out[r] = int(((gaps <= g) & first).sum())
+            else:
+                lo = np.searchsorted(B, A, side="left")
+                left = np.where(lo > 0, A - B[np.maximum(lo - 1, 0)],
+                                np.iinfo(np.int64).max)
+                right = np.where(lo < len(B),
+                                 B[np.minimum(lo, len(B) - 1)] - A,
+                                 np.iinfo(np.int64).max)
+                width = np.minimum(left, right) - 1
+                out[r] = int((width <= g).sum())
+        return pd.Series(out)
+
+    return (joined.withColumn("n_intervals",
+                              count_intervals("p0", "p1"))
+            .filter(F.col("n_intervals") > 0)
+            .select("doc_id", "n_intervals"))

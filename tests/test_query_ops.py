@@ -216,6 +216,21 @@ def test_sloppy_phrase_match_sets(slop_searcher, slop, expected_paths):
         assert hits[0]["path"] == "d1"
 
 
+@pytest.mark.parametrize("mode,gaps,expected", [
+    ("ordered", 0, {"d1": 1}),
+    ("ordered", 2, {"d1": 1, "d2": 1, "d4": 1}),
+    ("unordered", 0, {"d1": 1, "d3": 1}),
+    ("unordered", 2, {"d1": 1, "d2": 1, "d3": 1, "d4": 1, "d5": 1}),
+])
+def test_interval_counts(slop_searcher, mode, gaps, expected):
+    from lucene_1_spark.search.intervals import interval_counts
+    out = interval_counts(slop_searcher, "alpha", "beta", mode, gaps)
+    docs = slop_searcher.reader.docs().select("doc_id", "path")
+    got = {r["path"]: r["n_intervals"]
+           for r in out.join(docs, "doc_id").collect()}
+    assert got == expected, (mode, gaps)
+
+
 def test_sloppy_phrase_multi_term_unsupported(slop_searcher):
     with pytest.raises(NotImplementedError):
         slop_searcher.search_df(
