@@ -475,6 +475,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(se.count(MatchAllDocsQuery()),)], "n long")
     q["ft_live_doc_count"] = ft_live_doc_count
 
+    def ft_function_score(s, d):
+        """FunctionScoreQuery: score := bm25 * ln(1 + field length)."""
+        from lucene_1_spark.search.facets import function_score
+        se = _searcher(s, d)
+        out = function_score(
+            se, "spark",
+            lambda j: F.col("score") * F.log(F.lit(1.0) + F.col("length")),
+            fields=["length"], k=10)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        ranked = out.withColumn("rank", F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (ranked.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_function_score"] = ft_function_score
+
     def ft_intervals_ordered(s, d):
         """Ordered interval source with maxgaps (Intervals.ordered)."""
         from lucene_1_spark.search.intervals import interval_counts
@@ -711,6 +728,20 @@ sc AS (
          w.wt * pf.pfreq
          / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
   FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # function score: bm25('spark') * ln(1 + token length)
+    o["ft_function_score"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) * ln(1 + dl.len) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark'
+  GROUP BY tf.doc_id, dl.len
+)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""

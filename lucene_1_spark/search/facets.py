@@ -75,6 +75,22 @@ def distinct_group_values(searcher: IndexSearcher, query,
             .select(F.col(group_field).alias("value")).distinct())
 
 
+def function_score(searcher: IndexSearcher, query, score_fn,
+                   fields: list[str] | None = None,
+                   k: int | None = None) -> DataFrame:
+    """FunctionScoreQuery analog
+    (``queries/function/FunctionScoreQuery.java``): REPLACE each hit's
+    score with a column expression over the original score and stored
+    fields (the DoubleValuesSource surface as a plain Column fn).
+    ``score_fn`` receives the joined DataFrame and returns a Column."""
+    m = searcher.search_df(query, k=None)
+    docs = searcher.reader.docs().select("doc_id", *(fields or []))
+    j = m.join(docs, "doc_id") if fields else m
+    out = j.select("doc_id", score_fn(j).cast("double").alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out
+
+
 def rescore(searcher: IndexSearcher, first_pass: DataFrame, second_query,
             weight_first: float = 1.0, weight_second: float = 1.0,
             k: int | None = None) -> DataFrame:
