@@ -41,10 +41,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery, FuzzyQuery,
-    MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery,
-    PrefixQuery, Query, RegexpQuery, SynonymQuery, TermQuery, TermRangeQuery,
-    WildcardQuery, parse_query, rewrite_fixpoint,
+    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
+    FieldExistsQuery, FuzzyQuery, MatchAllDocsQuery, MatchNoDocsQuery,
+    MultiTermQuery, Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery,
+    SynonymQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
+    rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -256,6 +257,15 @@ class IndexSearcher:
                       .select("doc_id", F.lit(float(query.boost)).cast("float")
                               .alias("score")))
             if k is None:  # exhaustive-collector mode (facets/grouping)
+                return scored
+            return scored.orderBy(F.asc("doc_id")).limit(k)
+        if isinstance(query, FieldExistsQuery):
+            scored = (self.reader.docs()
+                      .filter(F.col(query.field).isNotNull())
+                      .select("doc_id",
+                              F.lit(float(query.boost)).cast("float")
+                              .alias("score")))
+            if k is None:
                 return scored
             return scored.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(query, PhraseQuery):

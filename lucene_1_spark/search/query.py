@@ -162,6 +162,14 @@ class TermRangeQuery(MultiTermQuery):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Docs with a non-null value for a stored field
+    (``search/FieldExistsQuery.java``); constant score ``boost``."""
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery(Query):
     pass
 

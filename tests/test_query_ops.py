@@ -95,6 +95,14 @@ def test_count_all_query_types(searcher):
     assert 0 < n_phrase <= n_term
 
 
+def test_field_exists_query(searcher):
+    from lucene_1_spark.search.query import FieldExistsQuery
+    n = searcher.search_df(FieldExistsQuery("lang"), k=None).count()
+    assert n == searcher.reader.stats["n_docs"]
+    top = searcher.search_df(FieldExistsQuery("lang", 2.0), k=3).collect()
+    assert [r["score"] for r in top] == [2.0, 2.0, 2.0]
+
+
 def test_match_all_k_none_and_facets(searcher):
     from lucene_1_spark.search.facets import facet_counts
     n = searcher.search_df(MatchAllDocsQuery(), k=None).count()
