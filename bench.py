@@ -74,6 +74,11 @@ def build_and_query(cores: int, n_docs: int, tag: str) -> dict:
         lat.append(time.time() - tq)
     query_total = time.time() - t0
     lat.sort()
+    # the same 30 queries as ONE batched pass (search_many)
+    t0 = time.time()
+    searcher.search_many({f"q{i}": qt for i, (_, qt, _) in
+                          enumerate(queries)}, k=10).collect()
+    batch_sec = time.time() - t0
     out = {
         "cores": cores,
         "n_docs": n_docs,
@@ -82,6 +87,7 @@ def build_and_query(cores: int, n_docs: int, tag: str) -> dict:
         "query_total_sec": round(query_total, 2),
         "query_p50_sec": round(statistics.median(lat), 3),
         "query_p99_sec": round(lat[max(0, int(len(lat) * 0.99) - 1)], 3),
+        "batch_30q_sec": round(batch_sec, 2),
     }
     spark.stop()
     return out

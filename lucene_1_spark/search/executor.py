@@ -54,6 +54,13 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType()),  # exact float32 widened to double
 ])
 
+BATCH_DECODED_SCHEMA = T.StructType([
+    T.StructField("query_id", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+
 POSITIONS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("norm_val", T.LongType()),
@@ -890,6 +897,192 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return self.reader.n_live_docs()
         return self.search_df(query, k=None, prune=False).count()
+
+    # ------------------------------------------------------------------
+    def search_many(self, queries: dict[str, "Query | str"],
+                    k: int = 10) -> DataFrame:
+        """Execute MANY queries in ONE postings pass — the batch-query
+        throughput design Spark makes natural (per-query collectors in
+        the reference run serially; here every term's blocks are
+        decoded once for ALL queries that use them).
+
+        Plan: union of all queries' terms -> one partition-pruned block
+        scan -> decode kernel emits (query_id, term, doc_id, score)
+        with each query's own float32 weight (bit-identical arithmetic
+        to the single-query path) -> one groupBy (query_id, doc_id)
+        replays every query's boolean semantics via a broadcast clause
+        table -> per-query top-k window.
+
+        Flat term/boolean queries batch; phrase/synonym/constant-score/
+        match-all/multi-term-group queries fall back to
+        :meth:`search_df` and union in.  Returns (query_id, doc_id,
+        score, rank), rank 1..k per query."""
+        spark = self.spark
+        flats: dict[str, _Flat] = {}
+        fallback: dict[str, Query] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = parse_query(q, self.reader.cfg["analyzer"])
+            q = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(q)))
+            try:
+                fl = self._flatten(q)
+                if fl.must_groups or fl.filter_groups:
+                    raise NotImplementedError
+                flats[qid] = fl
+            except NotImplementedError:
+                fallback[qid] = q
+
+        out_parts = []
+        if flats:
+            all_terms = sorted({t.term for fl in flats.values()
+                                for t in fl.must + fl.should + fl.mnot
+                                + fl.filters})
+            stats = self.reader.term_statistics(all_terms)
+            # roles per (query, term) + per-query requirements
+            qweights: dict[str, list] = {}
+            role_rows, meta_rows = [], []
+            live_qids = []
+            for qid, fl in flats.items():
+                must = [t for t in fl.must if t.term in stats]
+                if len(must) != len(fl.must):
+                    continue  # a required term is absent: no hits
+                filters = [t for t in fl.filters if t.term in stats]
+                if len(filters) != len(fl.filters):
+                    continue
+                should = [t for t in fl.should if t.term in stats]
+                mnot = [t for t in fl.mnot if t.term in stats]
+                scoring = must + should
+                if not scoring and not filters:
+                    continue
+                live_qids.append(qid)
+                w_by_term: dict[str, float] = {}
+                for t in scoring:
+                    if self.double_mode:
+                        w = t.boost * bm25.idf_double(stats[t.term][0],
+                                                      self.doc_count)
+                    else:
+                        w = float(bm25.term_weight(stats[t.term][0],
+                                                   self.doc_count, t.boost))
+                    w_by_term[t.term] = w_by_term.get(t.term, 0.0) + w
+                req = sorted({t.term for t in must}
+                             | {t.term for t in filters})
+                shd = sorted({t.term for t in should})
+                mnt = sorted({t.term for t in mnot})
+                for term in sorted(set(w_by_term) | set(req) | set(mnt)):
+                    qweights.setdefault(term, []).append(
+                        (qid, w_by_term.get(term, 0.0)))
+                    role_rows.append((qid, term, term in req,
+                                      term in shd, term in mnt))
+                meta_rows.append((qid, len(req), fl.msm))
+
+            if live_qids:
+                blocks = self._blocks_for(sorted(qweights))
+                decoded = blocks.mapInPandas(
+                    self._batch_decode_kernel(qweights), BATCH_DECODED_SCHEMA)
+                roles = F.broadcast(spark.createDataFrame(
+                    role_rows, "query_id string, term string, "
+                               "required boolean, is_should boolean, "
+                               "is_mnot boolean"))
+                meta = F.broadcast(spark.createDataFrame(
+                    meta_rows, "query_id string, n_req long, msm long"))
+                per_doc = (decoded.join(roles, ["query_id", "term"])
+                           .groupBy("query_id", "doc_id")
+                           .agg(F.sum(F.when(~F.col("is_mnot"),
+                                             F.col("score")).otherwise(0.0))
+                                .alias("score_d"),
+                                F.sum(F.when(F.col("required"), 1)
+                                      .otherwise(0)).alias("got_req"),
+                                F.sum(F.when(F.col("is_should"), 1)
+                                      .otherwise(0)).alias("got_should"),
+                                F.max(F.when(F.col("is_mnot"), 1)
+                                      .otherwise(0)).alias("mnot_hit"))
+                           .join(meta, "query_id")
+                           .filter((F.col("mnot_hit") == 0)
+                                   & (F.col("got_req") >= F.col("n_req"))
+                                   & (F.col("got_should") >= F.col("msm"))))
+                score_type = "double" if self.double_mode else "float"
+                scored = per_doc.select(
+                    "query_id", "doc_id",
+                    F.col("score_d").cast(score_type).alias("score"))
+                if self.reader.has_deletes:
+                    scored = scored.join(self.reader.tombstones(),
+                                         "doc_id", "left_anti")
+                out_parts.append(scored)
+
+        for qid, q in fallback.items():
+            out_parts.append(self.search_df(q, k=None)
+                             .select(F.lit(qid).alias("query_id"),
+                                     "doc_id", "score"))
+        if not out_parts:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id long, score float, rank long")
+        allq = out_parts[0]
+        for p in out_parts[1:]:
+            allq = allq.unionByName(p)
+        from pyspark.sql import Window as W
+        w = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+        return (allq.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k))
+
+    def _batch_decode_kernel(self, qweights: dict[str, list]):
+        """Like :meth:`_decode_kernel`, but each block is decoded ONCE
+        and scored for EVERY (query, weight) attached to its term —
+        float32 arithmetic identical to the single-query path."""
+        cache = self.cache
+        k1, b = float(self.k1), float(self.b)
+        avgdl = float(self.avgdl)
+        double_mode = self.double_mode
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                qids_l, terms_l, dids_l, scores_l, counts = [], [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    n = int(row.num_docs)
+                    pairs = qweights.get(row.term, ())
+                    if not pairs:
+                        continue
+                    dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                                 int(row.first_doc), n)
+                    freqs = norms = lens = None
+                    for qid, wgt in pairs:
+                        if wgt == 0.0:
+                            s = np.zeros(n, dtype=np.float64)
+                        else:
+                            if freqs is None:
+                                freqs = codecs.decode_freqs(bytes(row.freqs), n)
+                                if double_mode:
+                                    lens = np.frombuffer(bytes(row.norms),
+                                                         dtype="<u4")
+                                else:
+                                    norms = np.frombuffer(bytes(row.norms),
+                                                          dtype=np.uint8)
+                            if double_mode:
+                                s = bm25.score_term_double(
+                                    freqs, lens, wgt, avgdl, k1, b)
+                            else:
+                                s = bm25.score_term(
+                                    freqs, norms, np.float32(wgt),
+                                    cache).astype(np.float64)
+                        qids_l.append(qid)
+                        terms_l.append(row.term)
+                        dids_l.append(dids)
+                        scores_l.append(s)
+                        counts.append(n)
+                if not dids_l:
+                    yield pd.DataFrame({"query_id": [], "term": [],
+                                        "doc_id": [], "score": []})
+                    continue
+                yield pd.DataFrame({
+                    "query_id": np.repeat(np.asarray(qids_l, dtype=object),
+                                          counts),
+                    "term": np.repeat(np.asarray(terms_l, dtype=object),
+                                      counts),
+                    "doc_id": np.concatenate(dids_l),
+                    "score": np.concatenate(scores_l),
+                })
+
+        return decode
 
     def search_sorted(self, query: Query | str,
                       by: list[tuple[str, str]],

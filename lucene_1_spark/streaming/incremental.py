@@ -176,3 +176,22 @@ class IncrementalIndexWriter:
     def compact(self) -> dict:
         """Reclaim tombstones + defragment block runs (SegmentMerger)."""
         return compact_index(self.spark, self.dir)
+
+    def maybe_compact(self, max_segments: int = 10) -> dict | None:
+        """TieredMergePolicy-style trigger (~10 segments/tier,
+        ``index/TieredMergePolicy.java:89-93``): compact when the number
+        of segments appended since the last compaction reaches
+        ``max_segments``, so a term's block runs — one per segment —
+        stay bounded under continuous streaming append.  Returns the new
+        stats when a compaction ran, else None."""
+        m = self._read_manifest()
+        appended = int(m.get("n_segments", 1)) \
+            - int(m.get("compacted_at_segment", 0))
+        if appended < max_segments and not m.get("has_deletes"):
+            return None
+        stats = compact_index(self.spark, self.dir)
+        m = self._read_manifest()
+        m["compacted_at_segment"] = int(m.get("n_segments", 1))
+        from lucene_1_spark.index.maintenance import _write_manifest
+        _write_manifest(self.dir, m)
+        return stats

@@ -177,3 +177,25 @@ def test_streaming_batch_replay_is_idempotent(spark, tmp_root, corpus):
     assert r.stats["n_docs"] == n1 == 150
     w.append(spark.createDataFrame(corpus.iloc[150:170]), batch_id=2)
     assert IndexReader(spark, d).stats["n_docs"] == 170
+
+
+def test_maybe_compact_policy(spark, tmp_root, corpus):
+    """TieredMergePolicy-style trigger: compaction fires once the
+    appended-segment count reaches the threshold."""
+    d = os.path.join(tmp_root, "idx_policy")
+    w = IncrementalIndexWriter(spark, d,
+                               IndexConfig(n_buckets=4, n_doc_partitions=2))
+    w.append(spark.createDataFrame(corpus.iloc[:80]))
+    assert w.maybe_compact(max_segments=3) is None  # 1 segment: no-op
+    w.append(spark.createDataFrame(corpus.iloc[80:120]))
+    assert w.maybe_compact(max_segments=3) is None  # 2 segments
+    w.append(spark.createDataFrame(corpus.iloc[120:160]))
+    stats = w.maybe_compact(max_segments=3)          # 3 segments: compact
+    assert stats is not None and stats["n_docs"] == 160
+    assert w.maybe_compact(max_segments=3) is None   # counter reset
+    r = IndexReader(spark, d)
+    assert r.manifest["generation"] == 1
+    bad = (r.postings().groupBy("term")
+           .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
+           .filter(F.col("nb") != F.ceil(F.col("df") / 128)).count())
+    assert bad == 0

@@ -305,6 +305,33 @@ def test_to_parent_and_child_join(searcher):
 
 
 # ---------------------------------------------------------------------------
+# batched multi-query execution (one postings pass for many queries)
+# ---------------------------------------------------------------------------
+
+def test_search_many_parity(searcher):
+    qs = {
+        "q_term": "tok0",
+        "q_and": "+tok0 +tok1",
+        "q_mixed": "tok2 tok3 -tok0",
+        "q_phrase": '"tok0 tok1"',        # falls back, unions in
+        "q_msm": BooleanQuery(tuple(
+            Clause(TermQuery(t), Occur.SHOULD)
+            for t in ("tok0", "tok1", "tok2")), minimum_should_match=2),
+        "q_filter": BooleanQuery((Clause(TermQuery("tok0"), Occur.MUST),
+                                  Clause(TermQuery("tok1"), Occur.FILTER))),
+        "q_absent": "+tok0 +zzz_definitely_absent",
+    }
+    batch = searcher.search_many(qs, k=10).collect()
+    by_q: dict = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        single = [(r["doc_id"], r["score"])
+                  for r in searcher.search_df(q, k=10).collect()]
+        assert by_q.get(qid, []) == single, qid
+
+
+# ---------------------------------------------------------------------------
 # highlighter + suggester (lucene/highlighter, lucene/suggest analogs)
 # ---------------------------------------------------------------------------
 
