@@ -43,8 +43,9 @@ def test_every_query_has_shape():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(osql) <= set(qs)
-    # only the explicitly-approximate/stubbed ops lack an oracle
-    assert set(qs) - set(osql) == {"sim_ann_topk", "mm_image_features"}
+    # only the explicitly-approximate/stubbed/non-SQL ops lack an oracle
+    assert set(qs) - set(osql) == {"sim_ann_topk", "mm_image_features",
+                                   "ft_highlight"}
 
 
 @pytest.mark.parametrize("name", [
