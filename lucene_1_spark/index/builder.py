@@ -96,6 +96,24 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
 ])
 
+# single-tokenize fused build: the pack kernel emits BOTH posting-block
+# rows (kind='block') and doc-meta rows (kind='doc', bucket=-1) through
+# one union schema — the corpus is analyzed ONCE instead of once per
+# stage.  Null columns cost nothing in parquet; the docs table is then
+# committed via a JVM-only column-pruned rewrite of the kind=doc slice.
+FUSED_SCHEMA = T.StructType(
+    list(BLOCKS_SCHEMA.fields)
+    + [T.StructField("kind", T.StringType()),
+       T.StructField("doc_id", T.LongType()),
+       T.StructField("repo", T.StringType()),
+       T.StructField("path", T.StringType()),
+       T.StructField("commit", T.StringType()),
+       T.StructField("lang", T.StringType()),
+       T.StructField("length", T.LongType()),
+       T.StructField("norm_byte", T.IntegerType()),
+       T.StructField("content_sha256", T.StringType()),
+       T.StructField("build_partition", T.IntegerType())])
+
 
 @dataclass
 class IndexConfig:
@@ -248,11 +266,20 @@ def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
 def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
                    cfg: IndexConfig,
                    exclude_buckets: set[int] | None = None,
-                   flush_docs: int = 250_000) -> DataFrame:
+                   flush_docs: int = 250_000,
+                   emit_docs: bool = False) -> DataFrame:
     """Segment-local tokenize + posting-block pack — ZERO extra shuffle
     and no bulky intermediates: term frequencies are computed and packed
     inside the same kernel.  Each persisted range partition is a
-    Lucene-style segment emitting doc-ordered block runs."""
+    Lucene-style segment emitting doc-ordered block runs.
+
+    ``emit_docs=True`` is the single-tokenize fused build: the same
+    kernel ALSO emits one doc-meta row per document (kind='doc',
+    bucket=-1) through :data:`FUSED_SCHEMA`, so the corpus is analyzed
+    once total instead of once per stage.  sha256 stays a JVM column
+    expression (computed before the kernel, passed through).  With the
+    default ``emit_docs=False`` the output schema is exactly
+    :data:`BLOCKS_SCHEMA` (backward-compatible)."""
     exclude = set(exclude_buckets or ())
     block_size = cfg.block_size
     exact_norms = cfg.norms_encoding == "exact32"
@@ -260,6 +287,8 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
     n_buckets = cfg.n_buckets
     analyzer_name = cfg.analyzer
     block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
+    fused_cols = [fld.name for fld in FUSED_SCHEMA.fields]
+    doc_cols = fused_cols[len(block_cols) + 1:]  # after 'kind'
 
     def pack_group(doc_ids, norm_vals, tfs, tps):
         """Explode dicts -> term-major at C speed, then pack blocks."""
@@ -341,7 +370,12 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
             rows = pack_group(acc_docs, acc_norms, acc_tfs, acc_tps)
             acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
             n_acc = 0
-            return pd.DataFrame(rows, columns=block_cols)
+            out = pd.DataFrame(rows, columns=block_cols)
+            if emit_docs:  # widen to the union schema (kind='block')
+                out["kind"] = "block"
+                for c in doc_cols:
+                    out[c] = None
+            return out
 
         for pdf in it:
             n = len(pdf)
@@ -365,9 +399,23 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
                 acc_norms.extend(int_to_byte4(lengths).tolist())
             acc_tfs.extend(toks.map(lambda ts: dict(Counter(ts))).tolist())
             if explicit_ids:
-                acc_docs.extend(pdf["doc_id"].tolist())
+                ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             else:
-                acc_docs.extend(range(off + seen, off + seen + n))
+                ids = off + seen + np.arange(n, dtype=np.int64)
+            acc_docs.extend(ids.tolist())
+            if emit_docs:  # one doc-meta row per document, same analysis
+                dm = pd.DataFrame({c: None for c in block_cols},
+                                  index=np.arange(n))
+                dm["bucket"] = -1
+                dm["kind"] = "doc"
+                dm["doc_id"] = ids
+                for c in ("repo", "path", "commit", "lang"):
+                    dm[c] = pdf[c].values
+                dm["length"] = lengths
+                dm["norm_byte"] = int_to_byte4(lengths).astype(np.int32)
+                dm["content_sha256"] = pdf["_sha"].values
+                dm["build_partition"] = np.full(n, pid, dtype=np.int32)
+                yield dm[fused_cols]
             seen += n
             n_acc += n
             if n_acc >= flush_docs:
@@ -375,6 +423,10 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
         if n_acc:
             yield flush()
 
+    if emit_docs:
+        withsha = keyed.withColumn(
+            "_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        return withsha.mapInPandas(pack_partition, FUSED_SCHEMA)
     return keyed.mapInPandas(pack_partition, BLOCKS_SCHEMA)
 
 
@@ -392,20 +444,67 @@ class IndexBuilder:
         return os.path.join(self.dir, name)
 
     # -- checkpoints (FIXTURES.md §4) -------------------------------------
+    # Checkpoint + lineage rows are DRIVER metadata (a handful of rows
+    # per stage), written as plain parquet files via pyarrow directly —
+    # the tables stay spark.read.parquet-compatible, but the write costs
+    # ~1 ms instead of the 1.5-3 s a createDataFrame -> parquet Spark
+    # job was measured to cost (Python-worker-backed single-row jobs;
+    # six of them added ~11 s of pure overhead to a 20k-doc build).
+    def _append_meta_parquet(self, dirname: str, table) -> None:
+        import uuid
+
+        import pyarrow.parquet as pq
+        d = self.path(dirname)
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # atomic visibility, like a job commit
+
     def _checkpoint_rows(self) -> pd.DataFrame:
         p = self.path("checkpoints")
         if not os.path.exists(p):
             return pd.DataFrame(columns=["partition_id", "stage", "status",
                                          "rows", "ts"])
-        return self.spark.read.parquet(p).toPandas()
+        import pyarrow.parquet as pq
+        files = [os.path.join(p, f) for f in sorted(os.listdir(p))
+                 if f.endswith(".parquet")]
+        if not files:
+            return pd.DataFrame(columns=["partition_id", "stage", "status",
+                                         "rows", "ts"])
+        import pyarrow as pa
+        cols = ["partition_id", "stage", "status", "rows"]
+        return pa.concat_tables(
+            [pq.read_table(f, columns=cols) for f in files]).to_pandas()
 
     def _write_checkpoints(self, rows: list[tuple[int, str, str, int]]):
-        """One batched parquet append for any number of checkpoint rows
-        (a per-row write would cost one Spark job per partition)."""
-        df = self.spark.createDataFrame(
-            rows, "partition_id int, stage string, status string, rows long",
-        ).coalesce(1).withColumn("ts", F.current_timestamp())
-        df.write.mode("append").parquet(self.path("checkpoints"))
+        """One batched driver-side parquet append for any number of
+        checkpoint rows."""
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        now = datetime.now(timezone.utc)
+        self._append_meta_parquet("checkpoints", pa.table({
+            "partition_id": pa.array([int(r[0]) for r in rows], pa.int32()),
+            "stage": pa.array([r[1] for r in rows], pa.string()),
+            "status": pa.array([r[2] for r in rows], pa.string()),
+            "rows": pa.array([int(r[3]) for r in rows], pa.int64()),
+            "ts": pa.array([now] * len(rows), pa.timestamp("us", tz="UTC")),
+        }))
+
+    def _write_lineage(self, rows: list[tuple], stage: str) -> None:
+        """Per-partition lineage/metrics rows (docs/terms/postings/bytes),
+        driver-side parquet append: (partition_id, docs, terms, postings,
+        bytes) tuples; None = not applicable for the stage."""
+        import pyarrow as pa
+        self._append_meta_parquet("lineage_metrics", pa.table({
+            "partition_id": pa.array([int(r[0]) for r in rows], pa.int32()),
+            "docs": pa.array([r[1] for r in rows], pa.int64()),
+            "terms": pa.array([r[2] for r in rows], pa.int64()),
+            "postings": pa.array([r[3] for r in rows], pa.int64()),
+            "bytes": pa.array([r[4] for r in rows], pa.int64()),
+            "stage": pa.array([stage] * len(rows), pa.string()),
+        }))
 
     def _write_checkpoint(self, partition_id: int, stage: str, status: str,
                           rows: int):
@@ -472,12 +571,9 @@ class IndexBuilder:
             "sum_total_term_freq": int(sum(r["postings"]
                                            for r in lineage_rows)),
         })
-        (self.spark.createDataFrame(
+        self._write_lineage(
             [(int(r["build_partition"]), r["docs"], None, r["postings"], None)
-             for r in lineage_rows],
-            "partition_id int, docs long, terms long, postings long, bytes long")
-         .coalesce(1).withColumn("stage", F.lit("docs"))
-         .write.mode("append").parquet(self.path("lineage_metrics")))
+             for r in lineage_rows], "docs")
         self._write_checkpoint(-1, "docs", "done", n_docs)
 
     # -- stage 2: posting blocks -------------------------------------------
@@ -486,6 +582,10 @@ class IndexBuilder:
         them done.  Idempotent under replay: os.rename removes a file
         from staging atomically, so a crashed move just continues."""
         staging = self.path("postings_staging")
+        # fused builds stage blocks under kind=block/bucket=*
+        fused_staging = os.path.join(staging, "kind=block")
+        if os.path.isdir(fused_staging):
+            staging = fused_staging
         final = self.path("postings")
         if os.path.exists(staging):
             for entry in sorted(os.listdir(staging)):
@@ -505,9 +605,10 @@ class IndexBuilder:
         if pending:
             self._write_checkpoints(
                 [(int(b), "postings", "done", -1) for b in pending])
-        if os.path.exists(staging):
+        root = self.path("postings_staging")
+        if os.path.exists(root):
             import shutil
-            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(root, ignore_errors=True)
 
     def build_postings(self, source: DataFrame) -> None:
         """Pack + commit posting blocks with a staged, resumable commit:
@@ -552,12 +653,16 @@ class IndexBuilder:
         self._write_checkpoints([
             (int(r["bucket"]), "postings_staged", "done", r["blocks"])
             for r in agg_rows])
-        (self.spark.createDataFrame(
+        self._write_lineage(
             [(int(r["bucket"]), None, r["terms"], r["postings"], r["bytes"])
-             for r in agg_rows],
-            "partition_id int, docs long, terms long, postings long, bytes long")
-         .coalesce(1).withColumn("stage", F.lit("postings"))
-         .write.mode("append").parquet(self.path("lineage_metrics")))
+             for r in agg_rows], "postings")
+        # clean one-shot build (every bucket staged in this run): the
+        # collection-level sum_doc_freq is just the sum of the per-bucket
+        # postings counts — record it so build_stats skips its read-back
+        # job.  Resumed/partial builds leave it absent (safe fallback).
+        if not done_buckets:  # empty buckets contribute 0 — sum still total
+            self._write_json("postings_stats.json", {
+                "sum_doc_freq": int(sum(r["postings"] for r in agg_rows))})
         self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
 
     # -- stage 3: stats ------------------------------------------------------
@@ -612,12 +717,102 @@ class IndexBuilder:
             json.dump(manifest, fh, indent=2)
         self._write_checkpoint(-1, "stats", "done", stats["n_docs"])
 
+    # -- fused single-tokenize build ----------------------------------------
+    def build_fused(self, source: DataFrame) -> None:
+        """docs + postings in ONE analysis pass: the pack kernel emits
+        doc-meta rows alongside posting blocks (``FUSED_SCHEMA``), the
+        union lands in staging partitioned by (kind, bucket), then the
+        docs table is committed via a JVM-only column-pruned rewrite of
+        the kind=doc slice and blocks are promoted as usual.  Tokenizing
+        is the dominant build cost, so this nearly halves the wall clock
+        vs the two-pass path; commit order (docs -> staged checkpoints ->
+        promote -> postings checkpoints) preserves every resume invariant
+        of the staged design."""
+        cfg = self.cfg
+        cp = self._checkpoint_rows()
+        docs_done = self._stage_done("docs")
+        done_buckets = set(
+            cp[(cp.stage == "postings") & (cp.status == "done")]["partition_id"])
+        staged_buckets = set(
+            cp[(cp.stage == "postings_staged")
+               & (cp.status == "done")]["partition_id"])
+        pending = staged_buckets - done_buckets
+        if pending and docs_done:
+            # crashed between staging and commit: finish the move
+            self._promote_staged_postings(pending)
+            done_buckets |= pending
+        elif os.path.exists(self.path("postings_staging")):
+            import shutil  # crashed mid-staging-write: discard, redo
+            shutil.rmtree(self.path("postings_staging"), ignore_errors=True)
+        todo = [b for b in range(cfg.n_buckets) if b not in done_buckets]
+        if docs_done and not todo:
+            return
+        if not todo:  # old-layout resume: docs remain, blocks all done
+            self.build_docs(source)
+            return
+
+        keyed, offsets = self._keyed_offsets(source)
+        fused = pack_blocks_df(keyed, offsets, cfg,
+                               exclude_buckets=done_buckets,
+                               emit_docs=not docs_done)
+        staging = self.path("postings_staging")
+        # blocks-only resume output has no 'kind' column (BLOCKS_SCHEMA)
+        part_cols = ["kind", "bucket"] if not docs_done else ["bucket"]
+        fused.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+
+        if not docs_done:
+            # commit docs first (column-pruned JVM rewrite, no Python)
+            doc_cols = [fld.name for fld in DOCS_SCHEMA.fields]
+            staged_docs = self.spark.read.parquet(
+                os.path.join(staging, "kind=doc"))
+            staged_docs.select(*doc_cols) \
+                .write.mode("overwrite").parquet(self.path("docs"))
+            lineage_rows = (self.spark.read.parquet(self.path("docs"))
+                            .groupBy("build_partition")
+                            .agg(F.count("*").alias("docs"),
+                                 F.sum("length").alias("postings"),
+                                 F.sum(F.when(F.col("length") > 0, 1)
+                                       .otherwise(0)).alias("nonempty"))
+                            .collect())
+            n_docs = sum(r["docs"] for r in lineage_rows)
+            self._write_json("docs_stats.json", {
+                "n_docs": n_docs,
+                "doc_count": int(sum(r["nonempty"] for r in lineage_rows)),
+                "sum_total_term_freq": int(sum(r["postings"]
+                                               for r in lineage_rows)),
+            })
+            self._write_lineage(
+                [(int(r["build_partition"]), r["docs"], None,
+                  r["postings"], None) for r in lineage_rows], "docs")
+            self._write_checkpoint(-1, "docs", "done", n_docs)
+
+        block_staging = os.path.join(staging, "kind=block") \
+            if not docs_done else staging
+        if not os.path.isdir(block_staging):
+            return  # degenerate: no blocks produced (empty corpus)
+        agg_rows = (self.spark.read.parquet(block_staging).groupBy("bucket")
+                    .agg(F.count("*").alias("blocks"),
+                         F.approx_count_distinct("term").alias("terms"),
+                         F.sum("num_docs").alias("postings"),
+                         (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
+                          + F.sum(F.length("norms"))).alias("bytes"))
+                    .collect())
+        self._write_checkpoints([
+            (int(r["bucket"]), "postings_staged", "done", r["blocks"])
+            for r in agg_rows])
+        self._write_lineage(
+            [(int(r["bucket"]), None, r["terms"], r["postings"], r["bytes"])
+             for r in agg_rows], "postings")
+        if not done_buckets:  # clean one-shot build: record sum_doc_freq
+            self._write_json("postings_stats.json", {
+                "sum_doc_freq": int(sum(r["postings"] for r in agg_rows))})
+        self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
+
     # -- orchestration -------------------------------------------------------
     def build(self, source: DataFrame) -> None:
         os.makedirs(self.dir, exist_ok=True)
         try:
-            self.build_docs(source)
-            self.build_postings(source)
+            self.build_fused(source)
             self.build_stats()
         finally:
             self._release()

@@ -31,7 +31,14 @@ class IndexReader:
         return os.path.join(self.dir, self.manifest.get(f"{name}_path", name))
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.table_path("postings"))
+        # canonical block columns only: files staged by the fused
+        # single-tokenize build carry null doc-meta columns (one union
+        # kernel schema) — parquet stores them for free, but downstream
+        # joins must not see a stray doc_id
+        from lucene_1_spark.index.builder import BLOCKS_SCHEMA
+        cols = [f.name for f in BLOCKS_SCHEMA.fields]
+        return self.spark.read.parquet(self.table_path("postings")) \
+            .select(*cols)
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path("term_stats"))
