@@ -428,6 +428,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_query(s, d, PhraseQuery(("sort", "merge"), slop=2))
     q["ft_sloppy_phrase_topk"] = ft_sloppy_phrase_topk
 
+    def ft_sloppy_phrase3_topk(s, d):
+        """n-term sloppy phrase (n=3, slop=3): anchored on the first
+        term, weight 1/(1 + sum of per-slot min displacements)."""
+        from lucene_1_spark.search.query import PhraseQuery
+        return _topk_query(s, d,
+                           PhraseQuery(("sort", "merge", "query"), slop=3))
+    q["ft_sloppy_phrase3_topk"] = ft_sloppy_phrase3_topk
+
     def ft_suggest_prefix(s, d):
         """Weighted prefix completion from the term dictionary."""
         from lucene_1_spark.search.highlight import suggest_terms
@@ -723,6 +731,45 @@ pf AS (SELECT doc_id, sum(1.0 / (1 + abs(e))) AS pfreq
 w AS (
   SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
   FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge')),
+sc AS (
+  SELECT pf.doc_id,
+         w.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # n-term sloppy phrase (slop=3): each 'sort' occurrence anchors at
+    # most one match; slots 'merge' (+1) and 'query' (+2) take their
+    # minimal in-slop |displacement|; weight 1/(1 + d1 + d2)
+    o["ft_sloppy_phrase3_topk"] = f"""
+WITH {_BM25_CTES},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+anch AS (SELECT doc_id, ord FROM ordered WHERE term = 'sort'),
+d1 AS (SELECT a.doc_id, a.ord, min(abs(m.ord - a.ord - 1)) AS d
+       FROM anch a JOIN ordered m
+         ON m.doc_id = a.doc_id AND m.term = 'merge'
+        AND abs(m.ord - a.ord - 1) <= 3 GROUP BY 1, 2),
+d2 AS (SELECT a.doc_id, a.ord, min(abs(m.ord - a.ord - 2)) AS d
+       FROM anch a JOIN ordered m
+         ON m.doc_id = a.doc_id AND m.term = 'query'
+        AND abs(m.ord - a.ord - 2) <= 3 GROUP BY 1, 2),
+pf AS (SELECT a.doc_id, sum(1.0 / (1 + d1.d + d2.d)) AS pfreq
+       FROM anch a
+       JOIN d1 ON a.doc_id = d1.doc_id AND a.ord = d1.ord
+       JOIN d2 ON a.doc_id = d2.doc_id AND a.ord = d2.ord
+       GROUP BY a.doc_id),
+w AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge', 'query')),
 sc AS (
   SELECT pf.doc_id,
          w.wt * pf.pfreq

@@ -563,15 +563,18 @@ class IndexSearcher:
            one ``np.isin`` per phrase slot (no per-row Python loop).
 
         slop>0 (two-term): freq = sum over in-slop pairs of
-        1/(1+|displacement|) — see :class:`PhraseQuery` for the
-        documented deviation from SloppyPhraseMatcher's greedy walk."""
+        1/(1+|displacement|); slop>0 with n>=3 terms: each occurrence of
+        the FIRST term anchors one candidate match — every other slot i
+        must have some position within ``slop`` of (anchor + i), and the
+        match weighs 1/(1 + sum of per-slot minimal |displacement|s).
+        Both are documented deviations from SloppyPhraseMatcher's greedy
+        repositioning walk (same 1/(1+matchLength) weighting idea,
+        ``search/SloppyPhraseMatcher.java``), chosen because they are
+        exactly reproducible in set-based SQL for the oracle."""
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if self.reader.cfg.get("positions") is not True:
             raise ValueError("index was built without positions "
                              "(IndexConfig.positions=True required)")
-        if q.slop > 0 and len(q.terms) != 2:
-            raise NotImplementedError(
-                "slop>0 is supported for two-term phrases in v2")
         uniq_terms = sorted(set(q.terms))
         stats = self.reader.term_statistics(uniq_terms)
         if any(t not in stats for t in q.terms):
@@ -643,7 +646,7 @@ class IndexSearcher:
                     mask &= np.isin(k0 + i, ki)
                 pf = np.bincount(rows0[mask],
                                  minlength=nrows).astype(np.float64)
-            else:
+            elif n_terms == 2:
                 k1s, _ = keyed(plists[1])
                 pf = np.zeros(nrows, dtype=np.float64)
                 for e in range(-slop, slop + 1):
@@ -651,6 +654,27 @@ class IndexSearcher:
                     if m.any():
                         pf += (np.bincount(rows0[m], minlength=nrows)
                                / (1.0 + abs(e)))
+            else:
+                # n>=3: anchor on term0; per slot i the minimal in-slop
+                # |displacement| (checked in increasing |e| order, one
+                # np.isin per offset — no per-row Python)
+                disp_total = np.zeros(len(k0), dtype=np.float64)
+                valid = np.ones(len(k0), dtype=bool)
+                offsets_by_abs = sorted(range(-slop, slop + 1), key=abs)
+                for i in range(1, n_terms):
+                    ki, _ = keyed(plists[i])
+                    best = np.full(len(k0), np.inf)
+                    for e in offsets_by_abs:
+                        undecided = ~np.isfinite(best)
+                        if not undecided.any():
+                            break
+                        m = undecided & np.isin(k0 + i + e, ki)
+                        best[m] = abs(e)
+                    slot_ok = np.isfinite(best)
+                    valid &= slot_ok
+                    disp_total += np.where(slot_ok, best, 0.0)
+                w = np.where(valid, 1.0 / (1.0 + disp_total), 0.0)
+                pf = np.bincount(rows0, weights=w, minlength=nrows)
             return pd.Series(pf)
 
         with_pf = (joined

@@ -85,8 +85,10 @@ class PhraseQuery(Query):
     2, as in Lucene).  DOCUMENTED DEVIATION: Lucene's matcher greedily
     advances past consumed positions (non-overlapping matches); this
     engine weights ALL in-slop pairs — order-insensitive and exactly
-    reproducible by a relational oracle.  v2 supports slop>0 for
-    two-term phrases."""
+    reproducible by a relational oracle.  For n>=3 terms each occurrence
+    of the FIRST term anchors at most one match: every later slot i must
+    hold some position within slop of (anchor+i), weighted
+    ``1/(1 + sum of per-slot minimal |displacement|s)``."""
     terms: tuple[str, ...]
     boost: float = 1.0
     slop: int = 0

@@ -224,6 +224,52 @@ def test_sloppy_phrase_match_sets(slop_searcher, slop, expected_paths):
         assert hits[0]["path"] == "d1"
 
 
+@pytest.fixture(scope="module")
+def slop3_searcher(spark, tmp_root):
+    rows = [
+        ("r", "e1", "c", "x", "one two three"),          # exact
+        ("r", "e2", "c", "x", "one two gap three"),      # slot2 disp 1
+        ("r", "e3", "c", "x", "one gap two gap three"),  # disps 1+2
+        ("r", "e4", "c", "x", "three two one"),          # disps 2+4
+        ("r", "e5", "c", "x", "one two only"),           # no 'three'
+        ("r", "e6", "c", "x", "one two three one two three"),  # 2 anchors
+    ]
+    src = spark.createDataFrame(rows, "repo string, path string, "
+                                      "commit string, lang string, "
+                                      "content string")
+    d = os.path.join(tmp_root, "idx_slop3")
+    IndexBuilder(spark, d, IndexConfig(
+        n_buckets=4, n_doc_partitions=2, positions=True,
+        analyzer="whitespace", similarity="bm25_double")).build(src)
+    return IndexSearcher(IndexReader(spark, d))
+
+
+@pytest.mark.parametrize("slop,expected_paths", [
+    (0, {"e1", "e6"}),
+    (1, {"e1", "e2", "e6"}),
+    (2, {"e1", "e2", "e3", "e6"}),
+    (3, {"e1", "e2", "e3", "e6"}),
+    (4, {"e1", "e2", "e3", "e4", "e6"}),
+])
+def test_sloppy_phrase_three_terms_match_sets(slop3_searcher, slop,
+                                              expected_paths):
+    """n>=3 sloppy phrase: anchored per-slot min-displacement semantics
+    (documented deviation from SloppyPhraseMatcher's greedy walk)."""
+    q = PhraseQuery(("one", "two", "three"), slop=slop)
+    hits = slop3_searcher.search(q, k=10)
+    assert {h["path"] for h in hits} == expected_paths
+    if slop >= 1:
+        # two exact anchors (pf=2) outrank one exact (pf=1) outranks
+        # displaced matches (pf=1/2, 1/4, 1/7)
+        ordered = [h["path"] for h in hits]
+        assert ordered[:2] == ["e6", "e1"]
+        assert ordered.index("e1") < ordered.index("e2")
+        if slop >= 2:
+            assert ordered.index("e2") < ordered.index("e3")
+        if slop >= 4:
+            assert ordered.index("e3") < ordered.index("e4")
+
+
 @pytest.mark.parametrize("mode,gaps,expected", [
     ("ordered", 0, {"d1": 1}),
     ("ordered", 2, {"d1": 1, "d2": 1, "d4": 1}),
@@ -239,10 +285,12 @@ def test_interval_counts(slop_searcher, mode, gaps, expected):
     assert got == expected, (mode, gaps)
 
 
-def test_sloppy_phrase_multi_term_unsupported(slop_searcher):
-    with pytest.raises(NotImplementedError):
-        slop_searcher.search_df(
-            PhraseQuery(("alpha", "beta", "gap"), slop=1), k=5).collect()
+def test_sloppy_phrase_multi_term_runs(slop_searcher):
+    # 3-term sloppy phrase is supported (anchored min-displacement);
+    # "alpha beta gap" occurs contiguously only in d2/d4's texts
+    hits = slop_searcher.search_df(
+        PhraseQuery(("alpha", "gap", "beta"), slop=0), k=5).collect()
+    assert len(hits) == 1  # d2: "alpha gap beta"
 
 
 # ---------------------------------------------------------------------------
