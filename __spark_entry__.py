@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m.register("q_and", "+spark +merge")
         m.register("q_not", "window -batch")
         m.register("q_term", "dup")
+        m.register("q_phrase", '"sort merge"~1')  # verified on candidates
         return m.match_batch(_docs(s, d))
     q["mon_match_batch"] = mon_match_batch
 
@@ -814,8 +815,17 @@ minimal AS (SELECT doc_id, a, min(b) AS b FROM pairs GROUP BY doc_id, a)
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM minimal WHERE b - a - 1 <= 3 GROUP BY doc_id"""
 
-    # monitor/percolator: each registered query's match set
-    o["mon_match_batch"] = f"""WITH {_TOKS}
+    # monitor/percolator: each registered query's match set (the phrase
+    # query percolates positionally: any in-slop pair, slop=1)
+    o["mon_match_batch"] = f"""WITH {_TOKS},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL))
 SELECT doc_id, 'q_and' AS query_id FROM (
   SELECT doc_id FROM toks WHERE term IN ('spark', 'merge')
   GROUP BY doc_id HAVING count(DISTINCT term) = 2)
@@ -825,7 +835,12 @@ SELECT doc_id, 'q_not' FROM (
   HAVING max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 1
      AND max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) = 0)
 UNION ALL
-SELECT DISTINCT doc_id, 'q_term' FROM toks WHERE term = 'dup'"""
+SELECT DISTINCT doc_id, 'q_term' FROM toks WHERE term = 'dup'
+UNION ALL
+SELECT DISTINCT sp.doc_id, 'q_phrase'
+FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') sp
+JOIN (SELECT doc_id, ord FROM ordered WHERE term = 'merge') mp
+  ON sp.doc_id = mp.doc_id AND abs(mp.ord - sp.ord - 1) <= 1"""
 
     # mutable-index scenario: upsert + delete-by-term + compaction
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])

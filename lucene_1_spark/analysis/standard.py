@@ -90,6 +90,28 @@ class StandardAnalyzer:
             out.append((t, pos))
         return out
 
+    def tokens_with_offsets(self, text: str) \
+            -> list[tuple[str, int, int, int]]:
+        """(term, position, start_char, end_char) — the OffsetAttribute
+        analog (``analysis/tokenattributes/OffsetAttribute.java``):
+        character spans index the ORIGINAL text, so consumers (e.g. the
+        highlighter) can wrap exact source spans."""
+        if not text:
+            return []
+        out = []
+        pos = -1
+        for m in TOKEN_RE.finditer(text):
+            pos += 1
+            t = m.group()
+            if len(t) > self.max_token_length:
+                continue
+            if self.lowercase:
+                t = t.lower()
+            if t in self.stop_words:
+                continue
+            out.append((t, pos, m.start(), m.end()))
+        return out
+
 
 WHITESPACE = "whitespace"
 STANDARD = "standard"
@@ -111,6 +133,15 @@ class WhitespaceAnalyzer:
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
         return list(zip(self.tokens(text), range(10**9)))
+
+    def tokens_with_offsets(self, text: str) \
+            -> list[tuple[str, int, int, int]]:
+        """(term, position, start_char, end_char) over \\S+ runs."""
+        if not text:
+            return []
+        return [((m.group().lower() if self.lowercase else m.group()),
+                 pos, m.start(), m.end())
+                for pos, m in enumerate(re.finditer(r"\S+", text))]
 
 
 _REGISTRY = {

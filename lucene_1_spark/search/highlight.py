@@ -4,11 +4,13 @@ modules, declared in-scope for v2 at "useful subset" depth:
 
 - :func:`highlight` — passage extraction over a (doc_id, text) table:
   re-analyzes stored text (the UnifiedHighlighter ANALYSIS offset
-  strategy — our index stores no offsets, like its default), scores
-  fixed-size token windows by distinct matched query terms then total
-  matches, wraps matches in pre/post tags.  Runs as one Arrow-batched
-  pandas pass over the texts (string work is inherently per-doc; the
-  plan stays a single projection, no shuffle).
+  strategy), scores fixed-size token windows by distinct matched query
+  terms then total matches, and wraps matches using the analyzer's
+  OffsetAttribute spans (``tokens_with_offsets``) — exact source
+  character ranges, original case preserved — falling back to
+  approximate word-split passages for analyzers without offsets.
+  Runs as one Arrow-batched pandas pass over the texts (string work is
+  inherently per-doc; the plan stays a single projection, no shuffle).
 - :func:`suggest_terms` — prefix completion from the term dictionary
   ordered by doc_freq (PrefixCompletionQuery over a weighted FST in the
   reference; here the term-sorted, bucket-partitioned term_stats table
@@ -67,33 +69,50 @@ def highlight(texts: DataFrame, terms: set[str] | Query,
 
     def run(it):
         an = get_analyzer(an_name)
+        has_offsets = hasattr(an, "tokens_with_offsets")
         for pdf in it:
             ids, counts, snips = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 text = text or ""
-                toks = an.tokens_with_positions(text)
-                hit_pos = [p for t, p in toks if t in term_set]
-                if not hit_pos:
+                if has_offsets:
+                    toks = an.tokens_with_offsets(text)
+                else:
+                    toks = [(t, p, -1, -1)
+                            for t, p in an.tokens_with_positions(text)]
+                n_hits = sum(1 for t, _, _, _ in toks if t in term_set)
+                if not n_hits:
                     continue
                 # best window by (distinct terms, matches, earliest)
                 best, best_key = 0, (-1, -1, 0)
-                npos = max(p for _, p in toks) + 1 if toks else 0
+                npos = max(p for _, p, _, _ in toks) + 1 if toks else 0
                 for start in range(0, max(1, npos), max(window // 2, 1)):
-                    inwin = [(t, p) for t, p in toks
+                    inwin = [t for t, p, _, _ in toks
                              if start <= p < start + window and t in term_set]
-                    key = (len({t for t, _ in inwin}), len(inwin), -start)
+                    key = (len(set(inwin)), len(inwin), -start)
                     if key > best_key:
                         best_key, best = key, start
-                # reconstruct the passage from raw whitespace words around
-                # the window's token span (approximate char mapping)
-                words = text.split()
-                lo = max(0, best - 2)
-                passage = " ".join(words[lo:lo + window + 4])
-                for t in sorted(term_set, key=len, reverse=True):
-                    passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
-                                     f"{pre}\\1{post}", passage)
+                win = [tk for tk in toks if best <= tk[1] < best + window]
+                if has_offsets and win:
+                    # exact OffsetAttribute spans: slice the source text,
+                    # wrap each matched span in place (case preserved)
+                    c0, c1 = win[0][2], win[-1][3]
+                    parts, cur = [], c0
+                    for t, _, s, e in win:
+                        if t in term_set and s >= cur:
+                            parts += [text[cur:s], pre, text[s:e], post]
+                            cur = e
+                    parts.append(text[cur:c1])
+                    passage = "".join(parts)
+                else:
+                    # approximate fallback: word-split window + regex wrap
+                    words = text.split()
+                    lo = max(0, best - 2)
+                    passage = " ".join(words[lo:lo + window + 4])
+                    for t in sorted(term_set, key=len, reverse=True):
+                        passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
+                                         f"{pre}\\1{post}", passage)
                 ids.append(rid)
-                counts.append(len(hit_pos))
+                counts.append(n_hits)
                 snips.append(passage)
             yield pd.DataFrame({"doc_id": ids, "n_matches": counts,
                                 "snippet": snips})

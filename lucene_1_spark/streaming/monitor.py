@@ -15,9 +15,13 @@ counting replays the boolean semantics:
 - no MUST_NOT term present (counted on the same join, checked = 0).
 
 One shuffle keyed by term; scales with documents x matched-terms, never
-documents x queries.  v2 scope: flat term/boolean queries (the Monitor
-default); phrase/interval percolation would add a positions
-verification pass on the candidates — documented, not built.
+documents x queries.  Phrase queries percolate in two stages, exactly
+the reference's presearcher-then-run-the-query design
+(``monitor/TermFilteredPresearcher.java`` -> ``CandidateMatcher``):
+the term join requires every phrase term present (candidate pruning),
+then a positions verification kernel re-analyzes ONLY candidate docs
+and keeps (doc, query) pairs where the phrase occurs (exact or within
+slop, same semantics as :class:`PhraseQuery`).
 
 Streaming: wire :meth:`Monitor.match_batch` into
 ``writeStream.foreachBatch`` for continuous percolation.
@@ -25,10 +29,37 @@ Streaming: wire :meth:`Monitor.match_batch` into
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lucene_1_spark.search.query import (BooleanQuery, Occur, TermQuery,
-                                         parse_query)
+from lucene_1_spark.search.query import (BooleanQuery, Occur, PhraseQuery,
+                                         TermQuery, parse_query)
+
+
+def _phrase_occurs(pos: dict, terms: tuple, slop: int) -> bool:
+    """True iff the phrase matches once in a doc's term->positions map —
+    slop=0 consecutive; slop>0 per :class:`PhraseQuery` semantics
+    (2-term: any in-slop pair; n>=3: anchored per-slot displacement)."""
+    plists = [pos.get(t) for t in terms]
+    if any(p is None for p in plists):
+        return False
+    a0 = np.asarray(plists[0], dtype=np.int64)
+    if slop == 0:
+        ok = np.ones(len(a0), dtype=bool)
+        for i in range(1, len(terms)):
+            ok &= np.isin(a0 + i, np.asarray(plists[i], dtype=np.int64))
+        return bool(ok.any())
+    if len(terms) == 2:
+        b = np.asarray(plists[1], dtype=np.int64)
+        e = b[None, :] - a0[:, None] - 1
+        return bool((np.abs(e) <= slop).any())
+    ok = np.ones(len(a0), dtype=bool)
+    for i in range(1, len(terms)):
+        pi = np.asarray(plists[i], dtype=np.int64)
+        d = np.abs(pi[None, :] - (a0[:, None] + i))
+        ok &= (d <= slop).any(axis=1)
+    return bool(ok.any())
 
 
 class Monitor:
@@ -37,10 +68,21 @@ class Monitor:
         self.analyzer = analyzer
         self._rows: list[tuple] = []   # (query_id, term, occur)
         self._meta: list[tuple] = []   # (query_id, n_must, msm)
+        self._phrase_defs: dict[str, tuple[tuple, int]] = {}
 
     def register(self, query_id: str, query_text: str) -> None:
-        """Register a flat term/boolean query (MonitorQuery analog)."""
+        """Register a flat term/boolean or phrase query (MonitorQuery
+        analog)."""
         q = parse_query(query_text, self.analyzer)
+        if isinstance(q, PhraseQuery):
+            # presearcher: every distinct phrase term must be present;
+            # positions are verified on candidates in match_batch
+            self._phrase_defs[query_id] = (q.terms, int(q.slop))
+            uniq = sorted(set(q.terms))
+            for t in uniq:
+                self._rows.append((query_id, t, Occur.MUST.value))
+            self._meta.append((query_id, len(uniq), 0))
+            return
         if isinstance(q, TermQuery):
             clauses = [(q.term, Occur.SHOULD)]
             msm = 0
@@ -110,11 +152,53 @@ class Monitor:
                   .otherwise(0)).alias("should_hit"),
             F.sum(F.when(F.col("occur") == "MUST_NOT", 1)
                   .otherwise(0)).alias("mnot_hit")))
-        return (agg.join(F.broadcast(qm), "query_id")
-                .filter((F.col("must_hit") >= F.col("n_must"))
-                        & (F.col("should_hit") >= F.col("msm"))
-                        & (F.col("mnot_hit") == 0))
-                .select("doc_id", "query_id"))
+        matched = (agg.join(F.broadcast(qm), "query_id")
+                   .filter((F.col("must_hit") >= F.col("n_must"))
+                           & (F.col("should_hit") >= F.col("msm"))
+                           & (F.col("mnot_hit") == 0))
+                   .select("doc_id", "query_id"))
+        if not self._phrase_defs:
+            return matched
+        phrase_ids = sorted(self._phrase_defs)
+        flat = matched.filter(~F.col("query_id").isin(phrase_ids))
+        cands = matched.filter(F.col("query_id").isin(phrase_ids))
+        verified = self._verify_phrases(cands, docs, id_col, text_col)
+        return flat.unionByName(verified)
+
+    def _verify_phrases(self, cands: DataFrame, docs: DataFrame,
+                        id_col: str, text_col: str) -> DataFrame:
+        """Positions pass over candidate (doc, query) pairs only — the
+        CandidateMatcher stage: re-analyze each candidate doc once,
+        keep pairs whose phrase occurs (exact or in-slop)."""
+        import pandas as pd
+
+        from lucene_1_spark.analysis import get_analyzer
+        defs = dict(self._phrase_defs)
+        an_name = self.analyzer
+        joined = cands.join(
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.coalesce(F.col(text_col), F.lit(""))
+                        .alias("_text")), "doc_id")
+
+        def verify(it):
+            an = get_analyzer(an_name)
+            for pdf in it:
+                ids, qids = [], []
+                for did, grp in pdf.groupby("doc_id", sort=False):
+                    pos: dict = {}
+                    for p, t in enumerate(an.tokens(grp["_text"].iloc[0])):
+                        pos.setdefault(t, []).append(p)
+                    for qid in grp["query_id"]:
+                        terms, slop = defs[qid]
+                        if _phrase_occurs(pos, terms, slop):
+                            ids.append(did)
+                            qids.append(qid)
+                yield pd.DataFrame({
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "query_id": pd.array(qids, dtype="string"),
+                })
+
+        return joined.mapInPandas(verify, "doc_id long, query_id string")
 
     def foreach_batch(self, sink):
         """``writeStream.foreachBatch`` handler: percolate each

@@ -113,3 +113,27 @@ def test_english_index_end_to_end(spark, tmp_root):
     s = IndexSearcher(IndexReader(spark, d))
     hits = {h["path"] for h in s.search("connection", k=10)}
     assert hits == {"d0", "d1", "d2"}
+
+
+def test_offsets_attribute_standard():
+    """OffsetAttribute analog: spans index the ORIGINAL text (case
+    preserved at the source, term lowercased), positions advance past
+    filtered tokens."""
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("standard")
+    text = "Hello, World's  end"
+    out = an.tokens_with_offsets(text)
+    assert out == [("hello", 0, 0, 5), ("world's", 1, 7, 14),
+                   ("end", 2, 16, 19)]
+    for term, _, s, e in out:
+        assert text[s:e].lower() == term
+    # consistency with the positions attribute
+    assert [(t, p) for t, p, _, _ in out] == an.tokens_with_positions(text)
+
+
+def test_offsets_attribute_whitespace():
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("whitespace")
+    text = " Spark  SQL "
+    assert an.tokens_with_offsets(text) == [("spark", 0, 1, 6),
+                                            ("sql", 1, 8, 11)]

@@ -403,6 +403,21 @@ def test_highlight_passages(spark, ops_index):
     assert {r["doc_id"] for r in out} <= with_term
 
 
+def test_highlight_exact_offsets_preserve_case(spark):
+    """Offsets-based wrapping marks the exact source span — original
+    case survives inside the tags (the regex fallback would too, but
+    offsets also survive punctuation-adjacent tokens exactly)."""
+    from lucene_1_spark.search.highlight import highlight
+    texts = spark.createDataFrame(
+        [(0, "Spark, SPARK! and spark."), (1, "no match here")],
+        "doc_id long, text string")
+    out = highlight(texts, {"spark"}, analyzer="standard").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 0
+    assert out[0]["n_matches"] == 3
+    assert out[0]["snippet"] == \
+        "<b>Spark</b>, <b>SPARK</b>! and <b>spark</b>"
+
+
 def test_suggest_prefix_and_fuzzy(searcher):
     from lucene_1_spark.search.highlight import (suggest_terms,
                                                  suggest_terms_fuzzy)

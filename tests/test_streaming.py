@@ -87,17 +87,23 @@ def test_monitor_percolation(spark):
     m.register("q_and", "+spark +merge")
     m.register("q_not", "window -batch")
     m.register("q_term", "dup")
+    m.register("q_exact", '"spark merge"')
+    m.register("q_slop", '"spark window"~1')
     docs = spark.createDataFrame([
-        (0, "spark merge window"),        # q_and, q_not
-        (1, "spark window batch"),        # none (q_not killed by batch)
+        (0, "spark merge window"),        # q_and, q_not, q_exact, q_slop(gap1)
+        (1, "spark window batch"),        # q_slop only (q_not killed by batch)
         (2, "merge dup"),                 # q_term
         (3, "nothing relevant"),          # none
-        (4, "spark merge dup batch"),     # q_and, q_term
+        (4, "spark merge dup batch"),     # q_and, q_term, q_exact
+        (5, "merge spark"),               # q_and only (phrase order wrong)
+        (6, "spark gap gap window"),      # q_not (no q_slop: gap 2 > slop 1)
     ], "doc_id long, text string")
     got = {(r["doc_id"], r["query_id"])
            for r in m.match_batch(docs).collect()}
     assert got == {(0, "q_and"), (0, "q_not"), (2, "q_term"),
-                   (4, "q_and"), (4, "q_term")}
+                   (4, "q_and"), (4, "q_term"),
+                   (0, "q_exact"), (4, "q_exact"), (5, "q_and"),
+                   (0, "q_slop"), (1, "q_slop"), (6, "q_not")}
 
 
 def test_monitor_standard_analyzer_path(spark):
