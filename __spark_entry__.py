@@ -511,6 +511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
     q["ft_intervals_ordered"] = ft_intervals_ordered
 
+    def ft_intervals_ordered3(s, d):
+        """n-term ordered interval source (greedy minimal leapfrog)."""
+        from lucene_1_spark.search.intervals import ordered_interval_counts
+        se = _searcher(s, d)
+        out = ordered_interval_counts(se, ["sort", "merge", "query"],
+                                      max_gaps=6)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_ordered3"] = ft_intervals_ordered3
+
     def mon_match_batch(s, d):
         """Monitor/percolator: registered queries vs the documents batch."""
         from lucene_1_spark.streaming.monitor import Monitor
@@ -814,6 +826,35 @@ pairs AS (
 minimal AS (SELECT doc_id, a, min(b) AS b FROM pairs GROUP BY doc_id, a)
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM minimal WHERE b - a - 1 <= 3 GROUP BY doc_id"""
+
+    # n-term ordered intervals: greedy chain start -> smallest later
+    # 'merge' -> smallest later 'query'; minimal = last start per
+    # distinct end; gaps = (end - start + 1) - 3
+    o["ft_intervals_ordered3"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+anch AS (SELECT doc_id, ord AS s FROM ordered WHERE term = 'sort'),
+c1 AS (SELECT a.doc_id, a.s, min(m.ord) AS p1
+       FROM anch a JOIN ordered m
+         ON m.doc_id = a.doc_id AND m.term = 'merge' AND m.ord > a.s
+       GROUP BY 1, 2),
+c2 AS (SELECT c1.doc_id, c1.s, min(m.ord) AS e
+       FROM c1 JOIN ordered m
+         ON m.doc_id = c1.doc_id AND m.term = 'query' AND m.ord > c1.p1
+       GROUP BY 1, 2),
+minimal AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, e,
+           lead(e) OVER (PARTITION BY doc_id ORDER BY s) AS ne
+    FROM c2) WHERE ne IS NULL OR ne <> e)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM minimal WHERE (e - s + 1) - 3 <= 6 GROUP BY doc_id"""
 
     # monitor/percolator: each registered query's match set (the phrase
     # query percolates positionally: any in-slop pair, slop=1)

@@ -2,7 +2,7 @@
 ``lucene/queries/.../intervals/Intervals.java`` ordered/unordered
 sources with ``maxgaps``, re-expressed over the positional index.
 
-v2 scope: TWO-term interval sources (the common proximity pattern):
+Scope:
 
 - **ordered(a, b, max_gaps)** — minimal intervals where `a` precedes
   `b` with at most ``max_gaps`` positions between them.  Minimal
@@ -13,6 +13,11 @@ v2 scope: TWO-term interval sources (the common proximity pattern):
   either side within ``max_gaps`` (a documented simplification of
   UnorderedIntervalsSource's minimal-window walk: windows are deduped
   per `a`, not globally minimized).
+- **ordered_n(t1..tn, max_gaps)** (:func:`ordered_interval_counts`) —
+  n-term minimal ordered intervals via the greedy leapfrog: from each
+  t1 occurrence, chain to the smallest strictly-later t2, then t3, ...;
+  of the greedy intervals (ends are monotone in starts) only the
+  LAST start per distinct end is minimal.  gaps = (end - start + 1) - n.
 
 Execution reuses the phrase machinery shape: candidate docs from the
 cheap docs-only decode, positions decoded only for candidate-bearing
@@ -92,5 +97,79 @@ def interval_counts(searcher, term_a: str, term_b: str,
 
     return (joined.withColumn("n_intervals",
                               count_intervals("p0", "p1"))
+            .filter(F.col("n_intervals") > 0)
+            .select("doc_id", "n_intervals"))
+
+
+def ordered_interval_counts(searcher, terms: list[str],
+                            max_gaps: int = 0) -> DataFrame:
+    """(doc_id, n_intervals): minimal ordered n-term intervals with at
+    most ``max_gaps`` total gap positions — the general
+    ``Intervals.ordered(...)`` + ``Intervals.maxgaps(...)`` source
+    (``intervals/OrderedIntervalsSource.java``, minimal-interval
+    semantics via the greedy leapfrog)."""
+    if searcher.reader.cfg.get("positions") is not True:
+        raise ValueError("intervals need a positions=True index")
+    spark = searcher.spark
+    n_terms = len(terms)
+    if n_terms < 2:
+        raise ValueError("ordered intervals need >= 2 terms")
+    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    uniq = sorted(set(terms))
+    stats = searcher.reader.term_statistics(uniq)
+    if any(t not in stats for t in uniq):
+        return empty
+
+    from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                POSITIONS_SCHEMA)
+    blocks_all = searcher._blocks_for(uniq)
+    docs_only = blocks_all.mapInPandas(
+        searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+    cand = (docs_only.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(uniq)).select("doc_id"))
+    cand_b = F.broadcast(cand)
+
+    joined = None
+    for i, t in enumerate(terms):
+        blocks_t = blocks_all.filter(F.col("term") == t)
+        pruned = blocks_t.join(
+            cand_b, (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+                                  POSITIONS_SCHEMA)
+               .join(cand_b, "doc_id", "left_semi")
+               .select("doc_id", F.col("positions").alias(f"p{i}")))
+        joined = dec if joined is None else joined.join(dec, "doc_id")
+
+    g = int(max_gaps)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_ordered(*plists: pd.Series) -> pd.Series:
+        out = np.zeros(len(plists[0]), dtype=np.int64)
+        for r in range(len(plists[0])):
+            starts = np.asarray(plists[0].iloc[r], dtype=np.int64)
+            ends = starts.copy()
+            valid = np.ones(len(starts), dtype=bool)
+            for i in range(1, n_terms):
+                pi = np.asarray(plists[i].iloc[r], dtype=np.int64)
+                idx = np.searchsorted(pi, ends, side="right")
+                valid &= idx < len(pi)
+                ends = pi[np.minimum(idx, len(pi) - 1)]
+            s, e = starts[valid], ends[valid]
+            if len(s) == 0:
+                continue
+            # greedy ends are non-decreasing in start: the minimal
+            # interval per distinct end is the LAST (largest start)
+            keep = np.concatenate([e[:-1] != e[1:], [True]])
+            gaps = (e - s + 1) - n_terms
+            out[r] = int(((gaps <= g) & keep).sum())
+        return pd.Series(out)
+
+    return (joined.withColumn(
+                "n_intervals",
+                count_ordered(*[F.col(f"p{i}") for i in range(n_terms)]))
             .filter(F.col("n_intervals") > 0)
             .select("doc_id", "n_intervals"))

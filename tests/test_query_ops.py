@@ -270,6 +270,21 @@ def test_sloppy_phrase_three_terms_match_sets(slop3_searcher, slop,
             assert ordered.index("e3") < ordered.index("e4")
 
 
+@pytest.mark.parametrize("gaps,expected", [
+    (0, {"e1": 1, "e6": 2}),
+    (1, {"e1": 1, "e2": 1, "e6": 2}),
+    (2, {"e1": 1, "e2": 1, "e3": 1, "e6": 2}),
+])
+def test_ordered_interval_counts_n_terms(slop3_searcher, gaps, expected):
+    from lucene_1_spark.search.intervals import ordered_interval_counts
+    out = ordered_interval_counts(slop3_searcher,
+                                  ["one", "two", "three"], max_gaps=gaps)
+    docs = slop3_searcher.reader.docs().select("doc_id", "path")
+    got = {r["path"]: r["n_intervals"]
+           for r in out.join(docs, "doc_id").collect()}
+    assert got == expected
+
+
 @pytest.mark.parametrize("mode,gaps,expected", [
     ("ordered", 0, {"d1": 1}),
     ("ordered", 2, {"d1": 1, "d2": 1, "d4": 1}),
