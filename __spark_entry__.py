@@ -655,6 +655,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_topk(e, qv, k=10, bits=6, multiprobe=2)
     q["sim_ann_topk"] = sim_ann_topk
 
+    def sim_ivf_full_probe(s, d):
+        """IVF with nprobe = n_centroids scans every list — must equal
+        the exact cosine top-k (same oracle as sim_cosine_topk)."""
+        from lucene_1_spark.pipeline.similarity import ivf_ann_topk, ivf_fit
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = ivf_fit(e, n_centroids=8, iters=2)
+        return ivf_ann_topk(e, qv, cents, k=10, nprobe=8)
+    q["sim_ivf_full_probe"] = sim_ivf_full_probe
+
+    def sim_ivf_ann_topk(s, d):  # approximate — rows-only (no oracle)
+        """IVF partial probe (nprobe=2 of 8 lists, ~1/4 scan)."""
+        from lucene_1_spark.pipeline.similarity import ivf_ann_topk, ivf_fit
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = ivf_fit(e, n_centroids=8, iters=2)
+        return ivf_ann_topk(e, qv, cents, k=10, nprobe=2)
+    q["sim_ivf_ann_topk"] = sim_ivf_ann_topk
+
     # ---- text analysis ----
     def text_token_count(s, d):
         from lucene_1_spark.pipeline.textstats import token_count
@@ -1093,6 +1116,9 @@ cos AS (
   FROM pairs GROUP BY vec_id)
 SELECT vec_id, round(c, 6) AS cosine FROM cos
 ORDER BY c DESC, vec_id ASC LIMIT 10"""
+
+    # IVF at full probe scans every inverted list == exact cosine
+    o["sim_ivf_full_probe"] = o["sim_cosine_topk"]
 
     o["sim_near_dup_pairs"] = """
 WITH e2 AS (

@@ -167,10 +167,11 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     subset = ["ft_term_topk", "ft_or_topk", "ft_and_topk", "ft_filter_topk",
               "ft_prefix_topk", "ft_fuzzy_topk", "ft_sloppy_phrase_topk",
+              "ft_sloppy_phrase3_topk", "ft_intervals_ordered3",
               "ft_parent_join_topk", "ft_facet_lang", "ft_delete_topk",
               "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
-              "sim_cosine_topk", "sim_near_dup_pairs", "text_quality",
-              "text_fingerprint"]
+              "sim_cosine_topk", "sim_near_dup_pairs", "sim_ivf_ann_topk",
+              "text_quality", "text_fingerprint"]
     qs = entrymod.queries()
     out = {}
     for name in subset:
@@ -178,16 +179,22 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         qs[name](spark, sf_dir).collect()
         out[name] = round(time.time() - t0, 3)
 
-    # quantified ANN approximation: recall@10 vs exact cosine
+    # quantified ANN approximation: recall@10 vs exact cosine, both paths
     from pyspark.sql import functions as F
 
-    from lucene_1_spark.pipeline.similarity import ann_recall_at_k
+    from lucene_1_spark.pipeline.similarity import ann_recall_at_k, ivf_fit
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
     out["ann_recall_at_10"] = round(ann_recall_at_k(
         emb, query_ids=[0, 1, 2, 3, 4], k=10,
         bits=6, multiprobe=2, tables=4), 3)
     out["ann_recall_eval_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    cents = ivf_fit(emb, n_centroids=16, iters=2)
+    out["ivf_recall_at_10"] = round(ann_recall_at_k(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10,
+        method="ivf", centroids=cents, nprobe=4), 3)
+    out["ivf_recall_eval_sec"] = round(time.time() - t0, 3)
     spark.stop()
     return out
 

@@ -44,8 +44,8 @@ def test_every_query_has_shape():
     assert len(qs) >= 25
     assert set(osql) <= set(qs)
     # only the explicitly-approximate/stubbed/non-SQL ops lack an oracle
-    assert set(qs) - set(osql) == {"sim_ann_topk", "mm_image_features",
-                                   "ft_highlight"}
+    assert set(qs) - set(osql) == {"sim_ann_topk", "sim_ivf_ann_topk",
+                                   "mm_image_features", "ft_highlight"}
 
 
 @pytest.mark.parametrize("name", [

@@ -97,6 +97,37 @@ def test_ann_recall_at_k_clustered(spark):
     assert rec >= 0.9, rec
 
 
+def test_ivf_full_probe_equals_exact(spark):
+    """IVF with nprobe = n_centroids scans every inverted list, so it
+    must reproduce the exact cosine top-k bit-for-bit."""
+    from lucene_1_spark.pipeline.similarity import (cosine_topk,
+                                                    ivf_ann_topk, ivf_fit)
+    e = _clustered_embeddings(spark)
+    qv = [float(x)
+          for x in e.filter("vec_id = 7").first()["embedding"]]
+    cents = ivf_fit(e, n_centroids=8, iters=2)
+    assert cents.shape == (8, 16)
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(e, qv, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_ann_topk(e, qv, cents, k=10, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_recall_at_k_clustered(spark):
+    """IVF partial probe: recall@10 >= 0.9 on planted clusters with a
+    quarter of the lists probed; the fit is deterministic."""
+    from lucene_1_spark.pipeline.similarity import ann_recall_at_k, ivf_fit
+    e = _clustered_embeddings(spark)
+    c1 = ivf_fit(e, n_centroids=16, iters=3)
+    c2 = ivf_fit(e, n_centroids=16, iters=3)
+    import numpy as np
+    assert np.array_equal(c1, c2)  # no RNG in the job
+    rec = ann_recall_at_k(e, query_ids=[0, 30, 77, 120, 155], k=10,
+                          method="ivf", centroids=c1, nprobe=4)
+    assert rec >= 0.9, rec
+
+
 def test_lsh_near_dup_pairs_match_exact(spark):
     from lucene_1_spark.pipeline.similarity import (
         embedding_near_dup_pairs, embedding_near_dup_pairs_exact)
