@@ -81,10 +81,54 @@ class IndexReader:
 
     def term_statistics(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """{term: (doc_freq, total_term_freq)} — the TermStates.build
-        analog (``index/TermStates.java:96-160``); touches only the
-        term's hash bucket partitions."""
+        analog (``index/TermStates.java:96-160``).
+
+        This is the term-dictionary SEEK, and it runs entirely on the
+        driver: the table is hash-partitioned by bucket and term-sorted
+        within files, so a pyarrow filtered read touches only the k
+        bucket directories and, via row-group min/max statistics, only
+        the row groups that can hold the terms — no Spark job per query
+        (previously ~0.2-0.4 s of pure scheduling per search).  Results
+        are memoized per reader (snapshot semantics: a reader is a
+        point-in-time view, so caching is exact).  Falls back to the
+        Spark scan on any pyarrow failure."""
         if not terms:
             return {}
+        cache = self.__dict__.setdefault("_ts_cache", {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            try:
+                found = self._term_statistics_arrow(missing)
+            except Exception:
+                found = self._term_statistics_spark(missing)
+            for t in missing:
+                cache[t] = found.get(t)  # None = absent (negative cache)
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def _term_statistics_arrow(self, terms: list[str]) \
+            -> dict[str, tuple[int, int]]:
+        import pyarrow.dataset as ds
+        path = self.table_path("term_stats")
+        dirs = sorted({os.path.join(path, f"bucket={b}")
+                       for b in self.buckets_of(terms).values()})
+        files = [os.path.join(d, f)
+                 for d in dirs if os.path.isdir(d)
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not files:
+            return {}
+        out: dict[str, tuple[int, int]] = {}
+        tbl = (ds.dataset(files, format="parquet")
+               .to_table(columns=["term", "doc_freq", "total_term_freq"],
+                         filter=ds.field("term").isin(terms)))
+        for t, df_, ttf in zip(tbl.column("term").to_pylist(),
+                               tbl.column("doc_freq").to_pylist(),
+                               tbl.column("total_term_freq").to_pylist()):
+            prev = out.get(t, (0, 0))  # multi-file segments: sum
+            out[t] = (prev[0] + int(df_), prev[1] + int(ttf))
+        return out
+
+    def _term_statistics_spark(self, terms: list[str]) \
+            -> dict[str, tuple[int, int]]:
         buckets = sorted(set(self.buckets_of(terms).values()))
         df = (self.term_stats()
               .filter(F.col("bucket").isin(buckets))
