@@ -523,6 +523,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
     q["ft_intervals_ordered3"] = ft_intervals_ordered3
 
+    def ft_intervals_containing(s, d):
+        """Intervals.containing: ordered(sort..merge) intervals that
+        hold an occurrence of 'a'."""
+        from lucene_1_spark.search.intervals import containment_counts
+        se = _searcher(s, d)
+        out = containment_counts(se, ["sort", "merge"], ["a"],
+                                 "containing", outer_gaps=3)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_containing"] = ft_intervals_containing
+
     def mon_match_batch(s, d):
         """Monitor/percolator: registered queries vs the documents batch."""
         from lucene_1_spark.streaming.monitor import Monitor
@@ -878,6 +891,33 @@ minimal AS (
     FROM c2) WHERE ne IS NULL OR ne <> e)
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM minimal WHERE (e - s + 1) - 3 <= 6 GROUP BY doc_id"""
+
+    # Intervals.containing: minimal ordered(sort..merge) intervals
+    # (gaps <= 3) holding an 'a' occurrence
+    o["ft_intervals_containing"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+A AS (SELECT doc_id, ord FROM ordered WHERE term = 'sort'),
+B AS (SELECT doc_id, ord FROM ordered WHERE term = 'merge'),
+pairs AS (
+  SELECT B.doc_id, B.ord AS b, max(A.ord) AS a
+  FROM B JOIN A ON A.doc_id = B.doc_id AND A.ord < B.ord
+  GROUP BY B.doc_id, B.ord),
+minimal AS (SELECT doc_id, a, min(b) AS b FROM pairs GROUP BY doc_id, a),
+iv AS (SELECT doc_id, a, b FROM minimal WHERE (b - a + 1) - 2 <= 3),
+hit AS (
+  SELECT iv.doc_id, iv.a, iv.b FROM iv
+  WHERE EXISTS (SELECT 1 FROM ordered p
+                WHERE p.doc_id = iv.doc_id AND p.term = 'a'
+                  AND p.ord BETWEEN iv.a AND iv.b))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM hit GROUP BY doc_id"""
 
     # monitor/percolator: each registered query's match set (the phrase
     # query percolates positionally: any in-slop pair, slop=1)

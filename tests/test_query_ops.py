@@ -285,6 +285,27 @@ def test_ordered_interval_counts_n_terms(slop3_searcher, gaps, expected):
     assert got == expected
 
 
+@pytest.mark.parametrize("mode,outer,inner,og,ig,expected", [
+    # ordered(one..three) spans: e1 (0,2); e2 (0,3); e3 (0,4);
+    # e6 (0,2) and (3,5)
+    ("containing", ["one", "three"], ["two"], 3, 0,
+     {"e1": 1, "e2": 1, "e3": 1, "e6": 2}),
+    ("not_containing", ["one", "three"], ["gap"], 3, 0,
+     {"e1": 1, "e6": 2}),              # e2 (0,3) holds gap@2; e3 too
+    ("contained_by", ["two"], ["one", "three"], 0, 3,
+     {"e1": 1, "e2": 1, "e3": 1, "e6": 2}),
+])
+def test_containment_combinators(slop3_searcher, mode, outer, inner,
+                                 og, ig, expected):
+    from lucene_1_spark.search.intervals import containment_counts
+    out = containment_counts(slop3_searcher, outer, inner, mode,
+                             outer_gaps=og, inner_gaps=ig)
+    docs = slop3_searcher.reader.docs().select("doc_id", "path")
+    got = {r["path"]: r["n_intervals"]
+           for r in out.join(docs, "doc_id").collect()}
+    assert got == expected
+
+
 @pytest.mark.parametrize("mode,gaps,expected", [
     ("ordered", 0, {"d1": 1}),
     ("ordered", 2, {"d1": 1, "d2": 1, "d4": 1}),
