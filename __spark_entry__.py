@@ -443,6 +443,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_terms(se.reader, "s", k=5)
     q["ft_suggest_prefix"] = ft_suggest_prefix
 
+    def ft_suggest_infix(s, d):
+        """Infix completion (AnalyzingInfixSuggester analog)."""
+        from lucene_1_spark.search.highlight import suggest_terms_infix
+        se = _searcher(s, d)
+        return suggest_terms_infix(se.reader, "ue", k=5)
+    q["ft_suggest_infix"] = ft_suggest_infix
+
     def ft_highlight(s, d):  # rows-only: snippet strings have no SQL twin
         """UnifiedHighlighter analog over the documents table."""
         from lucene_1_spark.search.highlight import highlight
@@ -957,6 +964,11 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')"""
     o["ft_suggest_prefix"] = f"""WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
 FROM toks WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
+
+    o["ft_suggest_infix"] = f"""WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
+FROM toks WHERE term LIKE '%ue%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
     # ft_highlight: intentionally no oracle (snippet extraction is not
     # SQL-expressible) -> rows-only check

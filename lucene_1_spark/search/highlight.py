@@ -132,6 +132,19 @@ def suggest_terms(reader, prefix: str, k: int = 5) -> DataFrame:
             .limit(k))
 
 
+def suggest_terms_infix(reader, fragment: str, k: int = 5) -> DataFrame:
+    """AnalyzingInfixSuggester analog (``suggest/analyzing/
+    AnalyzingInfixSuggester.java``): completions CONTAINING the typed
+    fragment anywhere, weight-ordered.  An infix match can't use the
+    term-sorted row-group pruning (full dictionary scan, like the
+    reference's separate suggest index does its own search)."""
+    return (reader.term_stats()
+            .filter(F.col("term").contains(fragment))
+            .select("term", F.col("doc_freq").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k))
+
+
 def suggest_terms_fuzzy(reader, text: str, max_edits: int = 1,
                         k: int = 5) -> DataFrame:
     """FuzzyCompletionQuery analog: completions within ``max_edits`` of

@@ -464,6 +464,10 @@ def test_suggest_prefix_and_fuzzy(searcher):
     fz = [r["term"] for r in
           suggest_terms_fuzzy(searcher.reader, "tok1", 1, k=5).collect()]
     assert "tok1" in fz
+    from lucene_1_spark.search.highlight import suggest_terms_infix
+    inf = [r["term"] for r in
+           suggest_terms_infix(searcher.reader, "ok1", k=5).collect()]
+    assert inf and all("ok1" in t for t in inf)
 
 
 # ---------------------------------------------------------------------------
