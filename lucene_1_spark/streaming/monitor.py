@@ -68,35 +68,46 @@ class Monitor:
         self.analyzer = analyzer
         self._rows: list[tuple] = []   # (query_id, term, occur)
         self._meta: list[tuple] = []   # (query_id, n_must, msm)
-        self._phrase_defs: dict[str, tuple[tuple, int]] = {}
+        # query_id -> list of (phrase terms, slop); ALL must occur
+        self._phrase_defs: dict[str, list[tuple[tuple, int]]] = {}
 
     def register(self, query_id: str, query_text: str) -> None:
-        """Register a flat term/boolean or phrase query (MonitorQuery
-        analog)."""
+        """Register a term/boolean/phrase query (MonitorQuery analog).
+        Phrase clauses are supported top-level and as MUST/FILTER
+        clauses of a BooleanQuery: their distinct terms join the
+        required presence set (presearcher pruning) and positions are
+        verified on candidates in match_batch.  SHOULD/MUST_NOT phrase
+        clauses are out of scope (documented)."""
         q = parse_query(query_text, self.analyzer)
+        phrases: list[tuple[tuple, int]] = []
         if isinstance(q, PhraseQuery):
-            # presearcher: every distinct phrase term must be present;
-            # positions are verified on candidates in match_batch
-            self._phrase_defs[query_id] = (q.terms, int(q.slop))
-            uniq = sorted(set(q.terms))
-            for t in uniq:
-                self._rows.append((query_id, t, Occur.MUST.value))
-            self._meta.append((query_id, len(uniq), 0))
-            return
-        if isinstance(q, TermQuery):
+            phrases.append((q.terms, int(q.slop)))
+            clauses = [(t, Occur.MUST) for t in sorted(set(q.terms))]
+            msm = 0
+        elif isinstance(q, TermQuery):
             clauses = [(q.term, Occur.SHOULD)]
             msm = 0
         elif isinstance(q, BooleanQuery):
             clauses = []
             for c in q.clauses:
-                if not isinstance(c.query, TermQuery):
+                if isinstance(c.query, PhraseQuery):
+                    if c.occur not in (Occur.MUST, Occur.FILTER):
+                        raise NotImplementedError(
+                            "Monitor percolates phrase clauses only as "
+                            "MUST/FILTER")
+                    phrases.append((c.query.terms, int(c.query.slop)))
+                    for t in sorted(set(c.query.terms)):
+                        clauses.append((t, Occur.MUST))
+                elif isinstance(c.query, TermQuery):
+                    clauses.append((c.query.term, c.occur))
+                else:
                     raise NotImplementedError(
-                        "Monitor v2 percolates flat term/boolean queries")
-                clauses.append((c.query.term, c.occur))
+                        "Monitor percolates flat term/boolean/phrase "
+                        "queries")
             msm = q.minimum_should_match
         else:
             raise NotImplementedError(
-                "Monitor v2 percolates flat term/boolean queries")
+                "Monitor percolates flat term/boolean/phrase queries")
         n_must = sum(1 for _, o in clauses
                      if o in (Occur.MUST, Occur.FILTER))
         n_should = sum(1 for _, o in clauses if o == Occur.SHOULD)
@@ -105,6 +116,8 @@ class Monitor:
         for term, occur in clauses:
             self._rows.append((query_id, term, occur.value))
         self._meta.append((query_id, n_must, msm))
+        if phrases:
+            self._phrase_defs[query_id] = phrases
 
     def _tables(self) -> tuple[DataFrame, DataFrame]:
         qt = self.spark.createDataFrame(
@@ -189,8 +202,8 @@ class Monitor:
                     for p, t in enumerate(an.tokens(grp["_text"].iloc[0])):
                         pos.setdefault(t, []).append(p)
                     for qid in grp["query_id"]:
-                        terms, slop = defs[qid]
-                        if _phrase_occurs(pos, terms, slop):
+                        if all(_phrase_occurs(pos, terms, slop)
+                               for terms, slop in defs[qid]):
                             ids.append(did)
                             qids.append(qid)
                 yield pd.DataFrame({

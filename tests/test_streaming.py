@@ -89,6 +89,7 @@ def test_monitor_percolation(spark):
     m.register("q_term", "dup")
     m.register("q_exact", '"spark merge"')
     m.register("q_slop", '"spark window"~1')
+    m.register("q_bp", '+dup +"spark merge"')  # phrase inside boolean
     docs = spark.createDataFrame([
         (0, "spark merge window"),        # q_and, q_not, q_exact, q_slop(gap1)
         (1, "spark window batch"),        # q_slop only (q_not killed by batch)
@@ -103,7 +104,8 @@ def test_monitor_percolation(spark):
     assert got == {(0, "q_and"), (0, "q_not"), (2, "q_term"),
                    (4, "q_and"), (4, "q_term"),
                    (0, "q_exact"), (4, "q_exact"), (5, "q_and"),
-                   (0, "q_slop"), (1, "q_slop"), (6, "q_not")}
+                   (0, "q_slop"), (1, "q_slop"), (6, "q_not"),
+                   (4, "q_bp")}
 
 
 def test_monitor_standard_analyzer_path(spark):
