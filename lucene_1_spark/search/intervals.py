@@ -9,6 +9,10 @@ Scope:
   intervals computed exactly: for each occurrence of `b`, the closest
   preceding `a`; of intervals sharing that `a`, only the shortest is
   minimal (``intervals/OrderedIntervalsSource.java`` semantics).
+- **unordered_n(t1..tn, max_gaps)** (:func:`unordered_interval_counts`)
+  — minimal unordered n-term windows via the classic smallest-window
+  sweep (advance the list holding the window minimum; suffix-min
+  minimality filter).
 - **unordered(a, b, max_gaps)** — for each `a`, the nearest `b` on
   either side within ``max_gaps`` (a documented simplification of
   UnorderedIntervalsSource's minimal-window walk: windows are deduped
@@ -183,6 +187,91 @@ def _ordered_spans(searcher, terms: list[str],
                 "_se", spans(*[F.col(f"p{i}") for i in range(n_terms)]))
             .select("doc_id", F.col("_se")[0].alias("starts"),
                     F.col("_se")[1].alias("ends")))
+
+
+def unordered_interval_counts(searcher, terms: list[str],
+                              max_gaps: int = 0) -> DataFrame:
+    """(doc_id, n_intervals): minimal unordered n-term windows with at
+    most ``max_gaps`` gap positions — ``Intervals.unordered`` for any
+    arity (``intervals/UnorderedIntervalsSource.java`` minimal-window
+    semantics): the classic smallest-window sweep (advance the list
+    holding the window's minimum), then drop windows containing a later
+    window (suffix-min filter)."""
+    if searcher.reader.cfg.get("positions") is not True:
+        raise ValueError("intervals need a positions=True index")
+    spark = searcher.spark
+    n_terms = len(terms)
+    if n_terms < 2:
+        raise ValueError("unordered intervals need >= 2 terms")
+    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    uniq = sorted(set(terms))
+    stats = searcher.reader.term_statistics(uniq)
+    if any(t not in stats for t in uniq):
+        return empty
+    # positions per term for candidate docs (same plumbing as ordered)
+    joined = None
+    from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                POSITIONS_SCHEMA)
+    blocks_all = searcher._blocks_for(uniq)
+    docs_only = blocks_all.mapInPandas(
+        searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+    cand = (docs_only.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(uniq)).select("doc_id"))
+    cand_b = F.broadcast(cand)
+    for i, t in enumerate(uniq):
+        blocks_t = blocks_all.filter(F.col("term") == t)
+        pruned = blocks_t.join(
+            cand_b, (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+                                  POSITIONS_SCHEMA)
+               .join(cand_b, "doc_id", "left_semi")
+               .select("doc_id", F.col("positions").alias(f"p{i}")))
+        joined = dec if joined is None else joined.join(dec, "doc_id")
+
+    g = int(max_gaps)
+    k = len(uniq)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_windows(*plists: pd.Series) -> pd.Series:
+        import heapq
+        out = np.zeros(len(plists[0]), dtype=np.int64)
+        for r in range(len(plists[0])):
+            lists = [np.asarray(plists[i].iloc[r], dtype=np.int64)
+                     for i in range(k)]
+            heads = [0] * k
+            heap = [(int(lists[i][0]), i) for i in range(k)]
+            heapq.heapify(heap)
+            cur_max = max(int(lists[i][0]) for i in range(k))
+            ws, we = [], []
+            while True:
+                mn, i = heap[0]
+                ws.append(mn)
+                we.append(cur_max)
+                heads[i] += 1
+                if heads[i] >= len(lists[i]):
+                    break
+                nxt = int(lists[i][heads[i]])
+                heapq.heapreplace(heap, (nxt, i))
+                cur_max = max(cur_max, nxt)
+            s = np.asarray(ws, dtype=np.int64)
+            e = np.asarray(we, dtype=np.int64)
+            # minimal: no later window (start ascending) with e' <= e
+            sufmin = np.minimum.accumulate(e[::-1])[::-1]
+            keep = np.ones(len(e), dtype=bool)
+            keep[:-1] = e[:-1] < sufmin[1:]
+            keep &= ((e - s + 1) - k) <= g
+            out[r] = int(keep.sum())
+        return pd.Series(out)
+
+    return (joined.withColumn(
+                "n_intervals",
+                count_windows(*[F.col(f"p{i}") for i in range(k)]))
+            .filter(F.col("n_intervals") > 0)
+            .select("doc_id", "n_intervals"))
 
 
 def containment_counts(searcher, outer_terms: list[str],

@@ -285,6 +285,23 @@ def test_ordered_interval_counts_n_terms(slop3_searcher, gaps, expected):
     assert got == expected
 
 
+@pytest.mark.parametrize("gaps,expected", [
+    # windows over (one,two,three): e1 [0,2]; e4 "three two one" [0,2]
+    # (unordered!); e6 four overlapping minimal [i,i+2] windows
+    (0, {"e1": 1, "e4": 1, "e6": 4}),
+    (1, {"e1": 1, "e2": 1, "e4": 1, "e6": 4}),
+    (2, {"e1": 1, "e2": 1, "e3": 1, "e4": 1, "e6": 4}),
+])
+def test_unordered_interval_counts_n_terms(slop3_searcher, gaps, expected):
+    from lucene_1_spark.search.intervals import unordered_interval_counts
+    out = unordered_interval_counts(slop3_searcher,
+                                    ["one", "two", "three"], max_gaps=gaps)
+    docs = slop3_searcher.reader.docs().select("doc_id", "path")
+    got = {r["path"]: r["n_intervals"]
+           for r in out.join(docs, "doc_id").collect()}
+    assert got == expected
+
+
 @pytest.mark.parametrize("mode,outer,inner,og,ig,expected", [
     # ordered(one..three) spans: e1 (0,2); e2 (0,3); e3 (0,4);
     # e6 (0,2) and (3,5)
