@@ -199,3 +199,65 @@ def test_maybe_compact_policy(spark, tmp_root, corpus):
            .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
            .filter(F.col("nb") != F.ceil(F.col("df") / 128)).count())
     assert bad == 0
+
+
+def test_fused_build_resume_after_staging_crash(spark, tmp_root, corpus):
+    """Crash right after the fused staging write, before ANY checkpoint:
+    resume must discard the orphan staging and rebuild to a state
+    identical to an uninterrupted build."""
+    from lucene_1_spark.index.builder import pack_blocks_df, range_partition
+    pdf = corpus.iloc[:200]
+    src = spark.createDataFrame(pdf).repartition(4, "repo")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=4)
+    d_ref = os.path.join(tmp_root, "idx_fused_ref")
+    IndexBuilder(spark, d_ref, cfg).build(src)
+
+    d = os.path.join(tmp_root, "idx_fused_crash1")
+    b = IndexBuilder(spark, d, cfg)
+    os.makedirs(d, exist_ok=True)
+    keyed, offsets = range_partition(src, cfg)
+    pack_blocks_df(keyed, offsets, cfg, emit_docs=True) \
+        .write.mode("overwrite").partitionBy("kind", "bucket") \
+        .parquet(b.path("postings_staging"))
+    keyed.unpersist()
+    # --- crash (no checkpoints, no docs, orphan staging); resume ---
+    IndexBuilder(spark, d, cfg).build(src)
+    assert not os.path.exists(os.path.join(d, "postings_staging"))
+    for tbl in ("term_stats",):
+        a = sorted(map(tuple, spark.read.parquet(
+            os.path.join(d_ref, tbl)).collect()))
+        bb = sorted(map(tuple, spark.read.parquet(
+            os.path.join(d, tbl)).collect()))
+        assert a == bb
+    sa = IndexSearcher(IndexReader(spark, d_ref))
+    sb = IndexSearcher(IndexReader(spark, d))
+    for q in ["tok0", "tok1 tok2", "+tok3 +tok4"]:
+        assert _hits(sa, q) == _hits(sb, q), q
+
+
+def test_fused_build_resume_after_docs_commit(spark, tmp_root, corpus):
+    """Crash after the docs table committed but before staged postings
+    checkpoints: the resume re-packs blocks WITHOUT re-emitting docs
+    (emit_docs=False path) and finishes to a correct index."""
+    pdf = corpus.iloc[:200]
+    src = spark.createDataFrame(pdf).repartition(4, "repo")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=4)
+    d_ref = os.path.join(tmp_root, "idx_fused_ref2")
+    IndexBuilder(spark, d_ref, cfg).build(src)
+
+    d = os.path.join(tmp_root, "idx_fused_crash2")
+    b = IndexBuilder(spark, d, cfg)
+    os.makedirs(d, exist_ok=True)
+    b.build_docs(src)   # docs committed the two-pass way
+    b._release()
+    assert b._stage_done("docs")
+    # --- crash before any postings work; resume via fused build ---
+    IndexBuilder(spark, d, cfg).build(src)
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 200
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    a = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d_ref, "term_stats")).collect()))
+    bb = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d, "term_stats")).collect()))
+    assert a == bb
