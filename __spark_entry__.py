@@ -103,7 +103,7 @@ def _mut_searcher(spark: SparkSession, sf_dir: str):
     if key in _MUT_SEARCHERS:
         return _MUT_SEARCHERS[key]
     idx_dir = os.path.join(
-        tempfile.gettempdir(), "l1s_driver_mut_v1",
+        tempfile.gettempdir(), "l1s_driver_mut_v2",
         hashlib.md5(key.encode()).hexdigest()[:12])
     marker = os.path.join(idx_dir, "MUTATION_DONE")
     if not os.path.exists(marker):
@@ -436,6 +436,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            PhraseQuery(("sort", "merge", "query"), slop=3))
     q["ft_sloppy_phrase3_topk"] = ft_sloppy_phrase3_topk
 
+    # ---- composite booleans: non-term clauses (BooleanClause.java) ----
+    q["ft_bool_phrase_topk"] = lambda s, d: _topk(s, d, '+spark +"sort merge"')
+    q["ft_bool_phrase_not"] = lambda s, d: _topk(s, d, '"sort merge" -window')
+
+    def ft_bool_constscore(s, d):
+        """ConstantScoreQuery as a MUST clause: bm25(spark) + 0.5."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 ConstantScoreQuery, Occur,
+                                                 TermQuery)
+        bq = BooleanQuery((
+            Clause(TermQuery("spark"), Occur.MUST),
+            Clause(ConstantScoreQuery(TermQuery("merge"), 0.5), Occur.MUST)))
+        return _topk_query(s, d, bq)
+    q["ft_bool_constscore"] = ft_bool_constscore
+
     def ft_suggest_prefix(s, d):
         """Weighted prefix completion from the term dictionary."""
         from lucene_1_spark.search.highlight import suggest_terms
@@ -529,6 +544,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.join(docs, "doc_id")
                 .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
     q["ft_intervals_ordered3"] = ft_intervals_ordered3
+
+    def ft_intervals_unordered(s, d):
+        """Unordered n-term minimal windows (Intervals.unordered +
+        maxgaps) — vectorized smallest-window sweep."""
+        from lucene_1_spark.search.intervals import unordered_interval_counts
+        se = _searcher(s, d)
+        out = unordered_interval_counts(se, ["sort", "merge", "query"],
+                                        max_gaps=8)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_unordered"] = ft_intervals_unordered
 
     def ft_intervals_containing(s, d):
         """Intervals.containing: ordered(sort..merge) intervals that
@@ -630,8 +658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_groups"] = dedup_exact_groups
 
     def dedup_ngram_jaccard(s, d):
+        """Hot-shingle cap active (the 100-TB stop-shingle mitigation):
+        shingles shared by > 10k docs leave the universe — chosen far
+        above the sf0.1 max shingle df, so results here are unchanged
+        while the wired path can no longer go quadratic on boilerplate."""
         from lucene_1_spark.pipeline.dedup import ngram_jaccard_pairs
-        return ngram_jaccard_pairs(_docs2(s, d), n=3, threshold=0.9)
+        return ngram_jaccard_pairs(_docs2(s, d), n=3, threshold=0.9,
+                                   max_shingle_df=10_000)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_minhash_lsh(s, d):
@@ -899,6 +932,39 @@ minimal AS (
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM minimal WHERE (e - s + 1) - 3 <= 6 GROUP BY doc_id"""
 
+    # unordered minimal 3-term windows (<=8 gaps): the smallest-window
+    # sweep relationally — when position s is a window minimum, each
+    # term's head is its smallest position >= s; window end = max of
+    # heads; minimal = no later window with e' <= e (strict suffix-min)
+    o["ft_intervals_unordered"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+P AS (SELECT doc_id, ord FROM ordered
+      WHERE term IN ('sort', 'merge', 'query')),
+nxt AS (
+  SELECT p.doc_id, p.ord AS s, o.term, min(o.ord) AS nx
+  FROM P p JOIN ordered o
+    ON o.doc_id = p.doc_id AND o.ord >= p.ord
+   AND o.term IN ('sort', 'merge', 'query')
+  GROUP BY 1, 2, 3),
+w AS (SELECT doc_id, s, max(nx) AS e FROM nxt GROUP BY 1, 2
+      HAVING count(*) = 3),
+mn AS (SELECT doc_id, s, e,
+        min(e) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        AS later_min
+       FROM w)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mn
+WHERE (later_min IS NULL OR e < later_min) AND (e - s + 1) - 3 <= 8
+GROUP BY doc_id"""
+
     # Intervals.containing: minimal ordered(sort..merge) intervals
     # (gaps <= 3) holding an 'a' occurrence
     o["ft_intervals_containing"] = """
@@ -1028,6 +1094,71 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
 
+    # composite boolean: MUST term + MUST exact phrase — doc needs both,
+    # score = bm25(spark) + phrase pseudo-term score (sub-plan join)
+    _ORDERED_CTE = """ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL))"""
+    _PHRASE_PF = """pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pfreq FROM (
+    SELECT doc_id, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM ordered)
+  WHERE term = 'sort' AND nxt = 'merge' GROUP BY doc_id),
+pw AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge')),
+psc AS (
+  SELECT pf.doc_id,
+         pw.wt * pf.pfreq
+         / (pf.pfreq + {k1} * (1 - {b} + {b} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN pw)""" \
+        .format(k1=K1, b=B)
+    o["ft_bool_phrase_topk"] = f"""
+WITH {_BM25_CTES},
+{_ORDERED_CTE},
+{_PHRASE_PF},
+tsc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark' GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT t.doc_id, t.s + p.s AS s,
+         row_number() OVER (ORDER BY (t.s + p.s) DESC, t.doc_id ASC) AS rank
+  FROM tsc t JOIN psc p ON t.doc_id = p.doc_id) WHERE rank <= 10"""
+
+    # phrase SHOULD + MUST_NOT term: phrase score, 'window' docs excluded
+    o["ft_bool_phrase_not"] = f"""
+WITH {_BM25_CTES},
+{_ORDERED_CTE},
+{_PHRASE_PF}
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM psc
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'window')
+) WHERE rank <= 10"""
+
+    # ConstantScore(merge, 0.5) AND spark: bm25(spark) + 0.5
+    o["ft_bool_constscore"] = f"""
+WITH {_BM25_CTES},
+tsc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark' GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s + 0.5 AS s,
+         row_number() OVER (ORDER BY (s + 0.5) DESC, doc_id ASC) AS rank
+  FROM tsc
+  WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge')
+) WHERE rank <= 10"""
+
     # synonym: one pseudo-term with df = max over members, freq = sum
     o["ft_synonym_topk"] = f"""
 WITH {_BM25_CTES},
@@ -1106,12 +1237,17 @@ SELECT md5(text) AS digest, count(*)::BIGINT AS n_dups,
        min(doc_id) AS keep_doc_id
 FROM docs2 GROUP BY 1 HAVING count(*) > 1"""
 
+    # mirrors the engine's max_shingle_df=10000 stop-shingle cap: hot
+    # shingles leave the universe before sizes AND intersections
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTES},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+sh2 AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter

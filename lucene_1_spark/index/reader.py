@@ -41,6 +41,19 @@ class IndexReader:
             .select(*cols)
 
     def term_stats(self) -> DataFrame:
+        """One (bucket, term) row with whole-index stats.  The physical
+        table holds one row per term PER SEGMENT (incremental appends
+        write additive per-segment deltas — ``TermStates.java:96-160``
+        accumulation); this view sums them.  Catalyst pushes term/bucket
+        predicates below the aggregate (grouping columns), so dictionary
+        scans keep parquet partition pruning + row-group stats."""
+        return (self.term_stats_raw()
+                .groupBy("bucket", "term")
+                .agg(F.sum("doc_freq").alias("doc_freq"),
+                     F.sum("total_term_freq").alias("total_term_freq")))
+
+    def term_stats_raw(self) -> DataFrame:
+        """Physical per-segment stats rows (one per term per segment)."""
         return self.spark.read.parquet(self.table_path("term_stats"))
 
     def docs(self) -> DataFrame:
@@ -129,9 +142,15 @@ class IndexReader:
 
     def _term_statistics_spark(self, terms: list[str]) \
             -> dict[str, tuple[int, int]]:
+        """Sums duplicate per-segment rows exactly like the arrow path
+        (a term appended across segments holds one stats row per
+        segment; both paths share the sum-across-files semantic)."""
         buckets = sorted(set(self.buckets_of(terms).values()))
         df = (self.term_stats()
               .filter(F.col("bucket").isin(buckets))
-              .filter(F.col("term").isin(terms)))
+              .filter(F.col("term").isin(terms))
+              .groupBy("term")
+              .agg(F.sum("doc_freq").alias("doc_freq"),
+                   F.sum("total_term_freq").alias("total_term_freq")))
         return {r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
                 for r in df.collect()}

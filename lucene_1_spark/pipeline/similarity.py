@@ -205,19 +205,28 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
 
 def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
                  centroids: np.ndarray, k: int = 10, nprobe: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding") \
-        -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 assigned: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroid lists
     nearest the query, exact cosine within the probed fraction
     (~nprobe/C of the data).  ``nprobe = len(centroids)`` scans every
-    list and equals the exact :func:`cosine_topk`."""
+    list and equals the exact :func:`cosine_topk`.
+
+    ``assigned`` is a PRE-ASSIGNED table carrying a ``cluster`` column
+    (from :func:`ivf_assign`, written ``partitionBy('cluster')`` at
+    scale): with it the probe is a plain filter — parquet partition
+    pruning makes it read only the ``nprobe`` probed lists.  Without
+    it the assignment kernel runs over the full table per query
+    (correct, but every probe still scans all vectors — fine for
+    one-off queries, wrong as the steady-state serving path)."""
     cents = np.asarray(centroids, dtype=np.float64)
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(qv) or 1.0
     sims = cents @ (qv / qn)
     probes = [int(i) for i in np.argsort(-sims)[:int(nprobe)]]
-    cand = ivf_assign(embeddings, cents, vec_col) \
-        .filter(F.col("cluster").isin(probes))
+    base = assigned if assigned is not None \
+        else ivf_assign(embeddings, cents, vec_col)
+    cand = base.filter(F.col("cluster").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

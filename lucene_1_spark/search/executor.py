@@ -99,6 +99,10 @@ class _Flat:
     mnot: list = _field(default_factory=list)        # excluded
     must_groups: list = _field(default_factory=list)    # scored OR-groups, required
     filter_groups: list = _field(default_factory=list)  # non-scoring OR-groups, required
+    # non-term sub-queries kept WHOLE: [(Occur, Query)] — each executes
+    # as its own scored sub-plan and joins the per-doc aggregation as a
+    # pseudo-term (BooleanClause.java composability: ANY Query nests)
+    complex: list = _field(default_factory=list)
     msm: int = 0
 
 
@@ -135,7 +139,15 @@ class IndexSearcher:
         disjunction sum is associative, ``DisjunctionSumScorer.java``);
         under MUST/FILTER it becomes a required OR-*group* (the doc must
         contain >=1 member); under MUST_NOT the members extend the
-        exclusion set."""
+        exclusion set.
+
+        EVERY other sub-query (PhraseQuery, SynonymQuery,
+        ConstantScoreQuery, nested mixed BooleanQuery, ...) lands in
+        ``complex``: it executes as its own scored (doc_id, score)
+        sub-plan and joins the parent's per-doc aggregation under the
+        clause's occur semantics — the relational ``BooleanWeight``
+        over arbitrary sub-scorers (``search/BooleanQuery.java:105-130``,
+        ``BooleanClause.java``)."""
         if isinstance(q, TermQuery):
             return _Flat(must=[q])
         if isinstance(q, BooleanQuery):
@@ -162,7 +174,7 @@ class IndexSearcher:
                     else:
                         out.mnot.extend(members)
                     continue
-                raise NotImplementedError(f"nested query: {sub}")
+                out.complex.append((c.occur, sub))
             out.msm = q.minimum_should_match
             return out
         raise NotImplementedError(f"query type {type(q)}")
@@ -313,7 +325,34 @@ class IndexSearcher:
         # FILTER terms/groups are required but NEVER scored
         # (BooleanQuery.java:120-126)
         scoring = must + should + [t for g in must_groups for t in g]
-        if not scoring and not filters and not filter_groups:
+
+        # complex clauses: each sub-query executes as its own scored
+        # per-doc sub-plan and enters the aggregation as a pseudo-term
+        # tagged \x00cx<i> (analyzers never emit \x00, so tags cannot
+        # collide with real terms).  Sub-plan scores are per-clause
+        # floats summed in double — BooleanScorer's accumulation.
+        cx_parts: list[DataFrame] = []
+        cx_required_tags: list[str] = []
+        cx_scoring_tags: list[str] = []
+        cx_should_tags: list[str] = []
+        cx_mnot_tags: list[str] = []
+        for ci, (occ, cq) in enumerate(fl.complex):
+            tag = f"\x00cx{ci}"
+            sub = self._search_inner(cq, k=None, prune=False)
+            cx_parts.append(sub.select(
+                F.lit(tag).alias("term"), "doc_id",
+                F.col("score").cast("double").alias("score")))
+            if occ in (Occur.MUST, Occur.FILTER):
+                cx_required_tags.append(tag)
+            if occ in (Occur.MUST, Occur.SHOULD):
+                cx_scoring_tags.append(tag)
+            if occ == Occur.SHOULD:
+                cx_should_tags.append(tag)
+            if occ == Occur.MUST_NOT:
+                cx_mnot_tags.append(tag)
+
+        if not scoring and not filters and not filter_groups \
+                and not cx_scoring_tags and not cx_required_tags:
             return empty
 
         # per-term weight; duplicate scoring terms sum their weights
@@ -329,7 +368,7 @@ class IndexSearcher:
         filter_only_terms = [t for t in filters if t.term not in weights] + \
             [t for g in filter_groups for t in g if t.term not in weights]
         all_terms = sorted({t.term for t in scoring + mnot + filter_only_terms})
-        blocks = self._blocks_for(all_terms)
+        blocks = self._blocks_for(all_terms) if all_terms else None
 
         # Conjunction block pruning — the BlockMaxConjunction analog
         # (``search/BlockMaxConjunctionBulkScorer.java``, chosen at
@@ -340,14 +379,17 @@ class IndexSearcher:
         # the driver term, and a surviving hit's blocks all overlap the
         # interval that contains it, so its score stays complete.
         required_single = must + filters
-        if prune and required_single and len(all_terms) > 1:
+        if prune and required_single and blocks is not None \
+                and len(all_terms) > 1:
             driver = min(required_single, key=lambda t: stats[t.term][0]).term
             blocks = self._prune_by_driver_ranges(blocks, driver)
 
         # Block-max pruning (WAND/MaxScore analog) — only where the bound
-        # is sound: pure disjunctions with no pagination cursor.
+        # is sound: pure disjunctions (no complex sub-plans, whose scores
+        # block metadata cannot bound) with no pagination cursor.
         use_prune = (prune and k is not None and not must and not mnot
                      and not filters and not must_groups and not filter_groups
+                     and not cx_parts
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
         if use_prune:
@@ -376,13 +418,18 @@ class IndexSearcher:
                         self._decode_kernel(weights, want_scores=True),
                         DECODED_SCHEMA).join(cand, "doc_id", "left_semi"))
 
-        if decoded is None:
+        if decoded is None and blocks is not None:
             decoded = blocks.mapInPandas(
                 self._decode_kernel(weights, want_scores=True), DECODED_SCHEMA)
+        # union the complex sub-plan pseudo-term rows into the same
+        # (term, doc_id, score) relation the aggregation consumes
+        for p in cx_parts:
+            decoded = p if decoded is None else decoded.unionByName(p)
 
         required_terms = sorted({t.term for t in must}
-                                | {t.term for t in filters})
-        scoring_terms = sorted({t.term for t in scoring})
+                                | {t.term for t in filters}) \
+            + cx_required_tags
+        scoring_terms = sorted({t.term for t in scoring}) + cx_scoring_tags
         if scoring_terms:
             agg = [F.sum(F.when(F.col("term").isin(scoring_terms),
                                 F.col("score")).otherwise(0.0)).alias("score_d")]
@@ -397,12 +444,12 @@ class IndexSearcher:
             agg.append(F.max(F.when(F.col("term").isin(gt), 1).otherwise(0))
                        .alias(f"grp_{gi}"))
         if msm > 0:
-            should_terms = [t.term for t in should]
+            should_terms = [t.term for t in should] + cx_should_tags
             agg.append(F.sum(F.when(F.col("term").isin(should_terms), 1)
                              .otherwise(0)).alias("n_should"))
         hits = decoded
-        if mnot:
-            mnot_terms = [t.term for t in mnot]
+        mnot_terms = [t.term for t in mnot] + cx_mnot_tags
+        if mnot_terms:
             excluded = decoded.filter(F.col("term").isin(mnot_terms)) \
                 .select("doc_id").distinct()
             hits = hits.filter(~F.col("term").isin(mnot_terms)) \
@@ -804,9 +851,17 @@ class IndexSearcher:
         if isinstance(q, RegexpQuery):
             return col.rlike(f"^(?:{q.regex})$")
         if isinstance(q, FuzzyQuery):
-            pred = F.levenshtein(col, F.lit(q.term)) <= q.max_edits
+            # sound prefilters BEFORE levenshtein so the dictionary scan
+            # is not a full-dict edit-distance pass (the relational
+            # stand-in for intersecting a Levenshtein automaton with the
+            # term index, ``util/automaton/LevenshteinAutomata.java``):
+            # |len(t) - len(q)| <= max_edits is necessary for any match
+            # and is a cheap pushable predicate.
+            n = len(q.term)
+            pred = F.length(col).between(n - q.max_edits, n + q.max_edits) \
+                & (F.levenshtein(col, F.lit(q.term)) <= q.max_edits)
             if q.prefix_length > 0:
-                pred = pred & col.startswith(q.term[:q.prefix_length])
+                pred = col.startswith(q.term[:q.prefix_length]) & pred
             return pred
         if isinstance(q, TermRangeQuery):
             pred = F.lit(True)
@@ -822,21 +877,33 @@ class IndexSearcher:
     def rewrite_multi_term(self, q: MultiTermQuery) -> Query:
         """Expand a MultiTermQuery against the term dictionary into an
         executable scored tree (see :class:`MultiTermQuery` docstring
-        for the rewrite methods)."""
-        rows = (self.reader.term_stats()
+        for the rewrite methods).
+
+        Driver-materialization guards: ``top_terms_N`` selects its N
+        survivors IN the scan (TakeOrderedAndProject — the
+        TopTermsRewrite priority queue, ``search/TopTermsRewrite.java:
+        56-103``); the unbounded rewrites collect at most
+        MAX_CLAUSE_COUNT+1 rows (``.limit``), so an over-broad pattern
+        fails fast instead of pulling the whole expansion to the
+        driver first."""
+        from lucene_1_spark.search import query as query_mod
+        max_clauses = query_mod.MAX_CLAUSE_COUNT
+        scan = (self.reader.term_stats()
                 .filter(self._multi_term_predicate(q))
-                .select("term", "doc_freq").collect())
-        terms = sorted((r["term"], int(r["doc_freq"])) for r in rows)
+                .select("term", "doc_freq"))
         method = q.rewrite_method
         if method.startswith("top_terms_"):
             n = int(method.rsplit("_", 1)[1])
             # highest doc_freq first, term asc tie-break (TopTermsRewrite)
-            terms = sorted(sorted(terms), key=lambda x: -x[1])[:n]
-            terms.sort()
-        if len(terms) > MAX_CLAUSE_COUNT:
+            rows = (scan.orderBy(F.desc("doc_freq"), F.asc("term"))
+                    .limit(n).collect())
+        else:
+            rows = scan.limit(max_clauses + 1).collect()
+        terms = sorted((r["term"], int(r["doc_freq"])) for r in rows)
+        if len(terms) > max_clauses:
             raise ValueError(
-                f"multi-term expansion too large: {len(terms)} > "
-                f"{MAX_CLAUSE_COUNT} (IndexSearcher.java:80)")
+                f"multi-term expansion too large: > {max_clauses} "
+                f"matching terms (IndexSearcher.java:80)")
         if not terms:
             return MatchNoDocsQuery()
 
@@ -878,11 +945,14 @@ class IndexSearcher:
         dictionary with a predicate (startswith/like/rlike/levenshtein/
         between), return matching terms for a disjunction.  Guarded by
         the reference's 1024-clause limit."""
+        from lucene_1_spark.search import query as query_mod
+        max_clauses = query_mod.MAX_CLAUSE_COUNT
         rows = (self.reader.term_stats().filter(predicate)
-                .select("term").collect())
+                .select("term").limit(max_clauses + 1).collect())
         terms = sorted(r["term"] for r in rows)
-        if len(terms) > 1024:
-            raise ValueError(f"multi-term expansion too large: {len(terms)}")
+        if len(terms) > max_clauses:
+            raise ValueError(
+                f"multi-term expansion too large: > {max_clauses}")
         return terms
 
     def docs_for_terms(self, terms: list[str]) -> DataFrame:
@@ -950,7 +1020,7 @@ class IndexSearcher:
             q = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(q)))
             try:
                 fl = self._flatten(q)
-                if fl.must_groups or fl.filter_groups:
+                if fl.must_groups or fl.filter_groups or fl.complex:
                     raise NotImplementedError
                 flats[qid] = fl
             except NotImplementedError:

@@ -57,19 +57,46 @@ def highlight(texts: DataFrame, terms: set[str] | Query,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_matches, snippet) for docs with >= 1 matching term.
 
-    Passages are ``window``-token sliding blocks; the best passage
-    maximizes (distinct matched terms, total matches, -position).
-    ``terms`` may be a query tree (its positive terms are extracted) —
-    expand MultiTermQuery nodes with ``searcher.rewrite_multi_term``
-    first if needed."""
+    Passages are ``window``-token sliding blocks; passages are ranked
+    by (distinct matched terms, total matches, -position).  With
+    ``max_passages > 1`` the top non-overlapping passages are rendered
+    in document order joined by ``" ... "`` — the multi-passage
+    UnifiedHighlighter contract (its PassageScorer keeps a
+    ``maxPassages`` queue).  ``terms`` may be a query tree (its
+    positive terms are extracted) — expand MultiTermQuery nodes with
+    ``searcher.rewrite_multi_term`` first if needed."""
     if isinstance(terms, Query):
         terms = query_terms(terms)
     term_set = frozenset(terms)
     an_name = analyzer
+    n_passages = max(int(max_passages), 1)
 
     def run(it):
         an = get_analyzer(an_name)
         has_offsets = hasattr(an, "tokens_with_offsets")
+
+        def render(text, toks, start):
+            win = [tk for tk in toks if start <= tk[1] < start + window]
+            if has_offsets and win:
+                # exact OffsetAttribute spans: slice the source text,
+                # wrap each matched span in place (case preserved)
+                c0, c1 = win[0][2], win[-1][3]
+                parts, cur = [], c0
+                for t, _, s, e in win:
+                    if t in term_set and s >= cur:
+                        parts += [text[cur:s], pre, text[s:e], post]
+                        cur = e
+                parts.append(text[cur:c1])
+                return "".join(parts)
+            # approximate fallback: word-split window + regex wrap
+            words = text.split()
+            lo = max(0, start - 2)
+            passage = " ".join(words[lo:lo + window + 4])
+            for t in sorted(term_set, key=len, reverse=True):
+                passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
+                                 f"{pre}\\1{post}", passage)
+            return passage
+
         for pdf in it:
             ids, counts, snips = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
@@ -82,35 +109,26 @@ def highlight(texts: DataFrame, terms: set[str] | Query,
                 n_hits = sum(1 for t, _, _, _ in toks if t in term_set)
                 if not n_hits:
                     continue
-                # best window by (distinct terms, matches, earliest)
-                best, best_key = 0, (-1, -1, 0)
+                # score every half-window start, keep the top
+                # max_passages non-overlapping windows
                 npos = max(p for _, p, _, _ in toks) + 1 if toks else 0
+                scored = []
                 for start in range(0, max(1, npos), max(window // 2, 1)):
                     inwin = [t for t, p, _, _ in toks
                              if start <= p < start + window and t in term_set]
-                    key = (len(set(inwin)), len(inwin), -start)
-                    if key > best_key:
-                        best_key, best = key, start
-                win = [tk for tk in toks if best <= tk[1] < best + window]
-                if has_offsets and win:
-                    # exact OffsetAttribute spans: slice the source text,
-                    # wrap each matched span in place (case preserved)
-                    c0, c1 = win[0][2], win[-1][3]
-                    parts, cur = [], c0
-                    for t, _, s, e in win:
-                        if t in term_set and s >= cur:
-                            parts += [text[cur:s], pre, text[s:e], post]
-                            cur = e
-                    parts.append(text[cur:c1])
-                    passage = "".join(parts)
-                else:
-                    # approximate fallback: word-split window + regex wrap
-                    words = text.split()
-                    lo = max(0, best - 2)
-                    passage = " ".join(words[lo:lo + window + 4])
-                    for t in sorted(term_set, key=len, reverse=True):
-                        passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
-                                         f"{pre}\\1{post}", passage)
+                    if inwin:
+                        scored.append(((len(set(inwin)), len(inwin), -start),
+                                       start))
+                scored.sort(reverse=True)
+                chosen: list[int] = []
+                for _, start in scored:
+                    if len(chosen) >= n_passages:
+                        break
+                    if all(abs(start - c) >= window for c in chosen):
+                        chosen.append(start)
+                chosen.sort()  # render in document order
+                passage = " ... ".join(render(text, toks, c)
+                                       for c in chosen)
                 ids.append(rid)
                 counts.append(n_hits)
                 snips.append(passage)

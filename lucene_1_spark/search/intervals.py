@@ -203,6 +203,12 @@ def unordered_interval_counts(searcher, terms: list[str],
     n_terms = len(terms)
     if n_terms < 2:
         raise ValueError("unordered intervals need >= 2 terms")
+    if len(set(terms)) != n_terms:
+        # Lucene's unordered source requires repeats to occupy DISTINCT
+        # positions; this engine has no per-occurrence assignment, so
+        # reject instead of silently deduping (which would count every
+        # single occurrence as a window)
+        raise ValueError("unordered intervals require distinct terms")
     empty = spark.createDataFrame([], "doc_id long, n_intervals long")
     uniq = sorted(set(terms))
     stats = searcher.reader.term_statistics(uniq)
@@ -237,28 +243,32 @@ def unordered_interval_counts(searcher, terms: list[str],
 
     @pandas_udf("long")
     def count_windows(*plists: pd.Series) -> pd.Series:
-        import heapq
+        # Vectorized smallest-window sweep (replaces the former
+        # per-position Python heap loop — the last row-at-a-time kernel
+        # in the query path).  Derivation: the heap sweep pops positions
+        # in sorted order, so when position p is the window minimum,
+        # every list's current head is its smallest element >= p and
+        # the window end is the max of those heads.  That turns the
+        # whole sweep into ONE searchsorted per list over the merged
+        # position array — O(k * n log n) numpy, no interpreter loop.
+        # (Assumes distinct positions per doc, which single-token-per-
+        # position analyzers guarantee; same caveat as the heap had.)
         out = np.zeros(len(plists[0]), dtype=np.int64)
         for r in range(len(plists[0])):
             lists = [np.asarray(plists[i].iloc[r], dtype=np.int64)
                      for i in range(k)]
-            heads = [0] * k
-            heap = [(int(lists[i][0]), i) for i in range(k)]
-            heapq.heapify(heap)
-            cur_max = max(int(lists[i][0]) for i in range(k))
-            ws, we = [], []
-            while True:
-                mn, i = heap[0]
-                ws.append(mn)
-                we.append(cur_max)
-                heads[i] += 1
-                if heads[i] >= len(lists[i]):
-                    break
-                nxt = int(lists[i][heads[i]])
-                heapq.heapreplace(heap, (nxt, i))
-                cur_max = max(cur_max, nxt)
-            s = np.asarray(ws, dtype=np.int64)
-            e = np.asarray(we, dtype=np.int64)
+            P = np.sort(np.concatenate(lists))
+            valid = np.ones(len(P), dtype=bool)
+            end = np.full(len(P), np.iinfo(np.int64).min)
+            for lst in lists:
+                idx = np.searchsorted(lst, P, side="left")
+                ok = idx < len(lst)
+                valid &= ok
+                head = lst[np.minimum(idx, len(lst) - 1)]
+                end = np.maximum(end, np.where(ok, head, end))
+            s, e = P[valid], end[valid]
+            if len(s) == 0:
+                continue
             # minimal: no later window (start ascending) with e' <= e
             sufmin = np.minimum.accumulate(e[::-1])[::-1]
             keep = np.ones(len(e), dtype=bool)

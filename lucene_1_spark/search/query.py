@@ -88,7 +88,16 @@ class PhraseQuery(Query):
     reproducible by a relational oracle.  For n>=3 terms each occurrence
     of the FIRST term anchors at most one match: every later slot i must
     hold some position within slop of (anchor+i), weighted
-    ``1/(1 + sum of per-slot minimal |displacement|s)``."""
+    ``1/(1 + sum of per-slot minimal |displacement|s)``.
+
+    REPEATED-TERM CAVEAT (part of the same documented deviation): for
+    ``slop>0`` with n>=3 each slot is checked independently, so a
+    repeated term's slots may be satisfied by ONE occurrence —
+    ``("a","b","b")`` with slop>=1 matches a doc holding a single
+    ``b``.  Lucene's SloppyPhraseMatcher assigns repeats to distinct
+    positions (``search/SloppyPhraseMatcher.java:219-267``
+    checkDistinctPositions); this engine trades that for the
+    set-based formula the SQL oracle reproduces exactly."""
     terms: tuple[str, ...]
     boost: float = 1.0
     slop: int = 0

@@ -7,23 +7,46 @@ deleteDocuments/updateDocument).
 Each appended batch becomes a new "segment": its docs get docIDs after
 all existing docs (insertion order, exactly Lucene's
 earlier-segment-=-lower-docID rule, ``TopDocs.java:71-117``), its
-posting blocks are packed with the SAME kernels as the full build
-(:func:`docs_meta_df` / :func:`pack_blocks_df`) and *appended*
-to the postings table — a term's postings may then span several block
-runs with disjoint doc ranges, which the decode kernel tolerates
-(compaction later merges the runs, ``index/maintenance.py``).
-Term stats are re-aggregated from blocks, collection stats and the
-manifest are rewritten last — the manifest rewrite is the snapshot
-commit (on Iceberg: an atomic snapshot; parquet-dir + manifest.json is
-the sandbox stand-in).  A reader opened before the commit still sees a
-consistent older index.
+posting blocks are packed with the SAME fused single-tokenize kernel as
+the full build (:func:`pack_blocks_df` ``emit_docs=True``) — a term's
+postings may then span several block runs with disjoint doc ranges,
+which the decode kernel tolerates (compaction later merges the runs,
+``index/maintenance.py``).
+
+**Staged, crash-safe, O(segment) commit** (the IndexWriter
+prepareCommit/commit two-phase shape, ``index/IndexWriter.java:
+3310-3470``):
+
+1. STAGE — the fused kernel writes the segment's blocks, a
+   column-pruned docs slice, and a PER-SEGMENT term-stats delta into
+   ``append_staging``; segment-local stat deltas land in a JSON; a
+   durable ``append_staged_<seg>`` checkpoint seals the stage.  A crash
+   before the checkpoint discards the staging wholesale on replay —
+   the live tables were never touched, so nothing duplicates (the
+   round-2 design raw-appended before checkpointing and could double
+   docs on a mid-append crash).
+2. PROMOTE — staged files MOVE (``os.replace``) into the live tables
+   under ``seg<id>-`` names; replay just continues remaining moves.
+3. COMMIT — collection stats advance by the JSON deltas and the
+   manifest swaps atomically; ``manifest.n_segments`` is the commit
+   marker, so a replay that finds it advanced skips the stat update
+   (no double-count).  The ``stream_batch`` checkpoint is written
+   last; a redelivered batch that finds it is a pure no-op.
+
+Every Spark job in the append reads ONLY the new batch / its staged
+output — term stats are per-segment parquet rows summed at read by
+``IndexReader.term_statistics`` (the ``TermStates.build`` accumulation,
+``index/TermStates.java:96-160``); the round-2 design re-aggregated the
+ENTIRE postings table per micro-batch, an O(index) scan per append.
 
 Structured Streaming: ``writer.foreach_batch()`` plugs into
 ``df.writeStream.foreachBatch(...)`` so a document stream continuously
-extends the index, one micro-batch per segment.  Replayed micro-batches
-(Structured Streaming redelivers after failure) are detected by
-batch_id in the checkpoint table and skipped, so the append is
-idempotent at the batch level.
+extends the index, one micro-batch per segment.  Replay correlation is
+by batch_id at every stage, so redelivery after a crash anywhere in
+1-3 resumes exactly where it stopped.  (Manual ``append()`` calls
+without a batch_id get the same staging safety for crashes BEFORE the
+manifest commit; only a caller re-invoking append after a completed
+commit would re-add the batch — streaming always passes batch_id.)
 
 Deletes are tombstones (query-time liveDocs masking); updates are
 delete-by-key + append — Lucene's updateDocument contract: the new
@@ -34,14 +57,17 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lucene_1_spark.index.builder import (DOC_KEY_COLS, IndexBuilder,
-                                          IndexConfig, docs_meta_df,
+from lucene_1_spark.index.builder import (DOC_KEY_COLS, DOCS_SCHEMA,
+                                          IndexBuilder, IndexConfig,
                                           pack_blocks_df, range_partition)
-from lucene_1_spark.index.maintenance import append_tombstones, compact_index
+from lucene_1_spark.index.maintenance import (_write_manifest,
+                                              append_tombstones,
+                                              compact_index)
 
 
 class IncrementalIndexWriter:
@@ -68,9 +94,10 @@ class IncrementalIndexWriter:
     # -- append ------------------------------------------------------------
     def append(self, docs_df: DataFrame, batch_id: int | None = None) -> None:
         """Append a batch of (repo, path, commit, lang, content) docs as
-        a new segment; bootstraps the index on first call.  With a
-        ``batch_id``, a replayed batch (same id already checkpointed) is
-        skipped — the foreachBatch idempotency contract."""
+        a new segment; bootstraps the index on first call.  Staged +
+        promoted + committed as described in the module docstring —
+        crash-safe at every point for batch-identified appends, and
+        O(segment) (no job touches pre-existing table data)."""
         if not os.path.exists(self._manifest_path()):
             IndexBuilder(self.spark, self.dir, self.cfg).build(docs_df)
             if batch_id is not None:
@@ -79,61 +106,130 @@ class IncrementalIndexWriter:
                                        "done", 0)
             return
         b = IndexBuilder(self.spark, self.dir, self.cfg)
+        cp = b._checkpoint_rows()
         if batch_id is not None:
-            cp = b._checkpoint_rows()
             hit = cp[(cp.stage == "stream_batch")
                      & (cp.partition_id == int(batch_id))
                      & (cp.status == "done")]
             if len(hit) > 0:
                 return  # replayed micro-batch: already committed
         manifest = self._read_manifest()
-        base = manifest["collection_stats"]["n_docs"]
         seg_id = int(manifest.get("n_segments", 1))
+        if batch_id is not None:
+            # replay correlation: a crashed run may have staged (or even
+            # promoted+committed part of) this batch under an earlier
+            # seg_id — resume THAT segment instead of staging a new one
+            prev = cp[cp.stage.str.startswith("append_staged_")
+                      & (cp.partition_id == int(batch_id))
+                      & (cp.status == "done")]
+            if len(prev) > 0:
+                seg_id = int(prev.stage.iloc[0].rsplit("_", 1)[1])
+        staging = os.path.join(self.dir, "append_staging")
+        stage_name = f"append_staged_{seg_id}"
+        cp_id = -1 if batch_id is None else int(batch_id)
+        seg_json = f"append_seg_{seg_id}.json"
 
-        # new segment: doc_ids [base, base+n) in key order; the written
-        # docs table is meta-only (term maps never leave the kernels)
-        keyed, offsets = range_partition(docs_df, self.cfg, base=base)
-        docs_meta_df(keyed, offsets, self.cfg) \
-            .write.mode("append").parquet(self._table("docs"))
-        pack_blocks_df(keyed, offsets, self.cfg).write.mode("append") \
-            .partitionBy("bucket").parquet(self._table("postings"))
-        keyed.unpersist()
+        if not b._stage_done(stage_name, cp_id):
+            # ---- 1. STAGE (a crashed partial staging is discarded) ----
+            shutil.rmtree(staging, ignore_errors=True)
+            base = int(manifest["collection_stats"]["n_docs"])
+            keyed, offsets = range_partition(docs_df, self.cfg, base=base)
+            pack_blocks_df(keyed, offsets, self.cfg, emit_docs=True) \
+                .write.mode("overwrite").partitionBy("kind", "bucket") \
+                .parquet(staging)
+            keyed.unpersist()
+            doc_cols = [f.name for f in DOCS_SCHEMA.fields]
+            (self.spark.read.parquet(os.path.join(staging, "kind=doc"))
+             .select(*doc_cols).write.mode("overwrite")
+             .parquet(os.path.join(staging, "docs_seg")))
+            block_dir = os.path.join(staging, "kind=block")
+            sum_df_delta = 0
+            if os.path.isdir(block_dir):
+                # PER-SEGMENT term-stats delta: summed at read with the
+                # other segments' rows (TermStates.build accumulation)
+                seg_stats = (self.spark.read.parquet(block_dir)
+                             .groupBy("bucket", "term")
+                             .agg(F.sum("num_docs").alias("doc_freq"),
+                                  F.sum("sum_freq").alias("total_term_freq"))
+                             .sortWithinPartitions("term"))
+                seg_stats.write.mode("overwrite").partitionBy("bucket") \
+                    .parquet(os.path.join(staging, "stats_seg"))
+                sum_df_delta = int(
+                    self.spark.read.parquet(os.path.join(staging, "stats_seg"))
+                    .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+            drow = (self.spark.read.parquet(os.path.join(staging, "docs_seg"))
+                    .agg(F.count("*").alias("n"),
+                         F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
+                         .alias("nonempty"),
+                         F.sum("length").alias("len")).collect()[0])
+            b._write_json(seg_json, {
+                "n_docs": int(drow["n"]),
+                "doc_count": int(drow["nonempty"] or 0),
+                "sum_total_term_freq": int(drow["len"] or 0),
+                "sum_doc_freq": sum_df_delta,
+            })
+            b._write_checkpoint(cp_id, stage_name, "done", int(drow["n"]))
 
-        # stats merge + snapshot commit (manifest last)
-        blocks = self.spark.read.parquet(self._table("postings"))
-        (blocks.groupBy("bucket", "term")
-         .agg(F.sum("num_docs").alias("doc_freq"),
-              F.sum("sum_freq").alias("total_term_freq"))
-         .sortWithinPartitions("term")
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(self._table("term_stats")))
-        docs_all = self.spark.read.parquet(self._table("docs"))
-        row = docs_all.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
-            F.sum("length").alias("sum_total_term_freq")).collect()[0]
-        sum_df = self.spark.read.parquet(self._table("term_stats")) \
-            .agg(F.sum("doc_freq")).collect()[0][0]
-        manifest["collection_stats"] = {
-            "n_docs": int(row["n_docs"]), "doc_count": int(row["doc_count"]),
-            "sum_total_term_freq": int(row["sum_total_term_freq"]),
-            "sum_doc_freq": int(sum_df or 0),
-        }
-        # keep the stage staging files coherent for later resumes
-        b._write_json("docs_stats.json", {
-            k: manifest["collection_stats"][k]
-            for k in ("n_docs", "doc_count", "sum_total_term_freq")})
-        b._write_json("postings_stats.json",
-                      {"sum_doc_freq": int(sum_df or 0)})
-        manifest["n_segments"] = seg_id + 1
-        manifest["committed_at"] = time.time()
-        with open(self._manifest_path(), "w") as fh:
-            json.dump(manifest, fh, indent=2)
-        b._write_checkpoint(-1, f"append_{seg_id}", "done",
-                            int(row["n_docs"]) - base)
+        # ---- 2. PROMOTE (idempotent os.replace moves) ----
+        self._promote_segment(seg_id, staging)
+
+        # ---- 3. COMMIT (manifest swap; n_segments is the marker) ----
+        manifest = self._read_manifest()
+        if int(manifest.get("n_segments", 1)) <= seg_id:
+            deltas = b._read_json(seg_json) or {}
+            cs = manifest["collection_stats"]
+            cs = {
+                "n_docs": int(cs["n_docs"]) + deltas.get("n_docs", 0),
+                "doc_count": int(cs["doc_count"])
+                + deltas.get("doc_count", 0),
+                "sum_total_term_freq": int(cs["sum_total_term_freq"])
+                + deltas.get("sum_total_term_freq", 0),
+                "sum_doc_freq": int(cs["sum_doc_freq"])
+                + deltas.get("sum_doc_freq", 0),
+            }
+            manifest["collection_stats"] = cs
+            manifest["n_segments"] = seg_id + 1
+            manifest["committed_at"] = time.time()
+            # keep the builder's stage stats coherent for later resumes
+            b._write_json("docs_stats.json", {
+                k: cs[k] for k in ("n_docs", "doc_count",
+                                   "sum_total_term_freq")})
+            b._write_json("postings_stats.json",
+                          {"sum_doc_freq": cs["sum_doc_freq"]})
+            _write_manifest(self.dir, manifest)  # atomic commit
+            b._write_checkpoint(
+                cp_id, f"append_{seg_id}", "done",
+                (b._read_json(seg_json) or {}).get("n_docs", 0))
+        shutil.rmtree(staging, ignore_errors=True)
         if batch_id is not None:
             b._write_checkpoint(int(batch_id), "stream_batch", "done",
-                                int(row["n_docs"]) - base)
+                                (b._read_json(seg_json) or {})
+                                .get("n_docs", 0))
+
+    def _promote_segment(self, seg_id: int, staging: str) -> None:
+        """Move staged segment files into the live tables.  os.replace
+        removes each file from staging atomically, so a crashed promote
+        just continues on replay; the ``seg<id>-`` prefix keeps names
+        unique across segments."""
+        def move_files(src_dir: str, dst_dir: str) -> None:
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in sorted(os.listdir(src_dir)):
+                if fn.endswith(".parquet"):
+                    os.replace(os.path.join(src_dir, fn),
+                               os.path.join(dst_dir, f"seg{seg_id}-{fn}"))
+
+        docs_src = os.path.join(staging, "docs_seg")
+        if os.path.isdir(docs_src):
+            move_files(docs_src, self._table("docs"))
+        for sub, table in (("stats_seg", "term_stats"),
+                           ("kind=block", "postings")):
+            root = os.path.join(staging, sub)
+            if not os.path.isdir(root):
+                continue
+            for entry in sorted(os.listdir(root)):
+                src = os.path.join(root, entry)
+                if entry.startswith("bucket=") and os.path.isdir(src):
+                    move_files(src, os.path.join(self._table(table), entry))
 
     def foreach_batch(self):
         """Handler for ``df.writeStream.foreachBatch(...)`` — idempotent

@@ -195,11 +195,20 @@ class Monitor:
 
         def verify(it):
             an = get_analyzer(an_name)
+            # gap-preserving positions (tokens_with_positions) so a
+            # percolated phrase can NOT match across a dropped token
+            # (stopword / over-long) — identical semantics to the
+            # index-side PhraseQuery, which consumes the same attribute
+            has_pos = hasattr(an, "tokens_with_positions")
             for pdf in it:
                 ids, qids = [], []
                 for did, grp in pdf.groupby("doc_id", sort=False):
                     pos: dict = {}
-                    for p, t in enumerate(an.tokens(grp["_text"].iloc[0])):
+                    text = grp["_text"].iloc[0]
+                    pairs = (an.tokens_with_positions(text) if has_pos
+                             else enumerate(an.tokens(text)))
+                    for t, p in (pairs if has_pos
+                                 else ((t, p) for p, t in pairs)):
                         pos.setdefault(t, []).append(p)
                     for qid in grp["query_id"]:
                         if all(_phrase_occurs(pos, terms, slop)

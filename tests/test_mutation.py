@@ -261,3 +261,127 @@ def test_fused_build_resume_after_docs_commit(spark, tmp_root, corpus):
     bb = sorted(map(tuple, spark.read.parquet(
         os.path.join(d, "term_stats")).collect()))
     assert a == bb
+
+
+# ---------------------------------------------------------------------------
+# round-3: staged append — crash safety + O(segment) commits
+# ---------------------------------------------------------------------------
+
+def _file_census(root):
+    """{relpath: size} of every parquet file under root."""
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def _probe_df(corpus_pdf, term):
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("standard")
+    return sum(1 for c in corpus_pdf["content"] if term in set(an.tokens(c)))
+
+
+def test_append_crash_mid_staging_no_duplicates(spark, tmp_root, corpus):
+    """Crash AFTER staging files land but BEFORE the staged checkpoint:
+    the replay discards the orphan staging and re-runs; no duplicate
+    doc_ids, doc_freq exact (the round-2 crash-duplication window)."""
+    d = os.path.join(tmp_root, "idx_append_crash1")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(corpus.iloc[:100]), batch_id=0)
+    batch = spark.createDataFrame(corpus.iloc[100:150])
+    # simulate the crashed first attempt: staging written, no checkpoint
+    from lucene_1_spark.index.builder import pack_blocks_df, range_partition
+    keyed, offsets = range_partition(batch, cfg, base=100)
+    pack_blocks_df(keyed, offsets, cfg, emit_docs=True) \
+        .write.mode("overwrite").partitionBy("kind", "bucket") \
+        .parquet(os.path.join(d, "append_staging"))
+    keyed.unpersist()
+    # --- replay the redelivered micro-batch ---
+    w.append(batch, batch_id=1)
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == 150
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 150
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    exp_df = _probe_df(corpus.iloc[:150], "tok0")
+    assert r.term_statistics(["tok0"])["tok0"][0] == exp_df
+
+
+def test_append_crash_before_promote_and_before_commit(spark, tmp_root,
+                                                       corpus, monkeypatch):
+    """Two deeper crash points: (a) after the staged checkpoint but
+    before any promote move; (b) after promote but before the manifest
+    commit.  Replaying the same batch_id must finish the append exactly
+    once each time."""
+    import lucene_1_spark.streaming.incremental as inc
+    d = os.path.join(tmp_root, "idx_append_crash2")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(corpus.iloc[:100]), batch_id=0)
+
+    # (a) crash before promote
+    batch1 = spark.createDataFrame(corpus.iloc[100:140])
+    orig_promote = IncrementalIndexWriter._promote_segment
+
+    def boom(self, seg_id, staging):
+        raise RuntimeError("crash-before-promote")
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment", boom)
+    with pytest.raises(RuntimeError):
+        w.append(batch1, batch_id=1)
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment",
+                        orig_promote)
+    w.append(batch1, batch_id=1)  # replay
+    assert IndexReader(spark, d).stats["n_docs"] == 140
+
+    # (b) crash after promote, before the manifest commit
+    batch2 = spark.createDataFrame(corpus.iloc[140:170])
+    orig_commit = inc._write_manifest
+
+    def boom2(index_dir, manifest):
+        raise RuntimeError("crash-before-commit")
+    monkeypatch.setattr(inc, "_write_manifest", boom2)
+    with pytest.raises(RuntimeError):
+        w.append(batch2, batch_id=2)
+    monkeypatch.setattr(inc, "_write_manifest", orig_commit)
+    w.append(batch2, batch_id=2)  # replay
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == 170
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 170
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    exp_df = _probe_df(corpus.iloc[:170], "tok0")
+    assert r.term_statistics(["tok0"])["tok0"][0] == exp_df
+
+
+def test_append_is_o_segment_not_o_index(spark, tmp_root, corpus):
+    """The append touches ONLY the new segment's data: every
+    pre-existing docs/postings/term_stats file survives byte-for-byte
+    (same path, same size) — the O(index) term-stats rewrite of the
+    round-2 design is gone — and per-segment stats sum correctly."""
+    d = os.path.join(tmp_root, "idx_append_oseg")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(corpus.iloc[:150]), batch_id=0)
+    before = {t: _file_census(os.path.join(d, t))
+              for t in ("docs", "postings", "term_stats")}
+    w.append(spark.createDataFrame(corpus.iloc[150:200]), batch_id=1)
+    after = {t: _file_census(os.path.join(d, t))
+             for t in ("docs", "postings", "term_stats")}
+    for t in before:
+        missing = set(before[t]) - set(after[t])
+        assert not missing, (t, missing)
+        changed = {p for p in before[t] if after[t][p] != before[t][p]}
+        assert not changed, (t, changed)
+        assert len(after[t]) > len(before[t]), t  # new segment files exist
+    r = IndexReader(spark, d)
+    exp_df = _probe_df(corpus.iloc[:200], "tok1")
+    assert r.term_statistics(["tok1"])["tok1"][0] == exp_df
+    # the aggregated dictionary view shows ONE row per term
+    from pyspark.sql import functions as FF
+    dup = (r.term_stats().groupBy("term").count()
+           .filter("count > 1").count())
+    assert dup == 0

@@ -497,3 +497,34 @@ def test_search_sorted_by_field(searcher):
     rows = [(r["lang"], r["length"], r["doc_id"]) for r in got.collect()]
     manual = sorted(rows, key=lambda t: (t[0], -t[1], t[2]))
     assert rows == manual and len(rows) == 15
+
+
+# ---------------------------------------------------------------------------
+# round-3: expansion fail-fast + fuzzy dictionary prefilters
+# ---------------------------------------------------------------------------
+
+def test_over_expansion_fails_fast_without_materialization(searcher,
+                                                           monkeypatch):
+    """PrefixQuery('tok')-style over-expansion raises after collecting
+    at most MAX_CLAUSE_COUNT+1 dictionary rows (the .limit guard), not
+    the whole expansion."""
+    from lucene_1_spark.search import query as query_mod
+    monkeypatch.setattr(query_mod, "MAX_CLAUSE_COUNT", 3)
+    with pytest.raises(ValueError, match="too large"):
+        searcher.rewrite_multi_term(PrefixQuery("tok"))
+    with pytest.raises(ValueError, match="too large"):
+        searcher.expand_terms(F.col("term").startswith("tok"))
+
+
+def test_fuzzy_prefilter_matches_bruteforce_dictionary(searcher):
+    """The length-window prefilter loses no matches: the pruned scan
+    expands to exactly the brute-force edit-distance set."""
+    from lucene_1_spark.search.executor import _levenshtein
+    q = FuzzyQuery("tok42", max_edits=1, boost_by_similarity=False)
+    expanded = searcher.rewrite_multi_term(q)
+    got = sorted(c.query.term for c in expanded.clauses)
+    all_terms = [r["term"] for r in
+                 searcher.reader.term_stats().select("term").collect()]
+    want = sorted(t for t in set(all_terms)
+                  if _levenshtein(t, "tok42") <= 1)
+    assert got == want and len(want) > 1
