@@ -66,7 +66,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     idx_dir = os.path.join(
-        tempfile.gettempdir(), "l1s_driver_idx_v2",
+        tempfile.gettempdir(), "l1s_driver_idx_v3",
         hashlib.md5(key.encode()).hexdigest()[:12])
     corpus = _docs(spark, sf_dir).select(
         F.lit("docs").alias("repo"),
@@ -76,7 +76,8 @@ def _searcher(spark: SparkSession, sf_dir: str):
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
     )
     cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
-                      n_buckets=8, n_doc_partitions=8, positions=True)
+                      n_buckets=8, n_doc_partitions=8, positions=True,
+                      keyword_fields=("lang",))
     build_index(spark, corpus, idx_dir, cfg)   # resumes if already built
     s = IndexSearcher(IndexReader(spark, idx_dir))
     _SEARCHERS[key] = s
@@ -436,6 +437,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            PhraseQuery(("sort", "merge", "query"), slop=3))
     q["ft_sloppy_phrase3_topk"] = ft_sloppy_phrase3_topk
 
+    # ---- multi-field: keyword field postings (IndexingChain.java:561) ----
+    q["ft_field_term_topk"] = lambda s, d: _topk(s, d, "lang:de")
+
+    def ft_field_filter_topk(s, d):
+        """lang keyword field as a FILTER clause: restricts to lang=de,
+        scores by bm25('spark') alone."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 Occur, TermQuery)
+        bq = BooleanQuery((
+            Clause(TermQuery("spark"), Occur.MUST),
+            Clause(TermQuery("de", field="lang"), Occur.FILTER)))
+        return _topk_query(s, d, bq)
+    q["ft_field_filter_topk"] = ft_field_filter_topk
+
     # ---- composite booleans: non-term clauses (BooleanClause.java) ----
     q["ft_bool_phrase_topk"] = lambda s, d: _topk(s, d, '+spark +"sort merge"')
     q["ft_bool_phrase_not"] = lambda s, d: _topk(s, d, '"sort merge" -window')
@@ -450,6 +465,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Clause(ConstantScoreQuery(TermQuery("merge"), 0.5), Occur.MUST)))
         return _topk_query(s, d, bq)
     q["ft_bool_constscore"] = ft_bool_constscore
+
+    def ft_explain_topk(s, d):
+        """explain() totals for the top-5 hits — must reproduce the
+        search scores exactly (Weight.explain contract)."""
+        se = _searcher(s, d)
+        top = se.search_df("spark merge", k=5).collect()
+        docs = {r["doc_id"]: int(r["orig_id"]) for r in
+                se.reader.docs().select(
+                    "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+                .join(s.createDataFrame(
+                    [(r["doc_id"],) for r in top], "doc_id long"), "doc_id")
+                .collect()}
+        rows = []
+        for rank, r in enumerate(sorted(
+                top, key=lambda r: (-r["score"], r["doc_id"])), start=1):
+            ex = se.explain("spark merge", r["doc_id"])
+            rows.append((docs[r["doc_id"]], round(ex["value"], 4), rank))
+        return s.createDataFrame(rows, "doc_id long, score double, rank long")
+    q["ft_explain_topk"] = ft_explain_topk
 
     def ft_suggest_prefix(s, d):
         """Weighted prefix completion from the term dictionary."""
@@ -1090,6 +1124,37 @@ sc AS (
          w.wt * pf.pfreq
          / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
   FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # explain() totals == the search's own BM25 scores
+    o["ft_explain_topk"] = _bm25_sql(["spark", "merge"], k=5)
+
+    # keyword field term query: every lang=de doc matches with the same
+    # per-field BM25 score — freq=1, field length 1, field avgdl 1, idf
+    # over the FIELD's doc_count => w / (1 + k1)
+    o["ft_field_term_topk"] = f"""
+WITH f AS (SELECT doc_id FROM documents WHERE lang IS NOT NULL),
+st AS (SELECT count(*)::DOUBLE AS n FROM f),
+df AS (SELECT count(*)::DOUBLE AS d FROM documents WHERE lang = 'de')
+SELECT doc_id,
+       round(ln(1 + (st.n - df.d + 0.5) / (df.d + 0.5)) / (1 + {K1}), 4)
+         AS score,
+       row_number() OVER (ORDER BY doc_id ASC) AS rank
+FROM documents, st, df WHERE lang = 'de'
+ORDER BY doc_id ASC LIMIT 10"""
+
+    # keyword FILTER: lang=de restricts, only 'spark' scores
+    o["ft_field_filter_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark'
+    AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+  GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""

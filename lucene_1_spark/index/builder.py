@@ -67,6 +67,14 @@ from lucene_1_spark.functions.xxhash import bucket_of_term
 
 DOC_KEY_COLS = ["repo", "path", "commit"]
 
+# multi-field postings share ONE physical term column: a non-content
+# field's term is stored as "<field>\x1f<value>" (\x1f = ASCII unit
+# separator, which no analyzer ever emits), so bucketing, compaction,
+# per-segment stats, and the decode kernels all work unchanged — the
+# per-field postings of IndexingChain (``index/IndexingChain.java:561``)
+# keyed relationally instead of by a per-field FieldInfo.
+FIELD_SEP = "\x1f"
+
 DOCS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("repo", T.StringType()),
@@ -139,6 +147,12 @@ class IndexConfig:
     #                 range shuffle (the materialized table freezes the
     #                 nondeterministic range-sampling boundaries).
     source_mode: str = "persist"
+    # stored source columns ALSO indexed as untokenized keyword fields
+    # (e.g. ("lang",)): each non-null value becomes one posting under
+    # the composite term "<field>\x1f<value>" with freq=1, field
+    # length 1 (per-field norms, ``Similarity.java:152``) and position
+    # 0.  Queried via TermQuery(field=...) / the parser's field:value.
+    keyword_fields: tuple[str, ...] = ()
 
     @property
     def norms_encoding(self) -> str:
@@ -286,6 +300,9 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
     want_positions = cfg.positions
     n_buckets = cfg.n_buckets
     analyzer_name = cfg.analyzer
+    kw_fields = tuple(cfg.keyword_fields or ())
+    # keyword postings carry the FIELD's norm: length 1 per value
+    kw_norm = 1 if exact_norms else int(int_to_byte4(np.array([1]))[0])
     block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
     fused_cols = [fld.name for fld in FUSED_SCHEMA.fields]
     doc_cols = fused_cols[len(block_cols) + 1:]  # after 'kind'
@@ -363,12 +380,19 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
         an = get_analyzer(analyzer_name)
         seen = 0
         acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
+        acc_kw: list[dict] = []
         n_acc = 0
 
         def flush():
-            nonlocal acc_docs, acc_norms, acc_tfs, acc_tps, n_acc
+            nonlocal acc_docs, acc_norms, acc_tfs, acc_tps, acc_kw, n_acc
             rows = pack_group(acc_docs, acc_norms, acc_tfs, acc_tps)
+            if kw_fields:
+                kw_tps = ([{t: [0] for t in d} for d in acc_kw]
+                          if want_positions else None)
+                rows = rows + pack_group(
+                    acc_docs, [kw_norm] * len(acc_docs), acc_kw, kw_tps)
             acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
+            acc_kw = []
             n_acc = 0
             out = pd.DataFrame(rows, columns=block_cols)
             if emit_docs:  # widen to the union schema (kind='block')
@@ -398,6 +422,15 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
             else:
                 acc_norms.extend(int_to_byte4(lengths).tolist())
             acc_tfs.extend(toks.map(lambda ts: dict(Counter(ts))).tolist())
+            if kw_fields:  # one freq-1 composite term per non-null value
+                cols = {f: pdf[f].tolist() for f in kw_fields}
+                for j in range(n):
+                    d: dict = {}
+                    for f in kw_fields:
+                        v = cols[f][j]
+                        if v is not None and v == v and v != "":
+                            d[f"{f}{FIELD_SEP}{v}"] = 1
+                    acc_kw.append(d)
             if explicit_ids:
                 ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             else:
@@ -647,6 +680,9 @@ class IndexBuilder:
                     .agg(F.count("*").alias("blocks"),
                          F.approx_count_distinct("term").alias("terms"),
                          F.sum("num_docs").alias("postings"),
+                         F.sum(F.when(~F.col("term").contains(FIELD_SEP),
+                                      F.col("num_docs")).otherwise(0))
+                         .alias("content_postings"),
                          (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
                           + F.sum(F.length("norms"))).alias("bytes"))
                     .collect())
@@ -662,7 +698,8 @@ class IndexBuilder:
         # job.  Resumed/partial builds leave it absent (safe fallback).
         if not done_buckets:  # empty buckets contribute 0 — sum still total
             self._write_json("postings_stats.json", {
-                "sum_doc_freq": int(sum(r["postings"] for r in agg_rows))})
+                "sum_doc_freq": int(sum(r["content_postings"]
+                                        for r in agg_rows))})
         self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
 
     # -- stage 3: stats ------------------------------------------------------
@@ -696,9 +733,20 @@ class IndexBuilder:
         if ps is None:  # derived from term_stats (one tiny agg)
             ps = {"sum_doc_freq": int(
                 self.spark.read.parquet(self.path("term_stats"))
+                .filter(~F.col("term").contains(FIELD_SEP))
                 .agg(F.sum("doc_freq")).collect()[0][0] or 0)}
             self._write_json("postings_stats.json", ps)
         stats = {**ds, "sum_doc_freq": int(ps["sum_doc_freq"])}
+        field_stats = {}
+        if self.cfg.keyword_fields:
+            # per-field collection stats (keyword fields: one length-1
+            # value per doc, so sum_ttf == doc_count and avgdl == 1)
+            frow = (self.spark.read.parquet(self.path("docs"))
+                    .agg(*[F.count(F.col(f)).alias(f)
+                           for f in self.cfg.keyword_fields]).collect()[0])
+            field_stats = {f: {"doc_count": int(frow[f]),
+                               "sum_total_term_freq": int(frow[f])}
+                           for f in self.cfg.keyword_fields}
         manifest = {
             "format_version": 1,
             "config": {
@@ -709,8 +757,10 @@ class IndexBuilder:
                 "n_buckets": self.cfg.n_buckets,
                 "block_size": self.cfg.block_size,
                 "positions": self.cfg.positions,
+                "keyword_fields": list(self.cfg.keyword_fields),
             },
             "collection_stats": stats,
+            "field_stats": field_stats,
             "committed_at": time.time(),
         }
         with open(self.path("manifest.json"), "w") as fh:
@@ -794,6 +844,9 @@ class IndexBuilder:
                     .agg(F.count("*").alias("blocks"),
                          F.approx_count_distinct("term").alias("terms"),
                          F.sum("num_docs").alias("postings"),
+                         F.sum(F.when(~F.col("term").contains(FIELD_SEP),
+                                      F.col("num_docs")).otherwise(0))
+                         .alias("content_postings"),
                          (F.sum(F.length("doc_gaps")) + F.sum(F.length("freqs"))
                           + F.sum(F.length("norms"))).alias("bytes"))
                     .collect())
@@ -805,7 +858,8 @@ class IndexBuilder:
              for r in agg_rows], "postings")
         if not done_buckets:  # clean one-shot build: record sum_doc_freq
             self._write_json("postings_stats.json", {
-                "sum_doc_freq": int(sum(r["postings"] for r in agg_rows))})
+                "sum_doc_freq": int(sum(r["content_postings"]
+                                        for r in agg_rows))})
         self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
 
     # -- orchestration -------------------------------------------------------

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_1_spark.functions import codecs
 from lucene_1_spark.functions.smallfloat import LENGTH_TABLE
-from lucene_1_spark.index.builder import BLOCKS_SCHEMA
+from lucene_1_spark.index.builder import BLOCKS_SCHEMA, FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 
 
@@ -194,11 +194,23 @@ def compact_index(spark: SparkSession, index_dir: str,
                  F.sum("length").alias("sum_total_term_freq"))
             .collect()[0])
     sum_df = (spark.read.parquet(os.path.join(index_dir, ts_name))
+              .filter(~F.col("term").contains(FIELD_SEP))
               .agg(F.sum("doc_freq")).collect()[0][0])
     stats = {"n_docs": int(drow["n_docs"]),
              "doc_count": int(drow["doc_count"] or 0),
              "sum_total_term_freq": int(drow["sum_total_term_freq"] or 0),
              "sum_doc_freq": int(sum_df or 0)}
+
+    # per-keyword-field stats over the survivors (doc_count per field)
+    kw_fields = tuple(cfg.get("keyword_fields") or ())
+    field_stats = {}
+    if kw_fields:
+        frow = (spark.read.parquet(os.path.join(index_dir, docs_name))
+                .agg(*[F.count(F.col(f)).alias(f) for f in kw_fields])
+                .collect()[0])
+        field_stats = {f: {"doc_count": int(frow[f]),
+                           "sum_total_term_freq": int(frow[f])}
+                       for f in kw_fields}
 
     m = _manifest(index_dir)
     old = {name: m.get(f"{name}_path", name)
@@ -208,6 +220,8 @@ def compact_index(spark: SparkSession, index_dir: str,
     m["term_stats_path"] = ts_name
     m["generation"] = gen
     m["collection_stats"] = stats
+    if kw_fields:
+        m["field_stats"] = field_stats
     m["has_deletes"] = False
     m["committed_at"] = time.time()
     _write_manifest(index_dir, m)  # the atomic snapshot swap

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from lucene_1_spark.functions import bm25, codecs
+from lucene_1_spark.index.builder import FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
@@ -123,6 +124,64 @@ class IndexSearcher:
         self.cache = bm25.norm_inverse_cache(
             np.float32(self.avgdl), self.k1, self.b)
         self.doc_count = st["doc_count"]
+        self.keyword_fields = frozenset(
+            reader.cfg.get("keyword_fields") or ())
+        self._field_cache_memo: dict[str, np.ndarray] = {}
+
+    # -- per-field statistics (Similarity.java:152 per-field norms) ----
+    def _field_params(self, term_key: str) -> tuple[int, float]:
+        """(doc_count, avgdl) of the field a term key belongs to —
+        content stats for plain terms, manifest ``field_stats`` for
+        composite ``<field>\\x1f<value>`` keyword terms."""
+        if FIELD_SEP not in term_key:
+            return self.doc_count, float(self.avgdl)
+        fld = term_key.split(FIELD_SEP, 1)[0]
+        fs = (self.reader.manifest.get("field_stats") or {}).get(fld)
+        if fs is None:
+            raise ValueError(f"field '{fld}' is not indexed "
+                             f"(keyword_fields={sorted(self.keyword_fields)})")
+        dc = max(int(fs["doc_count"]), 1)
+        return int(fs["doc_count"]), float(fs["sum_total_term_freq"]) / dc
+
+    def _per_term_field_maps(self, terms) -> tuple[dict, dict]:
+        """({term: norm-cache}, {term: avgdl}) overrides for composite
+        keyword terms (empty for content-only queries — the common
+        path pays nothing)."""
+        caches: dict[str, np.ndarray] = {}
+        avgdls: dict[str, float] = {}
+        for t in terms:
+            if FIELD_SEP not in t:
+                continue
+            _, avgdl_f = self._field_params(t)
+            avgdls[t] = avgdl_f
+            key = f"{t.split(FIELD_SEP, 1)[0]}"
+            if key not in self._field_cache_memo:
+                self._field_cache_memo[key] = bm25.norm_inverse_cache(
+                    np.float32(avgdl_f), self.k1, self.b)
+            caches[t] = self._field_cache_memo[key]
+        return caches, avgdls
+
+    def _resolve_fields(self, q: Query) -> Query:
+        """Map fielded TermQuery nodes onto composite term keys so the
+        whole downstream pipeline (stats seek, bucket pruning, decode,
+        aggregation) is field-agnostic."""
+        if isinstance(q, TermQuery) and q.field != "content":
+            if q.field not in self.keyword_fields:
+                raise ValueError(
+                    f"field '{q.field}' is not indexed "
+                    f"(keyword_fields={sorted(self.keyword_fields)})")
+            return TermQuery(f"{q.field}{FIELD_SEP}{q.term}", q.boost)
+        if isinstance(q, BooleanQuery):
+            new = tuple(Clause(self._resolve_fields(c.query), c.occur)
+                        for c in q.clauses)
+            if all(a.query is b.query for a, b in zip(new, q.clauses)):
+                return q
+            return BooleanQuery(new, q.minimum_should_match)
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._resolve_fields(q.query)
+            return q if inner is q.query else ConstantScoreQuery(inner,
+                                                                 q.boost)
+        return q
 
     # ------------------------------------------------------------------
     def _flatten(self, q: Query) -> "_Flat":
@@ -184,6 +243,10 @@ class IndexSearcher:
         k1, b = float(self.k1), float(self.b)
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
+        # per-term field overrides (keyword fields have their own avgdl
+        # / norm-inverse cache); empty for content-only queries
+        caches, avgdls = self._per_term_field_maps(weights) \
+            if want_scores else ({}, {})
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -199,11 +262,13 @@ class IndexSearcher:
                         if double_mode:
                             lens = np.frombuffer(bytes(row.norms), dtype="<u4")
                             s = bm25.score_term_double(
-                                freqs, lens, weights[row.term], avgdl, k1, b)
+                                freqs, lens, weights[row.term],
+                                avgdls.get(row.term, avgdl), k1, b)
                         else:
                             norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
                             w = np.float32(weights[row.term])
-                            s = bm25.score_term(freqs, norms, w, cache) \
+                            s = bm25.score_term(freqs, norms, w,
+                                                caches.get(row.term, cache)) \
                                 .astype(np.float64)
                     else:
                         s = np.zeros(n, dtype=np.float64)
@@ -265,8 +330,10 @@ class IndexSearcher:
                       prune: bool = True,
                       after: tuple[float, int] | None = None) -> DataFrame:
         if isinstance(query, str):
-            query = parse_query(query, self.reader.cfg["analyzer"])
-        query = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(query)))
+            query = parse_query(query, self.reader.cfg["analyzer"],
+                                self.keyword_fields)
+        query = rewrite_fixpoint(self._expand_tree(
+            rewrite_fixpoint(self._resolve_fields(query))))
         spark = self.spark
         empty = spark.createDataFrame([], "doc_id long, score float")
         if isinstance(query, MatchNoDocsQuery):
@@ -359,11 +426,11 @@ class IndexSearcher:
         # (BM25 is linear in the weight, so w1+w2 == scoring twice)
         weights: dict[str, float] = {}
         for t in scoring:
+            fdc, _ = self._field_params(t.term)  # per-field docCount idf
             if self.double_mode:
-                w = t.boost * bm25.idf_double(stats[t.term][0], self.doc_count)
+                w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
             else:
-                w = float(bm25.term_weight(stats[t.term][0],
-                                           self.doc_count, t.boost))
+                w = float(bm25.term_weight(stats[t.term][0], fdc, t.boost))
             weights[t.term] = weights.get(t.term, 0.0) + w
         filter_only_terms = [t for t in filters if t.term not in weights] + \
             [t for g in filter_groups for t in g if t.term not in weights]
@@ -390,6 +457,7 @@ class IndexSearcher:
         use_prune = (prune and k is not None and not must and not mnot
                      and not filters and not must_groups and not filter_groups
                      and not cx_parts
+                     and not any(FIELD_SEP in t for t in weights)
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
         if use_prune:
@@ -888,7 +956,10 @@ class IndexSearcher:
         driver first."""
         from lucene_1_spark.search import query as query_mod
         max_clauses = query_mod.MAX_CLAUSE_COUNT
+        # content-field expansion only: composite keyword terms are
+        # excluded from wildcard/prefix/fuzzy dictionaries
         scan = (self.reader.term_stats()
+                .filter(~F.col("term").contains(FIELD_SEP))
                 .filter(self._multi_term_predicate(q))
                 .select("term", "doc_freq"))
         method = q.rewrite_method
@@ -947,7 +1018,9 @@ class IndexSearcher:
         the reference's 1024-clause limit."""
         from lucene_1_spark.search import query as query_mod
         max_clauses = query_mod.MAX_CLAUSE_COUNT
-        rows = (self.reader.term_stats().filter(predicate)
+        rows = (self.reader.term_stats()
+                .filter(~F.col("term").contains(FIELD_SEP))
+                .filter(predicate)
                 .select("term").limit(max_clauses + 1).collect())
         terms = sorted(r["term"] for r in rows)
         if len(terms) > max_clauses:
@@ -980,11 +1053,169 @@ class IndexSearcher:
                .collect())
         return [r.asDict() for r in out]
 
+    # ------------------------------------------------------------------
+    def _term_detail(self, term_key: str, doc_id: int,
+                     weight: float) -> dict | None:
+        """Per-term score breakdown for one doc: decode ONLY the block
+        whose docID range holds the doc (partition-pruned, range-pruned
+        metadata read), return freq/norm/weight/score — the
+        ``Weight.explain`` leaf (``search/TermQuery.java:229-263``)."""
+        rows = (self._blocks_for([term_key])
+                .filter((F.col("first_doc") <= int(doc_id))
+                        & (F.col("last_doc") >= int(doc_id)))
+                .collect())
+        for row in rows:
+            n = int(row["num_docs"])
+            dids = codecs.decode_doc_ids(bytes(row["doc_gaps"]),
+                                         int(row["first_doc"]), n)
+            hit = np.flatnonzero(dids == int(doc_id))
+            if len(hit) == 0:
+                continue
+            i = int(hit[0])
+            freq = int(codecs.decode_freqs(bytes(row["freqs"]), n)[i])
+            if self.double_mode:
+                lens = np.frombuffer(bytes(row["norms"]), dtype="<u4")
+                norm_len = float(lens[i])
+                _, avgdl_f = self._field_params(term_key)
+                s = float(bm25.score_term_double(
+                    np.array([freq]), np.array([norm_len]), weight,
+                    avgdl_f, float(self.k1), float(self.b))[0])
+            else:
+                norms = np.frombuffer(bytes(row["norms"]), dtype=np.uint8)
+                caches, _ = self._per_term_field_maps({term_key: weight})
+                from lucene_1_spark.functions.smallfloat import LENGTH_TABLE
+                norm_len = float(LENGTH_TABLE[norms[i]])
+                s = float(bm25.score_term(
+                    np.array([freq]), norms[i:i + 1], np.float32(weight),
+                    caches.get(term_key, self.cache))[0])
+            return {"value": s, "freq": freq, "norm_len": norm_len,
+                    "weight": float(weight),
+                    "description": f"weight({term_key} in {doc_id}) "
+                                   f"[freq={freq}, norm_len={norm_len:g}, "
+                                   f"idf_weight={float(weight):g}]"}
+        return None
+
+    def _subplan_value(self, q: Query, doc_id: int) -> float | None:
+        rows = (self._search_inner(q, k=None, prune=False)
+                .filter(F.col("doc_id") == int(doc_id)).collect())
+        return float(rows[0]["score"]) if rows else None
+
+    def explain(self, query: Query | str, doc_id: int) -> dict:
+        """Score explanation for one (query, doc) pair — the
+        ``IndexSearcher.explain`` / ``Weight.explain`` tree
+        (``search/IndexSearcher.java:919``): {match, value, description,
+        details}.  ``value`` is arithmetically identical to the score
+        ``search_df`` assigns the doc (float32 or double per the index
+        similarity); non-matching docs explain as match=False, 0."""
+        if isinstance(query, str):
+            query = parse_query(query, self.reader.cfg["analyzer"],
+                                self.keyword_fields)
+        query = rewrite_fixpoint(self._expand_tree(
+            rewrite_fixpoint(self._resolve_fields(query))))
+
+        if isinstance(query, (TermQuery, BooleanQuery)):
+            fl = self._flatten(query)
+            stats = self.reader.term_statistics(sorted(
+                {t.term for t in fl.must + fl.should + fl.mnot + fl.filters}
+                | {t.term for g in fl.must_groups + fl.filter_groups
+                   for t in g}))
+            details: list[dict] = []
+            acc = 0.0
+            matches = True
+
+            def term_weight_of(t: TermQuery) -> float:
+                fdc, _ = self._field_params(t.term)
+                if self.double_mode:
+                    return t.boost * bm25.idf_double(stats[t.term][0], fdc)
+                return float(bm25.term_weight(stats[t.term][0], fdc,
+                                              t.boost))
+
+            for occ, terms in (("MUST", fl.must), ("SHOULD", fl.should),
+                               ("FILTER", fl.filters)):
+                for t in terms:
+                    d = (self._term_detail(t.term, doc_id,
+                                           term_weight_of(t))
+                         if t.term in stats else None)
+                    if d is None:
+                        if occ in ("MUST", "FILTER"):
+                            matches = False
+                        continue
+                    d["occur"] = occ
+                    if occ == "FILTER":
+                        d["description"] += " (FILTER: not scored)"
+                    else:
+                        acc += d["value"]
+                    details.append(d)
+            for t in fl.mnot:
+                if t.term in stats and \
+                        self._term_detail(t.term, doc_id, 0.0) is not None:
+                    matches = False
+                    details.append({"value": 0.0, "occur": "MUST_NOT",
+                                    "description":
+                                        f"MUST_NOT({t.term}) matched"})
+            for kind, groups in (("MUST", fl.must_groups),
+                                 ("FILTER", fl.filter_groups)):
+                for g in groups:
+                    got = False
+                    for t in g:
+                        d = (self._term_detail(t.term, doc_id,
+                                               term_weight_of(t))
+                             if t.term in stats else None)
+                        if d is not None:
+                            got = True
+                            d["occur"] = f"{kind}-group"
+                            if kind == "MUST":
+                                acc += d["value"]
+                            details.append(d)
+                    if not got:
+                        matches = False
+            for occ, cq in fl.complex:
+                v = self._subplan_value(cq, doc_id)
+                if v is None:
+                    if occ in (Occur.MUST, Occur.FILTER):
+                        matches = False
+                    if occ == Occur.MUST_NOT:
+                        continue
+                    continue
+                if occ == Occur.MUST_NOT:
+                    matches = False
+                    details.append({"value": 0.0, "occur": "MUST_NOT",
+                                    "description": f"MUST_NOT({cq}) matched"})
+                    continue
+                if occ in (Occur.MUST, Occur.SHOULD):
+                    acc += v
+                details.append({"value": v, "occur": occ.value,
+                                "description": f"sub-query {cq}"})
+            if fl.msm > 0:
+                should_hits = sum(
+                    1 for d in details if d.get("occur") == "SHOULD")
+                if should_hits < fl.msm:
+                    matches = False
+            if not details:
+                matches = False
+            if not matches:
+                return {"match": False, "value": 0.0,
+                        "description": "no match", "details": details}
+            total = acc if self.double_mode else float(np.float32(acc))
+            return {"match": True, "value": total,
+                    "description": f"sum of ({type(query).__name__})",
+                    "details": details}
+
+        # phrase / synonym / constant-score / match-all leaves: value
+        # from the node's own sub-plan (same arithmetic as search_df)
+        v = self._subplan_value(query, doc_id)
+        if v is None:
+            return {"match": False, "value": 0.0,
+                    "description": "no match", "details": []}
+        return {"match": True, "value": v,
+                "description": f"{type(query).__name__}", "details": []}
+
     def count(self, query: Query | str) -> int:
         """TotalHitCountCollector analog — exhaustive match set, no
         global sort (``search_df(k=None)`` is the unsorted collector)."""
         if isinstance(query, str):
-            query = parse_query(query, self.reader.cfg["analyzer"])
+            query = parse_query(query, self.reader.cfg["analyzer"],
+                                self.keyword_fields)
         query = rewrite_fixpoint(query)
         if isinstance(query, MatchNoDocsQuery):
             return 0
@@ -1016,8 +1247,10 @@ class IndexSearcher:
         fallback: dict[str, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
-                q = parse_query(q, self.reader.cfg["analyzer"])
-            q = rewrite_fixpoint(self._expand_tree(rewrite_fixpoint(q)))
+                q = parse_query(q, self.reader.cfg["analyzer"],
+                                self.keyword_fields)
+            q = rewrite_fixpoint(self._expand_tree(
+                rewrite_fixpoint(self._resolve_fields(q))))
             try:
                 fl = self._flatten(q)
                 if fl.must_groups or fl.filter_groups or fl.complex:
@@ -1051,12 +1284,12 @@ class IndexSearcher:
                 live_qids.append(qid)
                 w_by_term: dict[str, float] = {}
                 for t in scoring:
+                    fdc, _ = self._field_params(t.term)
                     if self.double_mode:
-                        w = t.boost * bm25.idf_double(stats[t.term][0],
-                                                      self.doc_count)
+                        w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
                     else:
                         w = float(bm25.term_weight(stats[t.term][0],
-                                                   self.doc_count, t.boost))
+                                                   fdc, t.boost))
                     w_by_term[t.term] = w_by_term.get(t.term, 0.0) + w
                 req = sorted({t.term for t in must}
                              | {t.term for t in filters})
@@ -1127,6 +1360,7 @@ class IndexSearcher:
         k1, b = float(self.k1), float(self.b)
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
+        caches, avgdls = self._per_term_field_maps(qweights)
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -1153,11 +1387,13 @@ class IndexSearcher:
                                                           dtype=np.uint8)
                             if double_mode:
                                 s = bm25.score_term_double(
-                                    freqs, lens, wgt, avgdl, k1, b)
+                                    freqs, lens, wgt,
+                                    avgdls.get(row.term, avgdl), k1, b)
                             else:
                                 s = bm25.score_term(
                                     freqs, norms, np.float32(wgt),
-                                    cache).astype(np.float64)
+                                    caches.get(row.term, cache)) \
+                                    .astype(np.float64)
                         qids_l.append(qid)
                         terms_l.append(row.term)
                         dids_l.append(dids)

@@ -143,7 +143,9 @@ def suggest_terms(reader, prefix: str, k: int = 5) -> DataFrame:
     """(term, weight): top-k dictionary completions for a prefix,
     ordered by doc_freq desc then term asc (weighted prefix completion;
     the parquet term-sorted files give row-group pruning on the scan)."""
+    from lucene_1_spark.index.builder import FIELD_SEP
     return (reader.term_stats()
+            .filter(~F.col("term").contains(FIELD_SEP))
             .filter(F.col("term").startswith(prefix))
             .select("term", F.col("doc_freq").cast("long").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term"))
@@ -156,7 +158,9 @@ def suggest_terms_infix(reader, fragment: str, k: int = 5) -> DataFrame:
     fragment anywhere, weight-ordered.  An infix match can't use the
     term-sorted row-group pruning (full dictionary scan, like the
     reference's separate suggest index does its own search)."""
+    from lucene_1_spark.index.builder import FIELD_SEP
     return (reader.term_stats()
+            .filter(~F.col("term").contains(FIELD_SEP))
             .filter(F.col("term").contains(fragment))
             .select("term", F.col("doc_freq").cast("long").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term"))
@@ -167,7 +171,9 @@ def suggest_terms_fuzzy(reader, text: str, max_edits: int = 1,
                         k: int = 5) -> DataFrame:
     """FuzzyCompletionQuery analog: completions within ``max_edits`` of
     the typed text, weight-ordered."""
+    from lucene_1_spark.index.builder import FIELD_SEP
     return (reader.term_stats()
+            .filter(~F.col("term").contains(FIELD_SEP))
             .filter(F.levenshtein(F.col("term"), F.lit(text)) <= max_edits)
             .select("term", F.col("doc_freq").cast("long").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term"))

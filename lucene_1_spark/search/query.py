@@ -35,8 +35,14 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """Single-term query.  ``field`` defaults to the analyzed text
+    field; a keyword field (``IndexConfig.keyword_fields``) matches the
+    exact stored value (``index/Term.java`` carries (field, bytes) the
+    same way).  The executor maps non-content fields onto the composite
+    term key ``<field>\\x1f<term>``."""
     term: str
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -215,16 +221,18 @@ class BooleanQuery(Query):
         out: list[Clause] = []
         for c in kept:
             if isinstance(c.query, TermQuery) and c.occur in (Occur.SHOULD, Occur.MUST):
-                k = (c.occur, c.query.term)
+                k = (c.occur, c.query.field, c.query.term)
                 if k in merged:
                     prev = merged[k]
                     merged[k] = Clause(
-                        TermQuery(c.query.term, prev.query.boost + c.query.boost),
+                        TermQuery(c.query.term,
+                                  prev.query.boost + c.query.boost,
+                                  c.query.field),
                         c.occur)
                     continue
                 merged[k] = c
             out.append(c)
-        out = [merged.get((c.occur, c.query.term), c)
+        out = [merged.get((c.occur, c.query.field, c.query.term), c)
                if isinstance(c.query, TermQuery) and c.occur in (Occur.SHOULD, Occur.MUST)
                else c for c in out]
         # dedup identical (occur, query) pairs entirely
@@ -274,7 +282,7 @@ def _apply_boost(q: Query, b: float) -> Query:
     if b == 1.0:
         return q
     if isinstance(q, TermQuery):
-        return TermQuery(q.term, q.boost * b)
+        return TermQuery(q.term, q.boost * b, q.field)
     if isinstance(q, PhraseQuery):
         return PhraseQuery(q.terms, q.boost * b, q.slop)
     if isinstance(q, SynonymQuery):
@@ -357,14 +365,25 @@ class _Scanner:
         return tilde, self.read_boost()
 
 
-def _word_atom(word: str, an) -> Query | None:
+def _word_atom(word: str, an, kw_fields: frozenset = frozenset()) \
+        -> Query | None:
     """One bare word -> Term/Prefix/Wildcard/Fuzzy query with optional
-    ``field:``, ``~fuzz`` and ``^boost`` suffixes."""
+    ``field:``, ``~fuzz`` and ``^boost`` suffixes.  ``field:`` names
+    either the analyzed content field or a registered keyword field
+    (exact, unanalyzed value match)."""
     if ":" in word:
         field, rest = word.split(":", 1)
+        if field in kw_fields:
+            if not rest:
+                return None
+            m = _SUFFIX_RE.match(rest)
+            boost = float(m.group("boost")) if m and m.group("boost") else 1.0
+            value = m.group("body") if m else rest
+            return TermQuery(value, boost, field)
         if field not in _VALID_FIELDS:
-            raise ValueError(f"unknown field '{field}' "
-                             f"(indexed fields: {sorted(_VALID_FIELDS)})")
+            raise ValueError(
+                f"unknown field '{field}' (indexed fields: "
+                f"{sorted(_VALID_FIELDS | kw_fields)})")
         word = rest
         if not word:
             return None
@@ -392,7 +411,8 @@ def _word_atom(word: str, an) -> Query | None:
                               for t in terms))
 
 
-def _parse_clauses(sc: _Scanner, an) -> Query:
+def _parse_clauses(sc: _Scanner, an,
+                   kw_fields: frozenset = frozenset()) -> Query:
     clauses: list[Clause] = []
     pending: Occur | None = None
     last_op: str | None = None
@@ -417,7 +437,7 @@ def _parse_clauses(sc: _Scanner, an) -> Query:
             break
         if ch == "(":
             sc.next()
-            sub = _parse_clauses(sc, an)
+            sub = _parse_clauses(sc, an, kw_fields)
             if sc.peek() == ")":
                 sc.next()
             _, boost = sc.read_suffix()
@@ -483,7 +503,7 @@ def _parse_clauses(sc: _Scanner, an) -> Query:
         if word == "*" or word == "*:*":
             push(MatchAllDocsQuery())
             continue
-        push(_word_atom(word, an))
+        push(_word_atom(word, an, kw_fields))
 
     if not clauses:
         return MatchNoDocsQuery()
@@ -492,7 +512,8 @@ def _parse_clauses(sc: _Scanner, an) -> Query:
     return BooleanQuery(tuple(clauses))
 
 
-def parse_query(text: str, analyzer: str = "standard") -> Query:
+def parse_query(text: str, analyzer: str = "standard",
+                keyword_fields: frozenset | set | tuple = ()) -> Query:
     """Classic-syntax query parser — the role of
     ``queryparser/classic/QueryParser.jj:196-320`` (the reference's
     user-facing entry point, ``demo/SearchFiles.java:109-120``):
@@ -510,4 +531,5 @@ def parse_query(text: str, analyzer: str = "standard") -> Query:
     Analyzed atoms (terms, phrases) run through the same analyzer as
     indexing; multi-term atoms (wildcard/fuzzy/range/regexp) are only
     lowercase-normalized, as in QueryParserBase."""
-    return _parse_clauses(_Scanner(text), get_analyzer(analyzer))
+    return _parse_clauses(_Scanner(text), get_analyzer(analyzer),
+                          frozenset(keyword_fields))

@@ -63,8 +63,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_1_spark.index.builder import (DOC_KEY_COLS, DOCS_SCHEMA,
-                                          IndexBuilder, IndexConfig,
-                                          pack_blocks_df, range_partition)
+                                          FIELD_SEP, IndexBuilder,
+                                          IndexConfig, pack_blocks_df,
+                                          range_partition)
 from lucene_1_spark.index.maintenance import (_write_manifest,
                                               append_tombstones,
                                               compact_index)
@@ -156,17 +157,22 @@ class IncrementalIndexWriter:
                     .parquet(os.path.join(staging, "stats_seg"))
                 sum_df_delta = int(
                     self.spark.read.parquet(os.path.join(staging, "stats_seg"))
+                    .filter(~F.col("term").contains(FIELD_SEP))
                     .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+            kw = tuple(self.cfg.keyword_fields or ())
             drow = (self.spark.read.parquet(os.path.join(staging, "docs_seg"))
                     .agg(F.count("*").alias("n"),
                          F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
                          .alias("nonempty"),
-                         F.sum("length").alias("len")).collect()[0])
+                         F.sum("length").alias("len"),
+                         *[F.count(F.col(f)).alias(f"kw_{f}")
+                           for f in kw]).collect()[0])
             b._write_json(seg_json, {
                 "n_docs": int(drow["n"]),
                 "doc_count": int(drow["nonempty"] or 0),
                 "sum_total_term_freq": int(drow["len"] or 0),
                 "sum_doc_freq": sum_df_delta,
+                "field_docs": {f: int(drow[f"kw_{f}"] or 0) for f in kw},
             })
             b._write_checkpoint(cp_id, stage_name, "done", int(drow["n"]))
 
@@ -188,6 +194,17 @@ class IncrementalIndexWriter:
                 + deltas.get("sum_doc_freq", 0),
             }
             manifest["collection_stats"] = cs
+            if deltas.get("field_docs"):
+                fs = manifest.get("field_stats", {})
+                for f, n_new in deltas["field_docs"].items():
+                    cur = fs.get(f, {"doc_count": 0,
+                                     "sum_total_term_freq": 0})
+                    fs[f] = {
+                        "doc_count": cur["doc_count"] + n_new,
+                        "sum_total_term_freq":
+                            cur["sum_total_term_freq"] + n_new,
+                    }
+                manifest["field_stats"] = fs
             manifest["n_segments"] = seg_id + 1
             manifest["committed_at"] = time.time()
             # keep the builder's stage stats coherent for later resumes

@@ -1,0 +1,157 @@
+"""Multi-field indexing: keyword fields as composite postings
+(``index/IndexingChain.java:561`` per-field postings; per-field norms
+``Similarity.java:152``) — field-scoped TermQuery, parser ``field:``,
+per-field BM25 stats, content stats unpolluted, compaction-safe."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark.functions import bm25
+from lucene_1_spark.functions.smallfloat import int_to_byte4
+from lucene_1_spark.index import IndexBuilder, IndexReader
+from lucene_1_spark.index.builder import IndexConfig
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.search.query import (BooleanQuery, Clause, Occur,
+                                         TermQuery, parse_query)
+
+CFG = dict(n_buckets=8, n_doc_partitions=4, positions=True,
+           keyword_fields=("lang",))
+
+
+@pytest.fixture(scope="module")
+def kw_index(spark, tmp_root):
+    pdf = corpus_mod.generate(250)
+    d = os.path.join(tmp_root, "idx_kwfields")
+    src = spark.createDataFrame(pdf).repartition(4, "repo")
+    IndexBuilder(spark, d, IndexConfig(**CFG)).build(src)
+    return d, pdf
+
+
+@pytest.fixture(scope="module")
+def kws(spark, kw_index):
+    d, _ = kw_index
+    return IndexSearcher(IndexReader(spark, d))
+
+
+def _keyword_score(searcher, value: str) -> float:
+    """Expected float32 BM25 for a keyword-field match: freq=1, field
+    length 1, field avgdl 1, idf over the FIELD's doc_count."""
+    fs = searcher.reader.manifest["field_stats"]["lang"]
+    stats = searcher.reader.term_statistics([f"lang\x1f{value}"])
+    df = stats[f"lang\x1f{value}"][0]
+    w = bm25.term_weight(df, fs["doc_count"])
+    cache = bm25.norm_inverse_cache(np.float32(1.0), np.float32(1.2),
+                                    np.float32(0.75))
+    nb = int_to_byte4(np.array([1]))
+    return float(bm25.score_term(np.array([1]), nb, w, cache)[0])
+
+
+def _lang_docs(searcher, value: str) -> set[int]:
+    return {r["doc_id"] for r in searcher.reader.docs()
+            .filter(F.col("lang") == value).select("doc_id").collect()}
+
+
+def test_keyword_term_query_matches_and_scores(kws, kw_index):
+    _, pdf = kw_index
+    expect_docs = _lang_docs(kws, "python")
+    assert len(expect_docs) > 0
+    rows = kws.search_df(TermQuery("python", field="lang"), k=None).collect()
+    got = {r["doc_id"]: float(np.float32(r["score"])) for r in rows}
+    assert set(got) == expect_docs
+    exp = np.float32(_keyword_score(kws, "python"))
+    assert all(np.float32(s) == exp for s in got.values())
+
+
+def test_parser_field_colon_routes_to_keyword_field(kws):
+    q = parse_query("lang:python", "standard", frozenset({"lang"}))
+    assert q == TermQuery("python", 1.0, "lang")
+    via_parser = {r["doc_id"] for r in
+                  kws.search_df("lang:python", k=None).collect()}
+    via_query = {r["doc_id"] for r in
+                 kws.search_df(TermQuery("python", field="lang"),
+                               k=None).collect()}
+    assert via_parser == via_query and via_parser
+
+
+def test_keyword_field_composes_in_boolean(kws):
+    """+tok1 +lang:java — mixed content + keyword conjunction; the
+    keyword MUST clause both restricts and contributes its score."""
+    only = {r["doc_id"]: r["score"] for r in
+            kws.search_df("tok1", k=None).collect()}
+    mixed = {r["doc_id"]: r["score"] for r in
+             kws.search_df("+tok1 +lang:java", k=None).collect()}
+    java_docs = _lang_docs(kws, "java")
+    assert set(mixed) == set(only) & java_docs and mixed
+    kw_s = _keyword_score(kws, "java")
+    for d, s in mixed.items():
+        assert np.float32(s) == np.float32(float(only[d]) + kw_s), d
+
+
+def test_keyword_filter_clause_not_scored(kws):
+    q = BooleanQuery((Clause(TermQuery("tok1"), Occur.MUST),
+                      Clause(TermQuery("rust", field="lang"), Occur.FILTER)))
+    only = {r["doc_id"]: r["score"] for r in
+            kws.search_df("tok1", k=None).collect()}
+    got = {r["doc_id"]: r["score"] for r in kws.search_df(q, k=None).collect()}
+    rust_docs = _lang_docs(kws, "rust")
+    assert set(got) == set(only) & rust_docs and got
+    for d, s in got.items():
+        assert s == only[d], d
+
+
+def test_content_stats_unpolluted_by_keyword_postings(spark, tmp_root,
+                                                      kw_index):
+    """sum_doc_freq / collection stats count CONTENT postings only —
+    identical to a build without keyword fields."""
+    d, pdf = kw_index
+    d2 = os.path.join(tmp_root, "idx_kwfields_ref")
+    cfg = {**CFG, "keyword_fields": ()}
+    IndexBuilder(spark, d2, IndexConfig(**cfg)).build(
+        spark.createDataFrame(pdf).repartition(4, "repo"))
+    a = IndexReader(spark, d).stats
+    b = IndexReader(spark, d2).stats
+    assert a == b
+
+
+def test_content_queries_unchanged_by_keyword_fields(spark, kw_index,
+                                                     tmp_root, kws):
+    d2 = os.path.join(tmp_root, "idx_kwfields_ref")  # built above
+    s2 = IndexSearcher(IndexReader(spark, d2))
+    for q in ["tok0", "+tok1 +tok2", '"tok0 tok1"', "tok3 tok4"]:
+        a = sorted((r["doc_id"], np.float32(r["score"]))
+                   for r in kws.search_df(q, k=None).collect())
+        b = sorted((r["doc_id"], np.float32(r["score"]))
+                   for r in s2.search_df(q, k=None).collect())
+        assert a == b, q
+
+
+def test_keyword_fields_survive_append_and_compaction(spark, tmp_root):
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+    pdf = corpus_mod.generate(120)
+    d = os.path.join(tmp_root, "idx_kw_incr")
+    w = IncrementalIndexWriter(spark, d, IndexConfig(
+        n_buckets=4, n_doc_partitions=2, keyword_fields=("lang",)))
+    w.append(spark.createDataFrame(pdf.iloc[:80]), batch_id=0)
+    w.append(spark.createDataFrame(pdf.iloc[80:]), batch_id=1)
+    s = IndexSearcher(IndexReader(spark, d))
+    fs = s.reader.manifest["field_stats"]["lang"]
+    assert fs["doc_count"] == 120
+    n_py = len(_lang_docs(s, "python"))
+    got = s.search_df(TermQuery("python", field="lang"), k=None).count()
+    assert got == n_py > 0
+    w.compact()
+    s = IndexSearcher(IndexReader(spark, d))
+    assert s.reader.manifest["field_stats"]["lang"]["doc_count"] == 120
+    assert s.search_df(TermQuery("python", field="lang"),
+                       k=None).count() == n_py
+
+
+def test_unknown_field_raises(kws):
+    with pytest.raises(ValueError, match="not indexed"):
+        kws.search_df(TermQuery("x", field="nope"), k=5).collect()
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_query("nope:x", "standard", frozenset({"lang"}))
