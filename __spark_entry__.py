@@ -605,6 +605,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
     q["ft_intervals_containing"] = ft_intervals_containing
 
+    def ft_intervals_or_containing(s, d):
+        """Combinator sources (Intervals.java:97-134): minimal ordered
+        (sort..merge) intervals containing an occurrence of
+        Intervals.or('query', 'window')."""
+        from lucene_1_spark.search.intervals import (containment_counts,
+                                                     or_source)
+        se = _searcher(s, d)
+        out = containment_counts(se, ["sort", "merge"],
+                                 or_source("query", "window"),
+                                 "containing", outer_gaps=3)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_or_containing"] = ft_intervals_or_containing
+
     def mon_match_batch(s, d):
         """Monitor/percolator: registered queries vs the documents batch."""
         from lucene_1_spark.streaming.monitor import Monitor
@@ -741,6 +757,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               e.filter(F.col("vec_id") == 0).first()["embedding"]]
         return ann_topk(e, qv, k=10, bits=6, multiprobe=2)
     q["sim_ann_topk"] = sim_ann_topk
+
+    def knn_filtered_topk(s, d):
+        """Pre-filtered kNN (KnnFloatVectorQuery.java:46): exact cosine
+        top-k among docs whose text contains 'spark' (vec_id == doc_id
+        in the test tables) — the filter restricts BEFORE top-k."""
+        from lucene_1_spark.pipeline.similarity import knn_filtered_topk
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        allowed = _all_matches(s, d, "spark").select(
+            F.col("orig_id").alias("vec_id"))
+        return knn_filtered_topk(e, qv, k=10, allowed=allowed)
+    q["knn_filtered_topk"] = knn_filtered_topk
 
     def sim_ivf_full_probe(s, d):
         """IVF with nprobe = n_centroids scans every list — must equal
@@ -1022,6 +1052,35 @@ hit AS (
   SELECT iv.doc_id, iv.a, iv.b FROM iv
   WHERE EXISTS (SELECT 1 FROM ordered p
                 WHERE p.doc_id = iv.doc_id AND p.term = 'a'
+                  AND p.ord BETWEEN iv.a AND iv.b))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM hit GROUP BY doc_id"""
+
+    # Intervals.containing over an Intervals.or inner source: minimal
+    # ordered(sort..merge) intervals (gaps <= 3) holding 'query' OR
+    # 'window'
+    o["ft_intervals_or_containing"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+A AS (SELECT doc_id, ord FROM ordered WHERE term = 'sort'),
+B AS (SELECT doc_id, ord FROM ordered WHERE term = 'merge'),
+pairs AS (
+  SELECT B.doc_id, B.ord AS b, max(A.ord) AS a
+  FROM B JOIN A ON A.doc_id = B.doc_id AND A.ord < B.ord
+  GROUP BY B.doc_id, B.ord),
+minimal AS (SELECT doc_id, a, min(b) AS b FROM pairs GROUP BY doc_id, a),
+iv AS (SELECT doc_id, a, b FROM minimal WHERE (b - a + 1) - 2 <= 3),
+hit AS (
+  SELECT iv.doc_id, iv.a, iv.b FROM iv
+  WHERE EXISTS (SELECT 1 FROM ordered p
+                WHERE p.doc_id = iv.doc_id
+                  AND p.term IN ('query', 'window')
                   AND p.ord BETWEEN iv.a AND iv.b))
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM hit GROUP BY doc_id"""
@@ -1372,6 +1431,23 @@ ORDER BY c DESC, vec_id ASC LIMIT 10"""
 
     # IVF at full probe scans every inverted list == exact cosine
     o["sim_ivf_full_probe"] = o["sim_cosine_topk"]
+
+    # pre-filtered kNN: exact top-k among docs containing 'spark'
+    o["knn_filtered_topk"] = f"""
+WITH {_TOKS},
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+allowed AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+pairs AS (
+  SELECT e.vec_id, e.embedding[t.i]::DOUBLE AS a, q.v[t.i] AS b
+  FROM embeddings e, q,
+       (SELECT unnest(generate_series(1, (SELECT len(v) FROM q))) AS i) t
+  WHERE e.vec_id IN (SELECT doc_id FROM allowed)),
+cos AS (
+  SELECT vec_id,
+         sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS c
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(c, 6) AS cosine FROM cos
+ORDER BY c DESC, vec_id ASC LIMIT 10"""
 
     o["sim_near_dup_pairs"] = """
 WITH e2 AS (

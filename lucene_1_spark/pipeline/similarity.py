@@ -230,6 +230,35 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def knn_filtered_topk(embeddings: DataFrame, query_vec: list[float],
+                      k: int = 10, allowed: DataFrame | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      centroids: np.ndarray | None = None,
+                      nprobe: int = 2,
+                      assigned: DataFrame | None = None) -> DataFrame:
+    """PRE-filtered kNN — the ``search/KnnFloatVectorQuery.java:46``
+    contract: the filter restricts the candidate set BEFORE top-k
+    selection, so the result is the true top-k AMONG allowed ids (a
+    post-filter would return fewer than k).
+
+    ``allowed``: one-column DataFrame of permitted ids (e.g. the doc
+    ids matching an engine query) — semi-joined in, so the scan prunes
+    before any cosine arithmetic.  ``centroids=None`` is the exact
+    path; with centroids the IVF partial probe runs within the allowed
+    set (recall characteristics unchanged by filtering since the
+    filter is exact)."""
+    e = embeddings
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias(id_col))
+        e = e.join(ids, id_col, "left_semi")
+        if assigned is not None:
+            assigned = assigned.join(ids, id_col, "left_semi")
+    if centroids is not None:
+        return ivf_ann_topk(e, query_vec, centroids, k, nprobe,
+                            id_col, vec_col, assigned=assigned)
+    return cosine_topk(e, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs_exact(embeddings: DataFrame,
                                    threshold: float = 0.95,
                                    id_col: str = "vec_id",

@@ -1,7 +1,7 @@
 from lucene_1_spark.search.query import (  # noqa: F401
     BooleanQuery, Clause, ConstantScoreQuery, FieldExistsQuery, FuzzyQuery,
-    MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery,
-    PrefixQuery, Query, RegexpQuery, SynonymQuery, TermQuery, TermRangeQuery,
-    WildcardQuery, parse_query,
+    KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
+    Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
+    TermQuery, TermRangeQuery, WildcardQuery, parse_query,
 )
 from lucene_1_spark.search.executor import IndexSearcher  # noqa: F401

@@ -1414,6 +1414,26 @@ class IndexSearcher:
 
         return decode
 
+    def knn_search(self, vectors: DataFrame, q, id_col: str = "doc_id",
+                   vec_col: str = "embedding",
+                   centroids=None, nprobe: int = 2,
+                   assigned: DataFrame | None = None) -> DataFrame:
+        """Execute a :class:`KnnVectorQuery` against a vectors table
+        keyed by engine doc_id — pre-filtered kNN
+        (``search/KnnFloatVectorQuery.java:46``): the filter sub-query
+        runs through the normal boolean machinery, its doc set
+        semi-joins the vector scan BEFORE any cosine arithmetic, then
+        exact (or IVF partial-probe, when centroids are given) top-k
+        runs among the survivors.  Returns (id_col, cosine)."""
+        from lucene_1_spark.pipeline.similarity import knn_filtered_topk
+        allowed = None
+        if q.filter is not None:
+            allowed = self.search_df(q.filter, k=None).select("doc_id")
+        return knn_filtered_topk(
+            vectors, list(q.query_vec), q.k, allowed=allowed,
+            id_col=id_col, vec_col=vec_col, centroids=centroids,
+            nprobe=nprobe, assigned=assigned)
+
     def search_sorted(self, query: Query | str,
                       by: list[tuple[str, str]],
                       k: int | None = 10) -> DataFrame:

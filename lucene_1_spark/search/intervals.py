@@ -302,8 +302,18 @@ def containment_counts(searcher, outer_terms: list[str],
     module's minimal-interval sources)."""
     if mode not in ("containing", "not_containing", "contained_by"):
         raise ValueError(f"unknown containment mode: {mode}")
-    outer = _ordered_spans(searcher, outer_terms, outer_gaps)
-    inner = (_ordered_spans(searcher, inner_terms, inner_gaps)
+
+    def spans_of(src, gaps):
+        # a list of terms keeps the original ordered-terms fast path;
+        # a tuple spec routes through the combinator algebra
+        # (Intervals.or / phrase / nested ordered)
+        if isinstance(src, tuple) and src and isinstance(src[0], str) \
+                and src[0] in ("term", "ordered", "or", "phrase"):
+            return source_spans(searcher, src)
+        return _ordered_spans(searcher, list(src), gaps)
+
+    outer = spans_of(outer_terms, outer_gaps)
+    inner = (spans_of(inner_terms, inner_gaps)
              .select(F.col("doc_id"), F.col("starts").alias("i_starts"),
                      F.col("ends").alias("i_ends")))
     how = "left" if mode == "not_containing" else "inner"
@@ -345,6 +355,172 @@ def containment_counts(searcher, outer_terms: list[str],
                                          "i_starts", "i_ends"))
             .filter(F.col("n_intervals") > 0)
             .select("doc_id", "n_intervals"))
+
+
+# ---------------------------------------------------------------------------
+# interval SOURCE combinators — the nested-source algebra of
+# ``queries/intervals/Intervals.java:97-134`` (ordered / or / phrase
+# over arbitrary sources, not just raw term lists).  A source spec is a
+# nested tuple:
+#
+#   "t"                          term source (width-1 intervals)
+#   ("ordered", (s1, s2, ...), max_gaps)
+#   ("or", (s1, s2, ...))
+#   ("phrase", (s1, s2, ...))    exact adjacency (Intervals.phrase)
+#
+# Every node yields MINIMAL intervals per doc (starts and ends both
+# strictly increasing, no interval containing another), which is what
+# makes the searchsorted chaining exact.  ``max_gaps`` counts gap
+# positions between the CHOSEN child intervals — a child's internal
+# gaps belong to the child (IntervalIterator.gaps() semantics).
+# ---------------------------------------------------------------------------
+
+def term(t: str):
+    return ("term", t)
+
+
+def ordered_source(*sources, max_gaps: int = 1 << 30):
+    return ("ordered", tuple(_norm_source(s) for s in sources),
+            int(max_gaps))
+
+
+def or_source(*sources):
+    return ("or", tuple(_norm_source(s) for s in sources))
+
+
+def phrase_source(*sources):
+    return ("phrase", tuple(_norm_source(s) for s in sources))
+
+
+def _norm_source(s):
+    if isinstance(s, str):
+        return ("term", s)
+    return s
+
+
+def _source_terms(source) -> set[str]:
+    kind = source[0]
+    if kind == "term":
+        return {source[1]}
+    out: set[str] = set()
+    for c in source[1]:
+        out |= _source_terms(c)
+    return out
+
+
+_SPANS_SCHEMA = "doc_id long, starts array<long>, ends array<long>"
+
+
+def _term_spans(searcher, t: str) -> DataFrame:
+    from lucene_1_spark.search.executor import POSITIONS_SCHEMA
+    stats = searcher.reader.term_statistics([t])
+    if t not in stats:
+        return searcher.spark.createDataFrame([], _SPANS_SCHEMA)
+    dec = searcher._blocks_for([t]).mapInPandas(
+        searcher._decode_positions_kernel(), POSITIONS_SCHEMA)
+    return dec.select(
+        "doc_id",
+        F.col("positions").cast("array<long>").alias("starts"),
+        F.col("positions").cast("array<long>").alias("ends"))
+
+
+def source_spans(searcher, source) -> DataFrame:
+    """(doc_id, starts, ends): the source's minimal intervals per doc —
+    recursive evaluation, one inner/outer join per combinator level
+    plus a vectorized per-row numpy kernel."""
+    if searcher.reader.cfg.get("positions") is not True:
+        raise ValueError("intervals need a positions=True index")
+    source = _norm_source(source)
+    kind = source[0]
+    if kind == "term":
+        return _term_spans(searcher, source[1])
+    children = [source_spans(searcher, c) for c in source[1]]
+    n = len(children)
+    if n == 1:
+        return children[0]
+    how = "outer" if kind == "or" else "inner"
+    joined = None
+    for i, c in enumerate(children):
+        c = c.select("doc_id", F.col("starts").alias(f"s{i}"),
+                     F.col("ends").alias(f"e{i}"))
+        joined = c if joined is None else joined.join(c, "doc_id", how)
+    if kind == "or":  # absent children contribute no intervals
+        empty = F.array().cast("array<long>")
+        joined = joined.select(
+            "doc_id", *[F.coalesce(F.col(f"{p}{i}"), empty)
+                        .alias(f"{p}{i}")
+                        for i in range(n) for p in ("s", "e")])
+    g = int(source[2]) if kind == "ordered" else 0
+    mode = kind
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def combine(*cols: pd.Series) -> pd.Series:
+        out = []
+        for r in range(len(cols[0])):
+            ch = [(np.asarray(cols[2 * i].iloc[r], dtype=np.int64),
+                   np.asarray(cols[2 * i + 1].iloc[r], dtype=np.int64))
+                  for i in range(n)]
+            if mode == "or":
+                s = np.concatenate([c[0] for c in ch])
+                e = np.concatenate([c[1] for c in ch])
+                if len(s):
+                    order = np.lexsort((e, s))
+                    s, e = s[order], e[order]
+                    first = np.concatenate([[True], s[1:] != s[:-1]])
+                    s, e = s[first], e[first]  # same start: keep min end
+                    sufmin = np.minimum.accumulate(e[::-1])[::-1]
+                    keep = np.ones(len(e), dtype=bool)
+                    keep[:-1] = e[:-1] < sufmin[1:]
+                    s, e = s[keep], e[keep]
+                out.append([s.tolist(), e.tolist()])
+                continue
+            # ordered / phrase: greedy searchsorted chain over minimal
+            # child interval lists (starts AND ends ascending)
+            s0, e0 = ch[0]
+            starts = s0
+            ends = e0.copy()
+            content = (e0 - s0 + 1).astype(np.int64)
+            valid = np.ones(len(s0), dtype=bool)
+            for i in range(1, n):
+                cs, ce = ch[i]
+                if len(cs) == 0:
+                    valid[:] = False
+                    break
+                if mode == "phrase":
+                    idx = np.searchsorted(cs, ends + 1, side="left")
+                    idxc = np.minimum(idx, len(cs) - 1)
+                    ok = (idx < len(cs)) & (cs[idxc] == ends + 1)
+                else:
+                    idx = np.searchsorted(cs, ends, side="right")
+                    ok = idx < len(cs)
+                    idxc = np.minimum(idx, len(cs) - 1)
+                valid &= ok
+                content = content + (ce[idxc] - cs[idxc] + 1)
+                ends = ce[idxc]
+            s, e, c = starts[valid], ends[valid], content[valid]
+            if len(s):
+                # minimal: last start per distinct end
+                keep = np.concatenate([e[:-1] != e[1:], [True]])
+                if mode == "ordered":
+                    keep &= ((e - s + 1) - c) <= g
+                s, e = s[keep], e[keep]
+            out.append([s.tolist(), e.tolist()])
+        return pd.Series(out)
+
+    cols = [F.col(f"{p}{i}") for i in range(n) for p in ("s", "e")]
+    return (joined.withColumn("_se", combine(*cols))
+            .select("doc_id", F.col("_se")[0].alias("starts"),
+                    F.col("_se")[1].alias("ends"))
+            .filter(F.size("starts") > 0))
+
+
+def source_interval_counts(searcher, source) -> DataFrame:
+    """(doc_id, n_intervals) for any combinator source spec."""
+    return (source_spans(searcher, source)
+            .select("doc_id", F.size("starts").cast("long")
+                    .alias("n_intervals")))
 
 
 def ordered_interval_counts(searcher, terms: list[str],

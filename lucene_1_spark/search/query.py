@@ -179,6 +179,21 @@ class TermRangeQuery(MultiTermQuery):
 
 
 @dataclass(frozen=True)
+class KnnVectorQuery(Query):
+    """k-nearest-neighbour query over an embedding column with an
+    optional PRE-filter (``search/KnnFloatVectorQuery.java:46``): the
+    filter restricts candidates BEFORE top-k selection, so the result
+    is the true top-k among matching docs.  Executed by
+    :meth:`IndexSearcher.knn_search` against a vectors table whose id
+    column holds engine doc_ids; ``k`` nearest by cosine.  Exact scan
+    by default; pass IVF centroids at execution for the partial-probe
+    approximate path."""
+    query_vec: tuple[float, ...]
+    k: int = 10
+    filter: "Query | None" = None
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Docs with a non-null value for a stored field
     (``search/FieldExistsQuery.java``); constant score ``boost``."""

@@ -203,3 +203,46 @@ def test_multimodal_plumbing(spark):
         decode_image(b"xx", fake=False)
     plan = frame_sample_plan(media, every_n=25)
     assert plan.groupBy("media_id").count().collect()[0]["count"] == 4
+
+
+def test_knn_vector_query_prefiltered(spark, tmp_root):
+    """KnnVectorQuery with a pre-filter (KnnFloatVectorQuery.java:46):
+    the engine filter restricts candidates BEFORE top-k, results equal
+    brute force over the allowed set."""
+    import numpy as np
+
+    from lucene_1_spark import corpus as corpus_mod
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import (IndexSearcher, KnnVectorQuery,
+                                       TermQuery)
+    import os
+    d = os.path.join(tmp_root, "idx_knn")
+    pdf = corpus_mod.generate(40)
+    IndexBuilder(spark, d, IndexConfig(n_buckets=4, n_doc_partitions=2)) \
+        .build(spark.createDataFrame(pdf).repartition(2, "repo"))
+    s = IndexSearcher(IndexReader(spark, d))
+    n = s.reader.stats["n_docs"]
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(n, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "doc_id long, embedding array<double>")
+    qv = tuple(float(x) for x in vecs[0])
+    filt = TermQuery("tok42")
+    got = s.knn_search(emb, KnnVectorQuery(qv, k=5, filter=filt)).collect()
+
+    allowed = {r["doc_id"] for r in s.search_df(filt, k=None).collect()}
+    assert allowed and len(allowed) < n
+    qn = np.linalg.norm(vecs[0])
+    cos = {i: round(float(vecs[i] @ vecs[0]
+                          / (np.linalg.norm(vecs[i]) * qn)), 6)
+           for i in allowed}
+    top = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [i for i, _ in top]
+    assert [float(r["cosine"]) for r in got] == \
+        pytest.approx([c for _, c in top], abs=1e-6)
+    # unfiltered differs (the filter really constrained the set)
+    unf = s.knn_search(emb, KnnVectorQuery(qv, k=5)).collect()
+    assert {r["doc_id"] for r in unf} != {r["doc_id"] for r in got} or \
+        allowed == set(range(n))
