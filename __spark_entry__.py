@@ -690,6 +690,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").cast("long").alias("n")))
     q["ft_facet_range_nchars"] = ft_facet_range_nchars
 
+    def ft_taxonomy_facets(s, d):
+        """Hierarchical taxonomy counts (FastTaxonomyFacetCounts): docs
+        matching 'spark' counted at every prefix of the 2-level facet
+        path lang/<n_chars bucket>."""
+        from lucene_1_spark.search.facets import taxonomy_facet_counts
+        m = _all_matches(s, d, "spark").select(
+            F.col("orig_id").alias("doc_id"))
+        docs = _docs(s, d).select("doc_id", "lang", "n_chars")
+        j = m.join(docs, "doc_id").withColumn(
+            "fpath", F.concat_ws(
+                "/", F.col("lang"),
+                (F.floor(F.col("n_chars") / 200) * 200).cast("long")
+                .cast("string")))
+        return taxonomy_facet_counts(j, "fpath")
+    q["ft_taxonomy_facets"] = ft_taxonomy_facets
+
+    def ft_taxonomy_children(s, d):
+        """Drill-down: child buckets under the 'en' taxonomy node."""
+        from lucene_1_spark.search.facets import taxonomy_children
+        m = _all_matches(s, d, "spark").select(
+            F.col("orig_id").alias("doc_id"))
+        docs = _docs(s, d).select("doc_id", "lang", "n_chars")
+        j = m.join(docs, "doc_id").withColumn(
+            "fpath", F.concat_ws(
+                "/", F.col("lang"),
+                (F.floor(F.col("n_chars") / 200) * 200).cast("long")
+                .cast("string")))
+        return taxonomy_children(j, "fpath", "en")
+    q["ft_taxonomy_children"] = ft_taxonomy_children
+
     def ft_group_top2_per_lang(s, d):
         m = _all_matches(s, d, "spark merge window")
         w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("orig_id"))
@@ -1337,6 +1367,26 @@ SELECT (floor(d.n_chars / 100) * 100)::BIGINT AS bucket_lo,
        count(DISTINCT t.doc_id)::BIGINT AS n
 FROM toks t JOIN documents d USING (doc_id)
 WHERE t.term = 'spark' GROUP BY 1"""
+    # hierarchical taxonomy counts: every prefix of lang/<bucket>
+    o["ft_taxonomy_facets"] = f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+j AS (SELECT d.lang, (floor(d.n_chars / 200) * 200)::BIGINT AS b
+      FROM m JOIN documents d USING (doc_id))
+SELECT lang AS path, 1::BIGINT AS depth, count(*)::BIGINT AS n
+FROM j GROUP BY lang
+UNION ALL
+SELECT lang || '/' || b::VARCHAR AS path, 2::BIGINT AS depth,
+       count(*)::BIGINT AS n
+FROM j GROUP BY lang || '/' || b::VARCHAR"""
+
+    o["ft_taxonomy_children"] = f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+j AS (SELECT d.lang, (floor(d.n_chars / 200) * 200)::BIGINT AS b
+      FROM m JOIN documents d USING (doc_id))
+SELECT b::VARCHAR AS child, count(*)::BIGINT AS n
+FROM j WHERE lang = 'en' GROUP BY b
+ORDER BY n DESC, child ASC"""
+
     o["ft_group_top2_per_lang"] = f"""
 WITH {_BM25_CTES},
 sc AS (

@@ -168,7 +168,10 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
     subset = ["ft_term_topk", "ft_or_topk", "ft_and_topk", "ft_filter_topk",
               "ft_prefix_topk", "ft_fuzzy_topk", "ft_sloppy_phrase_topk",
               "ft_sloppy_phrase3_topk", "ft_intervals_ordered3",
+              "ft_intervals_unordered", "ft_intervals_or_containing",
+              "ft_bool_phrase_topk", "ft_field_filter_topk",
               "ft_parent_join_topk", "ft_facet_lang", "ft_delete_topk",
+              "knn_filtered_topk",
               "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
               "sim_cosine_topk", "sim_near_dup_pairs", "sim_ivf_ann_topk",
               "text_quality", "text_fingerprint"]

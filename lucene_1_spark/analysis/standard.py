@@ -163,6 +163,11 @@ def get_analyzer(name: str):
         from lucene_1_spark.analysis.english import EnglishAnalyzer
         _REGISTRY[name] = EnglishAnalyzer()
         return _REGISTRY[name]
+    from lucene_1_spark.analysis.languages import make_analyzer
+    lang = make_analyzer(name)
+    if lang is not None:
+        _REGISTRY[name] = lang
+        return lang
     if ":" in name:
         from lucene_1_spark.analysis.filters import resolve_spec
         an = resolve_spec(name)

@@ -107,6 +107,52 @@ class _Flat:
     msm: int = 0
 
 
+class LRUQueryCache:
+    """The ``search/LRUQueryCache.java:87`` analog: caches the DOC-ID
+    SET of non-scoring (filter) queries as PERSISTED DataFrames, LRU-
+    evicted with unpersist.  Lucene caches per-segment bitsets of
+    frequently-reused filters; here the cached artifact is the
+    distributed doc_id set itself (``df.persist()`` — memory/disk
+    executor-side, reused across jobs with zero recompute).  Keys are
+    rewritten Query dataclasses (frozen => hashable)."""
+
+    def __init__(self, searcher: "IndexSearcher", max_entries: int = 32):
+        from collections import OrderedDict
+        self.searcher = searcher
+        self.max_entries = int(max_entries)
+        self._entries: "OrderedDict" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def docs_for(self, query) -> DataFrame:
+        """Persisted (doc_id) set of the query's matches."""
+        s = self.searcher
+        if isinstance(query, str):
+            query = parse_query(query, s.reader.cfg["analyzer"],
+                                s.keyword_fields)
+        key = rewrite_fixpoint(s._expand_tree(
+            rewrite_fixpoint(s._resolve_fields(query))))
+        hit = self._entries.get(key)
+        if hit is not None:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            return hit
+        self.misses += 1
+        df = (s._search_inner(key, k=None, prune=False)
+              .select("doc_id").persist())
+        df.count()  # materialize now; later uses are cache reads
+        self._entries[key] = df
+        while len(self._entries) > self.max_entries:
+            _, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+
+
 class IndexSearcher:
     def __init__(self, reader: IndexReader):
         self.reader = reader
@@ -127,6 +173,13 @@ class IndexSearcher:
         self.keyword_fields = frozenset(
             reader.cfg.get("keyword_fields") or ())
         self._field_cache_memo: dict[str, np.ndarray] = {}
+        self.query_cache: LRUQueryCache | None = None
+
+    def set_query_cache(self, max_entries: int = 32) -> "LRUQueryCache":
+        """Enable the filter cache (``LRUQueryCache.java:87``): FILTER
+        sub-query doc sets persist and are reused across searches."""
+        self.query_cache = LRUQueryCache(self, max_entries)
+        return self.query_cache
 
     # -- per-field statistics (Similarity.java:152 per-field norms) ----
     def _field_params(self, term_key: str) -> tuple[int, float]:
@@ -405,7 +458,13 @@ class IndexSearcher:
         cx_mnot_tags: list[str] = []
         for ci, (occ, cq) in enumerate(fl.complex):
             tag = f"\x00cx{ci}"
-            sub = self._search_inner(cq, k=None, prune=False)
+            if occ == Occur.FILTER and self.query_cache is not None:
+                # non-scoring clause: the persisted doc-id set from the
+                # filter cache replaces the sub-plan (LRUQueryCache)
+                sub = self.query_cache.docs_for(cq).select(
+                    "doc_id", F.lit(0.0).alias("score"))
+            else:
+                sub = self._search_inner(cq, k=None, prune=False)
             cx_parts.append(sub.select(
                 F.lit(tag).alias("term"), "doc_id",
                 F.col("score").cast("double").alias("score")))

@@ -44,6 +44,54 @@ def range_facet_counts(searcher: IndexSearcher, query, numeric_field: str,
             .agg(F.count("*").cast("long").alias("n")))
 
 
+def taxonomy_facet_counts(matches_with_path: DataFrame, path_col: str,
+                          sep: str = "/",
+                          max_depth: int | None = None) -> DataFrame:
+    """Hierarchical facet counts — FastTaxonomyFacetCounts
+    (``facet/taxonomy/FastTaxonomyFacetCounts.java:40``) relationally:
+    every doc contributes one count to EVERY prefix of its facet path
+    ("a/b/c" -> a, a/b, a/b/c), so one explode+groupBy pass yields the
+    whole taxonomy's counts (the per-ordinal count array).  Returns
+    (path, depth, n) with depth = number of components."""
+    parts = F.split(F.col(path_col), sep)
+    depth_cap = F.size(parts) if max_depth is None \
+        else F.least(F.size(parts), F.lit(int(max_depth)))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), depth_cap),
+        lambda i: F.struct(
+            F.array_join(F.slice(parts, 1, i), sep).alias("path"),
+            i.cast("long").alias("depth")))
+    return (matches_with_path
+            .select(F.explode(prefixes).alias("p"))
+            .groupBy(F.col("p.path").alias("path"),
+                     F.col("p.depth").alias("depth"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def taxonomy_children(matches_with_path: DataFrame, path_col: str,
+                      drill_down: str = "", sep: str = "/",
+                      k: int | None = None) -> DataFrame:
+    """Drill-down: counts of the IMMEDIATE children under a taxonomy
+    prefix (DrillDownQuery + getTopChildren,
+    ``facet/DrillDownQuery.java`` / ``FacetResult``).  Empty
+    ``drill_down`` lists the roots.  Returns (child, n) ordered by
+    (n desc, child asc)."""
+    parts = F.split(F.col(path_col), sep)
+    if drill_down:
+        prefix_parts = drill_down.split(sep)
+        d = len(prefix_parts)
+        cond = (F.size(parts) > d) & \
+            (F.array_join(F.slice(parts, 1, d), sep) == drill_down)
+    else:
+        d = 0
+        cond = F.size(parts) >= 1
+    out = (matches_with_path.filter(cond)
+           .groupBy(parts[d].alias("child"))
+           .agg(F.count("*").cast("long").alias("n"))
+           .orderBy(F.desc("n"), F.asc("child")))
+    return out.limit(k) if k is not None else out
+
+
 def sampled_facet_counts(searcher: IndexSearcher, query, facet_field: str,
                          fraction: float, seed: int = 42) -> DataFrame:
     """Facet counts over a Bernoulli sample of the matches, scaled back

@@ -1,0 +1,67 @@
+"""Language analyzer chains (french/german/spanish/italian/portuguese/
+dutch) — golden-locked light-stemming behavior + registry + end-to-end
+index/search with a non-English chain."""
+
+import os
+
+import pytest
+
+from lucene_1_spark.analysis import get_analyzer
+
+
+@pytest.mark.parametrize("name", ["french", "german", "spanish",
+                                  "italian", "portuguese", "dutch"])
+def test_registry_resolves(name):
+    an = get_analyzer(name)
+    assert an.tokens("") == []
+    assert an is get_analyzer(name)  # memoized
+
+
+GOLDENS = {
+    # (analyzer, text) -> expected tokens (stop removal + light stem)
+    ("french", "les chevaux et la maison"): ["cheval", "maison"],
+    ("french", "nationalisation des marchés"): ["nationalis", "march"],
+    ("german", "die Häuser und der Gärten"): ["haus", "gart"],
+    ("german", "Straße"): ["stras"],
+    ("spanish", "los niños y las casas"): ["nin", "cas"],
+    ("spanish", "rápidamente"): ["rapida"],
+    ("italian", "le città e i libri"): ["citt", "libr"],
+    ("portuguese", "as nações e os amigos"): ["nac", "amig"],
+    ("dutch", "de huizen en de koningen"): ["huiz", "koning"],
+}
+
+
+@pytest.mark.parametrize("key", sorted(GOLDENS, key=str))
+def test_golden_stems(key):
+    name, text = key
+    assert get_analyzer(name).tokens(text) == GOLDENS[key], key
+
+
+def test_stopwords_leave_position_gaps():
+    an = get_analyzer("french")
+    # 'et' and 'la' are stopwords: positions of survivors keep gaps
+    got = an.tokens_with_positions("chevaux et la maison")
+    assert got == [("cheval", 0), ("maison", 3)]
+
+
+def test_end_to_end_index_with_french_analyzer(spark, tmp_root):
+    import pandas as pd
+
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    pdf = pd.DataFrame([
+        ("r", "d0", "c", "fr", "le cheval blanc"),
+        ("r", "d1", "c", "fr", "les chevaux noirs"),
+        ("r", "d2", "c", "fr", "la maison bleue"),
+    ], columns=["repo", "path", "commit", "lang", "content"])
+    d = os.path.join(tmp_root, "idx_french")
+    IndexBuilder(spark, d, IndexConfig(analyzer="french", n_buckets=4,
+                                       n_doc_partitions=2)) \
+        .build(spark.createDataFrame(pdf))
+    s = IndexSearcher(IndexReader(spark, d))
+    # singular and plural stem to the same term -> both docs match
+    hits = {r["doc_id"] for r in s.search_df("cheval", k=None).collect()}
+    assert hits == {0, 1}
+    hits2 = {r["doc_id"] for r in s.search_df("chevaux", k=None).collect()}
+    assert hits2 == {0, 1}

@@ -39,3 +39,47 @@ def test_all_ones_freq_block_is_tiny():
     f = np.ones(128, dtype=np.int64)
     buf = codecs.encode_freqs(f)
     assert len(buf) <= 1 + 128 // 8  # 1 bit per doc + header
+
+
+# ---------------------------------------------------------------------------
+# DateTools (document/DateTools.java): sortable UTC date strings
+# ---------------------------------------------------------------------------
+
+def test_datetools_roundtrip_and_sortability():
+    from datetime import datetime, timezone
+
+    from lucene_1_spark.functions.datetools import (date_to_string,
+                                                    round_down,
+                                                    string_to_date)
+    dt = datetime(2024, 3, 7, 15, 42, 9, 123000, tzinfo=timezone.utc)
+    assert date_to_string(dt, "year") == "2024"
+    assert date_to_string(dt, "day") == "20240307"
+    assert date_to_string(dt, "second") == "20240307154209"
+    assert date_to_string(dt, "millisecond") == "20240307154209123"
+    # round-trip at every resolution floors the dropped components
+    assert string_to_date("2024") == datetime(2024, 1, 1,
+                                              tzinfo=timezone.utc)
+    assert string_to_date("20240307154209123") == dt
+    assert round_down(dt, "hour") == datetime(2024, 3, 7, 15,
+                                              tzinfo=timezone.utc)
+    # lexicographic order == chronological order
+    later = datetime(2024, 3, 7, 15, 42, 10, tzinfo=timezone.utc)
+    assert date_to_string(dt, "second") < date_to_string(later, "second")
+
+
+def test_datetools_spark_column_matches_python(spark):
+    from datetime import datetime, timezone
+
+    from lucene_1_spark.functions.datetools import (date_col_to_string,
+                                                    date_to_string)
+    from pyspark.sql import functions as F
+    rows = [(datetime(2023, 12, 31, 23, 59, 59),),
+            (datetime(2024, 2, 29, 0, 0, 1),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    for res in ("year", "month", "day", "hour", "minute", "second"):
+        got = [r["s"] for r in
+               df.select(date_col_to_string(F.col("ts"), res).alias("s"))
+               .orderBy("s").collect()]
+        want = sorted(date_to_string(ts.replace(tzinfo=timezone.utc), res)
+                      for (ts,) in rows)
+        assert got == want, res

@@ -1,0 +1,97 @@
+"""Hierarchical taxonomy facets (FastTaxonomyFacetCounts analog) and
+the LRU filter cache (LRUQueryCache analog)."""
+
+import os
+
+import pytest
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark.index import IndexBuilder, IndexReader
+from lucene_1_spark.index.builder import IndexConfig
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.search.facets import (taxonomy_children,
+                                          taxonomy_facet_counts)
+from lucene_1_spark.search.query import (BooleanQuery, Clause, Occur,
+                                         PhraseQuery, TermQuery)
+
+
+@pytest.fixture(scope="module")
+def paths_df(spark):
+    return spark.createDataFrame(
+        [("a/b/c",), ("a/b",), ("a/x",), ("d",)], "fpath string")
+
+
+def test_taxonomy_counts_all_prefixes(paths_df):
+    got = {(r["path"], r["depth"]): r["n"]
+           for r in taxonomy_facet_counts(paths_df, "fpath").collect()}
+    assert got == {("a", 1): 3, ("a/b", 2): 2, ("a/b/c", 3): 1,
+                   ("a/x", 2): 1, ("d", 1): 1}
+
+
+def test_taxonomy_counts_max_depth(paths_df):
+    got = {(r["path"], r["depth"]): r["n"]
+           for r in taxonomy_facet_counts(paths_df, "fpath",
+                                          max_depth=2).collect()}
+    assert got == {("a", 1): 3, ("a/b", 2): 2, ("a/x", 2): 1, ("d", 1): 1}
+
+
+def test_taxonomy_children_drilldown(paths_df):
+    roots = [(r["child"], r["n"])
+             for r in taxonomy_children(paths_df, "fpath").collect()]
+    assert roots == [("a", 3), ("d", 1)]
+    under_a = [(r["child"], r["n"])
+               for r in taxonomy_children(paths_df, "fpath", "a").collect()]
+    assert under_a == [("b", 2), ("x", 1)]
+    under_ab = [(r["child"], r["n"])
+                for r in taxonomy_children(paths_df, "fpath",
+                                           "a/b").collect()]
+    assert under_ab == [("c", 1)]
+
+
+@pytest.fixture(scope="module")
+def qc_searcher(spark, tmp_root):
+    d = os.path.join(tmp_root, "idx_qcache")
+    IndexBuilder(spark, d, IndexConfig(n_buckets=4, n_doc_partitions=2,
+                                       positions=True)) \
+        .build(spark.createDataFrame(corpus_mod.generate(120))
+               .repartition(2, "repo"))
+    return IndexSearcher(IndexReader(spark, d))
+
+
+def test_query_cache_identical_results_and_hits(qc_searcher):
+    s = qc_searcher
+    q = BooleanQuery((Clause(TermQuery("tok1"), Occur.MUST),
+                      Clause(PhraseQuery(("tok0", "tok1")), Occur.FILTER)))
+    baseline = sorted((r["doc_id"], r["score"])
+                      for r in s.search_df(q, k=None).collect())
+    cache = s.set_query_cache(max_entries=4)
+    try:
+        r1 = sorted((r["doc_id"], r["score"])
+                    for r in s.search_df(q, k=None).collect())
+        r2 = sorted((r["doc_id"], r["score"])
+                    for r in s.search_df(q, k=None).collect())
+        assert r1 == r2 == baseline and baseline
+        assert cache.misses == 1 and cache.hits >= 1
+    finally:
+        cache.clear()
+        s.query_cache = None
+
+
+def test_query_cache_lru_eviction(qc_searcher):
+    s = qc_searcher
+    cache = s.set_query_cache(max_entries=2)
+    try:
+        for t in ("tok0", "tok1", "tok2"):
+            cache.docs_for(TermQuery(t))
+        assert len(cache._entries) == 2
+        # oldest (tok0) evicted: asking again is a miss
+        m0 = cache.misses
+        cache.docs_for(TermQuery("tok0"))
+        assert cache.misses == m0 + 1
+        # tok2 still resident: hit
+        h0 = cache.hits
+        cache.docs_for(TermQuery("tok2"))
+        assert cache.hits == h0 + 1
+    finally:
+        cache.clear()
+        s.query_cache = None
