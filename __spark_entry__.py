@@ -629,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m.register("q_not", "window -batch")
         m.register("q_term", "dup")
         m.register("q_phrase", '"sort merge"~1')  # verified on candidates
+        m.register("q_notph", 'dup -"sort merge"')   # MUST_NOT phrase
+        m.register("q_orph", '"sort merge" window')  # SHOULD phrase
         return m.match_batch(_docs(s, d))
     q["mon_match_batch"] = mon_match_batch
 
@@ -1140,7 +1142,25 @@ UNION ALL
 SELECT DISTINCT sp.doc_id, 'q_phrase'
 FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') sp
 JOIN (SELECT doc_id, ord FROM ordered WHERE term = 'merge') mp
-  ON sp.doc_id = mp.doc_id AND abs(mp.ord - sp.ord - 1) <= 1"""
+  ON sp.doc_id = mp.doc_id AND abs(mp.ord - sp.ord - 1) <= 1
+UNION ALL
+-- MUST_NOT phrase: dup docs without an exact 'sort merge' adjacency
+SELECT doc_id, 'q_notph' FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+WHERE doc_id NOT IN (
+  SELECT sp.doc_id
+  FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') sp
+  JOIN (SELECT doc_id, ord FROM ordered WHERE term = 'merge') mp
+    ON sp.doc_id = mp.doc_id AND mp.ord = sp.ord + 1)
+UNION ALL
+-- SHOULD phrase in a pure disjunction: phrase OR 'window'
+SELECT DISTINCT doc_id, 'q_orph' FROM (
+  SELECT sp.doc_id
+  FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') sp
+  JOIN (SELECT doc_id, ord FROM ordered WHERE term = 'merge') mp
+    ON sp.doc_id = mp.doc_id AND mp.ord = sp.ord + 1
+  UNION ALL
+  SELECT doc_id FROM toks WHERE term = 'window')"""
 
     # mutable-index scenario: upsert + delete-by-term + compaction
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])

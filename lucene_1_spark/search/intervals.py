@@ -411,13 +411,39 @@ def _source_terms(source) -> set[str]:
 _SPANS_SCHEMA = "doc_id long, starts array<long>, ends array<long>"
 
 
-def _term_spans(searcher, t: str) -> DataFrame:
+def _required_terms(source) -> set[str]:
+    """Leaf terms that EVERY match of the source must contain: all
+    children of ordered/phrase (conjunctive), nothing under an 'or'
+    (disjunctive) — the candidate-pruning key set."""
+    kind = source[0]
+    if kind == "term":
+        return {source[1]}
+    if kind == "or":
+        return set()
+    out: set[str] = set()
+    for c in source[1]:
+        out |= _required_terms(c)
+    return out
+
+
+def _term_spans(searcher, t: str, cand_b=None) -> DataFrame:
+    """Positions of one term as width-1 intervals; with a broadcast
+    candidate set, position blocks decode ONLY where the block's doc
+    range holds a candidate (the skip-list hop, same pruning as the
+    term-list interval paths)."""
     from lucene_1_spark.search.executor import POSITIONS_SCHEMA
     stats = searcher.reader.term_statistics([t])
     if t not in stats:
         return searcher.spark.createDataFrame([], _SPANS_SCHEMA)
-    dec = searcher._blocks_for([t]).mapInPandas(
+    blocks = searcher._blocks_for([t])
+    if cand_b is not None:
+        blocks = blocks.join(
+            cand_b, (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+    dec = blocks.mapInPandas(
         searcher._decode_positions_kernel(), POSITIONS_SCHEMA)
+    if cand_b is not None:
+        dec = dec.join(cand_b, "doc_id", "left_semi")
     return dec.select(
         "doc_id",
         F.col("positions").cast("array<long>").alias("starts"),
@@ -427,14 +453,35 @@ def _term_spans(searcher, t: str) -> DataFrame:
 def source_spans(searcher, source) -> DataFrame:
     """(doc_id, starts, ends): the source's minimal intervals per doc —
     recursive evaluation, one inner/outer join per combinator level
-    plus a vectorized per-row numpy kernel."""
+    plus a vectorized per-row numpy kernel.
+
+    Candidate pruning: the root's REQUIRED leaf terms (conjunctive
+    children only) intersect via a cheap docs-only decode first; every
+    leaf's positions decode is then block-range pruned to that
+    candidate set — no positions are decoded for docs that cannot
+    match."""
     if searcher.reader.cfg.get("positions") is not True:
         raise ValueError("intervals need a positions=True index")
     source = _norm_source(source)
+    cand_b = None
+    req = sorted(_required_terms(source))
+    req = [t for t in req if t in searcher.reader.term_statistics(req)]
+    if len(req) >= 2:
+        from lucene_1_spark.search.executor import DECODED_SCHEMA
+        docs_only = searcher._blocks_for(req).mapInPandas(
+            searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
+        cand = (docs_only.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(req)).select("doc_id"))
+        cand_b = F.broadcast(cand)
+    return _source_spans(searcher, source, cand_b)
+
+
+def _source_spans(searcher, source, cand_b) -> DataFrame:
     kind = source[0]
     if kind == "term":
-        return _term_spans(searcher, source[1])
-    children = [source_spans(searcher, c) for c in source[1]]
+        return _term_spans(searcher, source[1], cand_b)
+    children = [_source_spans(searcher, c, cand_b) for c in source[1]]
     n = len(children)
     if n == 1:
         return children[0]

@@ -68,20 +68,24 @@ class Monitor:
         self.analyzer = analyzer
         self._rows: list[tuple] = []   # (query_id, term, occur)
         self._meta: list[tuple] = []   # (query_id, n_must, msm)
-        # query_id -> list of (phrase terms, slop); ALL must occur
-        self._phrase_defs: dict[str, list[tuple[tuple, int]]] = {}
+        # query_id -> list of (phrase terms, slop, occur_name)
+        self._phrase_defs: dict[str, list[tuple[tuple, int, str]]] = {}
 
     def register(self, query_id: str, query_text: str) -> None:
         """Register a term/boolean/phrase query (MonitorQuery analog).
-        Phrase clauses are supported top-level and as MUST/FILTER
-        clauses of a BooleanQuery: their distinct terms join the
-        required presence set (presearcher pruning) and positions are
-        verified on candidates in match_batch.  SHOULD/MUST_NOT phrase
-        clauses are out of scope (documented)."""
+        Phrase clauses percolate under EVERY occur: their terms enter
+        the presearcher join (required presence for MUST/FILTER,
+        presence-only for SHOULD/MUST_NOT), and a positions kernel
+        verifies candidates in match_batch — required phrases must ALL
+        occur, each verified SHOULD phrase counts toward
+        minimumShouldMatch, a verified MUST_NOT phrase kills the match
+        (TermFilteredPresearcher -> CandidateMatcher, the reference
+        runs the full query on candidates the same way)."""
         q = parse_query(query_text, self.analyzer)
-        phrases: list[tuple[tuple, int]] = []
+        # phrase clause records: (terms, slop, occur_name)
+        phrases: list[tuple[tuple, int, str]] = []
         if isinstance(q, PhraseQuery):
-            phrases.append((q.terms, int(q.slop)))
+            phrases.append((q.terms, int(q.slop), "MUST"))
             clauses = [(t, Occur.MUST) for t in sorted(set(q.terms))]
             msm = 0
         elif isinstance(q, TermQuery):
@@ -91,13 +95,17 @@ class Monitor:
             clauses = []
             for c in q.clauses:
                 if isinstance(c.query, PhraseQuery):
-                    if c.occur not in (Occur.MUST, Occur.FILTER):
-                        raise NotImplementedError(
-                            "Monitor percolates phrase clauses only as "
-                            "MUST/FILTER")
-                    phrases.append((c.query.terms, int(c.query.slop)))
-                    for t in sorted(set(c.query.terms)):
-                        clauses.append((t, Occur.MUST))
+                    occ = "FILTER" if c.occur == Occur.FILTER                         else c.occur.value
+                    phrases.append((c.query.terms, int(c.query.slop), occ))
+                    if c.occur in (Occur.MUST, Occur.FILTER):
+                        # presearcher: every phrase term must be present
+                        for t in sorted(set(c.query.terms)):
+                            clauses.append((t, Occur.MUST))
+                    else:
+                        # SHOULD/MUST_NOT: presence-only rows surface the
+                        # doc as a candidate without counting anywhere
+                        for t in sorted(set(c.query.terms)):
+                            clauses.append((t, "PRESENCE"))
                 elif isinstance(c.query, TermQuery):
                     clauses.append((c.query.term, c.occur))
                 else:
@@ -110,11 +118,13 @@ class Monitor:
                 "Monitor percolates flat term/boolean/phrase queries")
         n_must = sum(1 for _, o in clauses
                      if o in (Occur.MUST, Occur.FILTER))
-        n_should = sum(1 for _, o in clauses if o == Occur.SHOULD)
+        n_should = sum(1 for _, o in clauses if o == Occur.SHOULD)             + sum(1 for _, _, o in phrases if o == "SHOULD")
         if n_must == 0 and n_should > 0 and msm == 0:
             msm = 1  # pure disjunction needs >=1 SHOULD hit
         for term, occur in clauses:
-            self._rows.append((query_id, term, occur.value))
+            self._rows.append((query_id, term,
+                               occur if isinstance(occur, str)
+                               else occur.value))
         self._meta.append((query_id, n_must, msm))
         if phrases:
             self._phrase_defs[query_id] = phrases
@@ -165,24 +175,30 @@ class Monitor:
                   .otherwise(0)).alias("should_hit"),
             F.sum(F.when(F.col("occur") == "MUST_NOT", 1)
                   .otherwise(0)).alias("mnot_hit")))
-        matched = (agg.join(F.broadcast(qm), "query_id")
-                   .filter((F.col("must_hit") >= F.col("n_must"))
-                           & (F.col("should_hit") >= F.col("msm"))
-                           & (F.col("mnot_hit") == 0))
-                   .select("doc_id", "query_id"))
+        base = (agg.join(F.broadcast(qm), "query_id")
+                .filter((F.col("must_hit") >= F.col("n_must"))
+                        & (F.col("mnot_hit") == 0)))
         if not self._phrase_defs:
-            return matched
+            return (base.filter(F.col("should_hit") >= F.col("msm"))
+                    .select("doc_id", "query_id"))
         phrase_ids = sorted(self._phrase_defs)
-        flat = matched.filter(~F.col("query_id").isin(phrase_ids))
-        cands = matched.filter(F.col("query_id").isin(phrase_ids))
+        flat = (base.filter(~F.col("query_id").isin(phrase_ids))
+                .filter(F.col("should_hit") >= F.col("msm"))
+                .select("doc_id", "query_id"))
+        # phrase-bearing queries: msm is DEFERRED to verification so a
+        # verified SHOULD phrase can contribute its should-hit
+        cands = (base.filter(F.col("query_id").isin(phrase_ids))
+                 .select("doc_id", "query_id", "should_hit", "msm"))
         verified = self._verify_phrases(cands, docs, id_col, text_col)
         return flat.unionByName(verified)
 
     def _verify_phrases(self, cands: DataFrame, docs: DataFrame,
                         id_col: str, text_col: str) -> DataFrame:
         """Positions pass over candidate (doc, query) pairs only — the
-        CandidateMatcher stage: re-analyze each candidate doc once,
-        keep pairs whose phrase occurs (exact or in-slop)."""
+        CandidateMatcher stage: re-analyze each candidate doc once;
+        required phrases must ALL occur, a MUST_NOT phrase occurrence
+        kills the pair, each verified SHOULD phrase adds one should-hit
+        before the deferred minimumShouldMatch check."""
         import pandas as pd
 
         from lucene_1_spark.analysis import get_analyzer
@@ -195,24 +211,36 @@ class Monitor:
 
         def verify(it):
             an = get_analyzer(an_name)
-            # gap-preserving positions (tokens_with_positions) so a
-            # percolated phrase can NOT match across a dropped token
-            # (stopword / over-long) — identical semantics to the
-            # index-side PhraseQuery, which consumes the same attribute
             has_pos = hasattr(an, "tokens_with_positions")
             for pdf in it:
                 ids, qids = [], []
                 for did, grp in pdf.groupby("doc_id", sort=False):
                     pos: dict = {}
                     text = grp["_text"].iloc[0]
-                    pairs = (an.tokens_with_positions(text) if has_pos
-                             else enumerate(an.tokens(text)))
-                    for t, p in (pairs if has_pos
-                                 else ((t, p) for p, t in pairs)):
+                    if has_pos:
+                        pairs = an.tokens_with_positions(text)
+                    else:
+                        pairs = [(t, p) for p, t
+                                 in enumerate(an.tokens(text))]
+                    for t, p in pairs:
                         pos.setdefault(t, []).append(p)
-                    for qid in grp["query_id"]:
-                        if all(_phrase_occurs(pos, terms, slop)
-                               for terms, slop in defs[qid]):
+                    for qid, should_hit, msm in zip(
+                            grp["query_id"], grp["should_hit"],
+                            grp["msm"]):
+                        req_ok = True
+                        extra_should = 0
+                        killed = False
+                        for terms, slop, occ in defs[qid]:
+                            hit = _phrase_occurs(pos, terms, slop)
+                            if occ in ("MUST", "FILTER") and not hit:
+                                req_ok = False
+                                break
+                            if occ == "SHOULD" and hit:
+                                extra_should += 1
+                            if occ == "MUST_NOT" and hit:
+                                killed = True
+                                break
+                        if req_ok and not killed                                 and should_hit + extra_should >= msm:
                             ids.append(did)
                             qids.append(qid)
                 yield pd.DataFrame({

@@ -90,6 +90,8 @@ def test_monitor_percolation(spark):
     m.register("q_exact", '"spark merge"')
     m.register("q_slop", '"spark window"~1')
     m.register("q_bp", '+dup +"spark merge"')  # phrase inside boolean
+    m.register("q_notph", 'dup -"spark merge"')  # MUST_NOT phrase
+    m.register("q_orph", '"spark merge" window')  # SHOULD phrase (msm 1)
     docs = spark.createDataFrame([
         (0, "spark merge window"),        # q_and, q_not, q_exact, q_slop(gap1)
         (1, "spark window batch"),        # q_slop only (q_not killed by batch)
@@ -105,7 +107,13 @@ def test_monitor_percolation(spark):
                    (4, "q_and"), (4, "q_term"),
                    (0, "q_exact"), (4, "q_exact"), (5, "q_and"),
                    (0, "q_slop"), (1, "q_slop"), (6, "q_not"),
-                   (4, "q_bp")}
+                   (4, "q_bp"),
+                   # dup present, phrase absent -> q_notph; doc 4 has
+                   # the phrase so its dup match is killed
+                   (2, "q_notph"),
+                   # phrase OR window (pure disjunction, msm 1)
+                   (0, "q_orph"), (1, "q_orph"), (4, "q_orph"),
+                   (6, "q_orph")}
 
 
 def test_monitor_standard_analyzer_path(spark):
