@@ -66,7 +66,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     idx_dir = os.path.join(
-        tempfile.gettempdir(), "l1s_driver_idx_v3",
+        tempfile.gettempdir(), "l1s_driver_idx_v4",
         hashlib.md5(key.encode()).hexdigest()[:12])
     corpus = _docs(spark, sf_dir).select(
         F.lit("docs").alias("repo"),
@@ -74,10 +74,13 @@ def _searcher(spark: SparkSession, sf_dir: str):
         F.lit("c0").alias("commit"),
         F.col("lang"),
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        # second ANALYZED text field: the document head (first 80 chars)
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80)
+        .alias("head"),
     )
     cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
                       n_buckets=8, n_doc_partitions=8, positions=True,
-                      keyword_fields=("lang",))
+                      keyword_fields=("lang",), text_fields=("head",))
     build_index(spark, corpus, idx_dir, cfg)   # resumes if already built
     s = IndexSearcher(IndexReader(spark, idx_dir))
     _SEARCHERS[key] = s
@@ -438,6 +441,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_sloppy_phrase3_topk"] = ft_sloppy_phrase3_topk
 
     # ---- multi-field: keyword field postings (IndexingChain.java:561) ----
+    def ft_textfield_topk(s, d):
+        """Second ANALYZED text field ('head' = first 80 chars): BM25
+        scored with the FIELD's own docCount/avgdl/norms."""
+        from lucene_1_spark.search.query import TermQuery
+        return _topk_query(s, d, TermQuery("spark", field="head"))
+    q["ft_textfield_topk"] = ft_textfield_topk
+
+    def ft_textfield_phrase(s, d):
+        """Exact phrase WITHIN the head field (field-local positions)."""
+        from lucene_1_spark.search.query import PhraseQuery
+        return _topk_query(s, d, PhraseQuery(("sort", "merge"),
+                                             field="head"))
+    q["ft_textfield_phrase"] = ft_textfield_phrase
+
     q["ft_field_term_topk"] = lambda s, d: _topk(s, d, "lang:de")
 
     def ft_field_filter_topk(s, d):
@@ -450,6 +467,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Clause(TermQuery("de", field="lang"), Occur.FILTER)))
         return _topk_query(s, d, bq)
     q["ft_field_filter_topk"] = ft_field_filter_topk
+
+    def ft_dv_range_filter(s, d):
+        """Doc-values numeric range as a FILTER clause: bm25('spark')
+        restricted to docs with 100 <= token length <= 300."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 DocValuesRangeQuery,
+                                                 Occur, TermQuery)
+        bq = BooleanQuery((
+            Clause(TermQuery("spark"), Occur.MUST),
+            Clause(DocValuesRangeQuery("length", 100, 300), Occur.FILTER)))
+        return _topk_query(s, d, bq)
+    q["ft_dv_range_filter"] = ft_dv_range_filter
 
     # ---- composite booleans: non-term clauses (BooleanClause.java) ----
     q["ft_bool_phrase_topk"] = lambda s, d: _topk(s, d, '+spark +"sort merge"')
@@ -1233,6 +1262,80 @@ sc AS (
          w.wt * pf.pfreq
          / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
   FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    _HEAD_CTES = """h AS (SELECT doc_id, substr(coalesce(text, ''), 1, 80)
+       AS head FROM documents),
+htoks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(head), '\\s+')))
+           AS term
+    FROM h WHERE trim(head) <> ''
+  ) WHERE term <> ''),
+htf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq
+        FROM htoks GROUP BY 1, 2),
+hdl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM htoks GROUP BY 1),
+hst AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM hdl),
+hdf AS (SELECT term, count(*)::DOUBLE AS dfreq FROM htf GROUP BY 1)"""
+
+    # analyzed text field: BM25 entirely over the head field's stats
+    o["ft_textfield_topk"] = f"""
+WITH {_HEAD_CTES},
+sc AS (
+  SELECT htf.doc_id,
+         ln(1 + (hst.n - hdf.dfreq + 0.5) / (hdf.dfreq + 0.5)) * htf.freq
+         / (htf.freq + {K1} * (1 - {B} + {B} * hdl.len / (hst.tot / hst.n)))
+           AS s
+  FROM htf JOIN hdl ON htf.doc_id = hdl.doc_id
+  JOIN hdf ON htf.term = hdf.term CROSS JOIN hst
+  WHERE htf.term = 'spark')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # phrase inside the head field: field-local adjacency + field stats
+    o["ft_textfield_phrase"] = f"""
+WITH {_HEAD_CTES},
+hordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(head), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(head),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM h WHERE head IS NOT NULL)),
+pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pfreq FROM (
+    SELECT doc_id, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM hordered)
+  WHERE term = 'sort' AND nxt = 'merge' GROUP BY doc_id),
+pw AS (
+  SELECT sum(ln(1 + (hst.n - hdf.dfreq + 0.5) / (hdf.dfreq + 0.5))) AS wt
+  FROM hdf CROSS JOIN hst WHERE hdf.term IN ('sort', 'merge')),
+sc AS (
+  SELECT pf.doc_id,
+         pw.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * hdl.len / (hst.tot / hst.n)))
+           AS s
+  FROM pf JOIN hdl ON pf.doc_id = hdl.doc_id
+  CROSS JOIN hst CROSS JOIN pw)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # doc-values range FILTER: bm25(spark) over docs with 100<=len<=300
+    o["ft_dv_range_filter"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark'
+    AND tf.doc_id IN (SELECT doc_id FROM dl WHERE len BETWEEN 100 AND 300)
+  GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""

@@ -85,6 +85,10 @@ DOCS_SCHEMA = T.StructType([
     T.StructField("norm_byte", T.IntegerType()),
     T.StructField("content_sha256", T.StringType()),
     T.StructField("build_partition", T.IntegerType()),
+    # per-extra-text-field token counts ({} when none configured) —
+    # the per-field norms source for collection stats (FieldInvertState
+    # length per field, ``index/IndexingChain.java:561``)
+    T.StructField("field_lengths", T.MapType(T.StringType(), T.LongType())),
 ])
 
 BLOCKS_SCHEMA = T.StructType([
@@ -120,7 +124,9 @@ FUSED_SCHEMA = T.StructType(
        T.StructField("length", T.LongType()),
        T.StructField("norm_byte", T.IntegerType()),
        T.StructField("content_sha256", T.StringType()),
-       T.StructField("build_partition", T.IntegerType())])
+       T.StructField("build_partition", T.IntegerType()),
+       T.StructField("field_lengths",
+                     T.MapType(T.StringType(), T.LongType()))])
 
 
 @dataclass
@@ -153,6 +159,14 @@ class IndexConfig:
     # length 1 (per-field norms, ``Similarity.java:152``) and position
     # 0.  Queried via TermQuery(field=...) / the parser's field:value.
     keyword_fields: tuple[str, ...] = ()
+    # extra ANALYZED text source columns, each a full per-field postings
+    # space: terms stored as "<field>\x1f<term>" with the FIELD's
+    # per-doc length as the norm, field-local positions, and per-field
+    # collection stats (doc_count / sum_ttf from the docs table's
+    # field_lengths map) — multi-field indexing at Lucene grade
+    # (``index/IndexingChain.java:561``; per-field norms
+    # ``Similarity.java:152``).  Indexed, not stored.
+    text_fields: tuple[str, ...] = ()
 
     @property
     def norms_encoding(self) -> str:
@@ -234,6 +248,32 @@ def materialize_keyed_source(spark: SparkSession, source: DataFrame,
             .select("doc_id", *src_cols))
 
 
+
+
+def _field_stats_of_docs(docs: DataFrame, keyword_fields, text_fields) \
+        -> dict:
+    """Per-field collection stats from the docs table: keyword fields
+    (one length-1 value per non-null doc => sum_ttf == doc_count,
+    avgdl == 1) and analyzed text fields (doc_count over docs with >=1
+    emitted token, sum_ttf from the ``field_lengths`` map)."""
+    kw = tuple(keyword_fields or ())
+    tf = tuple(text_fields or ())
+    if not kw and not tf:
+        return {}
+    aggs = [F.count(F.col(f)).alias(f"kw_{f}") for f in kw]
+    for f in tf:
+        v = F.element_at(F.col("field_lengths"), f)
+        aggs.append(F.sum(F.when(v > 0, 1).otherwise(0)).alias(f"dc_{f}"))
+        aggs.append(F.sum(F.coalesce(v, F.lit(0))).alias(f"ttf_{f}"))
+    row = docs.agg(*aggs).collect()[0]
+    out = {f: {"doc_count": int(row[f"kw_{f}"]),
+               "sum_total_term_freq": int(row[f"kw_{f}"])} for f in kw}
+    for f in tf:
+        out[f] = {"doc_count": int(row[f"dc_{f}"] or 0),
+                  "sum_total_term_freq": int(row[f"ttf_{f}"] or 0)}
+    return out
+
+
 def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
                  cfg: IndexConfig) -> DataFrame:
     """Tokenize + assign docIDs, emitting META ONLY (no term maps).
@@ -242,6 +282,7 @@ def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
     column expression (``F.sha2``), not Python — only tokenization runs
     in the Arrow kernel."""
     analyzer_name = cfg.analyzer
+    text_fields = tuple(cfg.text_fields or ())
     explicit_ids = offsets is None
     withsha = keyed.withColumn(
         "_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
@@ -257,6 +298,8 @@ def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
             content = pdf["content"].fillna("")
             lengths = content.map(lambda c: len(an.tokens(c))) \
                 .to_numpy(dtype=np.int64)
+            ext = {f: pdf[f].fillna("").map(lambda c: len(an.tokens(c)))
+                   .to_numpy(dtype=np.int64) for f in text_fields}
             if explicit_ids:
                 ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             else:
@@ -271,6 +314,9 @@ def docs_meta_df(keyed: DataFrame, offsets: dict[int, int] | None,
                 "norm_byte": int_to_byte4(lengths).astype(np.int32),
                 "content_sha256": pdf["_sha"].values,
                 "build_partition": np.full(n, pid, dtype=np.int32),
+                "field_lengths": [
+                    {f: int(ext[f][j]) for f in text_fields}
+                    for j in range(n)],
             })
             seen += n
 
@@ -301,6 +347,7 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
     n_buckets = cfg.n_buckets
     analyzer_name = cfg.analyzer
     kw_fields = tuple(cfg.keyword_fields or ())
+    text_fields = tuple(cfg.text_fields or ())
     # keyword postings carry the FIELD's norm: length 1 per value
     kw_norm = 1 if exact_norms else int(int_to_byte4(np.array([1]))[0])
     block_cols = [fld.name for fld in BLOCKS_SCHEMA.fields]
@@ -381,18 +428,26 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
         seen = 0
         acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
         acc_kw: list[dict] = []
+        # per-extra-text-field accumulators: norms/tfs/tps per doc
+        acc_ext = {f: ([], [], []) for f in text_fields}
         n_acc = 0
 
         def flush():
-            nonlocal acc_docs, acc_norms, acc_tfs, acc_tps, acc_kw, n_acc
+            nonlocal acc_docs, acc_norms, acc_tfs, acc_tps, acc_kw, \
+                acc_ext, n_acc
             rows = pack_group(acc_docs, acc_norms, acc_tfs, acc_tps)
             if kw_fields:
                 kw_tps = ([{t: [0] for t in d} for d in acc_kw]
                           if want_positions else None)
                 rows = rows + pack_group(
                     acc_docs, [kw_norm] * len(acc_docs), acc_kw, kw_tps)
+            for f in text_fields:
+                nrm, tfs, tps = acc_ext[f]
+                rows = rows + pack_group(
+                    acc_docs, nrm, tfs, tps if want_positions else None)
             acc_docs, acc_norms, acc_tfs, acc_tps = [], [], [], []
             acc_kw = []
+            acc_ext = {f: ([], [], []) for f in text_fields}
             n_acc = 0
             out = pd.DataFrame(rows, columns=block_cols)
             if emit_docs:  # widen to the union schema (kind='block')
@@ -431,6 +486,34 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
                         if v is not None and v == v and v != "":
                             d[f"{f}{FIELD_SEP}{v}"] = 1
                     acc_kw.append(d)
+            ext_lengths = {}
+            for f in text_fields:
+                # full per-field analysis: composite terms, the FIELD's
+                # token count as the norm, field-local positions
+                fcontent = pdf[f].fillna("")
+                pre = f + FIELD_SEP
+                if want_positions:
+                    ftwp = fcontent.map(an.tokens_with_positions)
+
+                    def fpos_map(ps):
+                        d2: dict = {}
+                        for t, p2 in ps:
+                            d2.setdefault(pre + t, []).append(p2)
+                        return d2
+
+                    ftoks = ftwp.map(lambda ps: [t for t, _ in ps])
+                    acc_ext[f][2].extend(ftwp.map(fpos_map).tolist())
+                else:
+                    ftoks = fcontent.map(an.tokens)
+                flen = ftoks.map(len).to_numpy(dtype=np.int64)
+                ext_lengths[f] = flen
+                if exact_norms:
+                    acc_ext[f][0].extend(flen.tolist())
+                else:
+                    acc_ext[f][0].extend(int_to_byte4(flen).tolist())
+                acc_ext[f][1].extend(
+                    ftoks.map(lambda ts: dict(
+                        Counter(pre + t for t in ts))).tolist())
             if explicit_ids:
                 ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             else:
@@ -448,6 +531,9 @@ def pack_blocks_df(keyed: DataFrame, offsets: dict[int, int] | None,
                 dm["norm_byte"] = int_to_byte4(lengths).astype(np.int32)
                 dm["content_sha256"] = pdf["_sha"].values
                 dm["build_partition"] = np.full(n, pid, dtype=np.int32)
+                dm["field_lengths"] = [
+                    {f: int(ext_lengths[f][j]) for f in text_fields}
+                    for j in range(n)]
                 yield dm[fused_cols]
             seen += n
             n_acc += n
@@ -737,16 +823,9 @@ class IndexBuilder:
                 .agg(F.sum("doc_freq")).collect()[0][0] or 0)}
             self._write_json("postings_stats.json", ps)
         stats = {**ds, "sum_doc_freq": int(ps["sum_doc_freq"])}
-        field_stats = {}
-        if self.cfg.keyword_fields:
-            # per-field collection stats (keyword fields: one length-1
-            # value per doc, so sum_ttf == doc_count and avgdl == 1)
-            frow = (self.spark.read.parquet(self.path("docs"))
-                    .agg(*[F.count(F.col(f)).alias(f)
-                           for f in self.cfg.keyword_fields]).collect()[0])
-            field_stats = {f: {"doc_count": int(frow[f]),
-                               "sum_total_term_freq": int(frow[f])}
-                           for f in self.cfg.keyword_fields}
+        field_stats = _field_stats_of_docs(
+            self.spark.read.parquet(self.path("docs")),
+            self.cfg.keyword_fields, self.cfg.text_fields)
         manifest = {
             "format_version": 1,
             "config": {
@@ -758,6 +837,7 @@ class IndexBuilder:
                 "block_size": self.cfg.block_size,
                 "positions": self.cfg.positions,
                 "keyword_fields": list(self.cfg.keyword_fields),
+                "text_fields": list(self.cfg.text_fields),
             },
             "collection_stats": stats,
             "field_stats": field_stats,

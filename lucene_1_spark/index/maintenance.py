@@ -80,12 +80,23 @@ def append_tombstones(spark: SparkSession, index_dir: str,
 
 
 def compact_index(spark: SparkSession, index_dir: str,
-                  drop_old: bool = True) -> dict:
+                  drop_old: bool = True,
+                  salt_docs: int | None = None) -> dict:
     """Merge every term's block runs into full blocks, dropping
     tombstoned docs; rewrite docs/term_stats; recompute exact
     collection stats; swap manifest pointers atomically.
 
-    Returns the new collection stats."""
+    ``salt_docs``: EXPLICIT hot-term skew salting for the repack
+    shuffle.  The default (None) keys the shuffle by (bucket, term) —
+    one task per term, which at 10^9-posting terms becomes the skewed
+    straggler.  With ``salt_docs=N`` the key gains
+    ``floor(first_doc / N)``: a hot term's runs split into contiguous
+    docID ranges repacked in parallel (outputs stay doc-ordered and
+    disjoint — exactly the block-run shape the decode already
+    tolerates).  Each salt range may end in one tail block (<128
+    docs), so blocks-per-term is bounded by ceil(df/128) + ranges-1
+    instead of the unsalted exact ceil(df/128); query results are
+    identical.  Returns the new collection stats."""
     reader = IndexReader(spark, index_dir)
     cfg = reader.cfg
     gen = int(reader.manifest.get("generation", 0)) + 1
@@ -105,7 +116,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
 
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, term = int(key[0]), key[1]
+        bucket, term = int(key[0]), key[1]  # salt key (if any) unused
         pdf = pdf.sort_values("first_doc")
         dids_l, freqs_l, norms_l, possegs = [], [], [], []
         for row in pdf.itertuples(index=False):
@@ -162,7 +173,13 @@ def compact_index(spark: SparkSession, index_dir: str,
                          codecs.encode_freqs(f), norm_buf, pos_buf, bucket))
         return pd.DataFrame(rows, columns=block_cols)
 
-    new_postings = reader.postings().groupBy("bucket", "term") \
+    group_keys = ["bucket", "term"]
+    posts = reader.postings()
+    if salt_docs is not None:
+        posts = posts.withColumn(
+            "_salt", (F.col("first_doc") / int(salt_docs)).cast("long"))
+        group_keys.append("_salt")
+    new_postings = posts.groupBy(*group_keys) \
         .applyInPandas(repack, BLOCKS_SCHEMA)
     postings_name = f"postings_v{gen}"
     new_postings.write.mode("overwrite").partitionBy("bucket") \
@@ -201,16 +218,11 @@ def compact_index(spark: SparkSession, index_dir: str,
              "sum_total_term_freq": int(drow["sum_total_term_freq"] or 0),
              "sum_doc_freq": int(sum_df or 0)}
 
-    # per-keyword-field stats over the survivors (doc_count per field)
-    kw_fields = tuple(cfg.get("keyword_fields") or ())
-    field_stats = {}
-    if kw_fields:
-        frow = (spark.read.parquet(os.path.join(index_dir, docs_name))
-                .agg(*[F.count(F.col(f)).alias(f) for f in kw_fields])
-                .collect()[0])
-        field_stats = {f: {"doc_count": int(frow[f]),
-                           "sum_total_term_freq": int(frow[f])}
-                       for f in kw_fields}
+    # per-field stats over the survivors (keyword + analyzed fields)
+    from lucene_1_spark.index.builder import _field_stats_of_docs
+    field_stats = _field_stats_of_docs(
+        spark.read.parquet(os.path.join(index_dir, docs_name)),
+        cfg.get("keyword_fields"), cfg.get("text_fields"))
 
     m = _manifest(index_dir)
     old = {name: m.get(f"{name}_path", name)
@@ -220,7 +232,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     m["term_stats_path"] = ts_name
     m["generation"] = gen
     m["collection_stats"] = stats
-    if kw_fields:
+    if field_stats:
         m["field_stats"] = field_stats
     m["has_deletes"] = False
     m["committed_at"] = time.time()

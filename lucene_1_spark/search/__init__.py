@@ -1,5 +1,6 @@
 from lucene_1_spark.search.query import (  # noqa: F401
-    BooleanQuery, Clause, ConstantScoreQuery, FieldExistsQuery, FuzzyQuery,
+    BooleanQuery, Clause, ConstantScoreQuery, DocValuesRangeQuery,
+    FieldExistsQuery, FuzzyQuery,
     KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
     Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermQuery, TermRangeQuery, WildcardQuery, parse_query,

@@ -43,10 +43,10 @@ from lucene_1_spark.index.builder import FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
-    FieldExistsQuery, FuzzyQuery, MatchAllDocsQuery, MatchNoDocsQuery,
-    MultiTermQuery, Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery,
-    SynonymQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
-    rewrite_fixpoint,
+    DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery, MatchAllDocsQuery,
+    MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery, PrefixQuery,
+    Query, RegexpQuery, SynonymQuery, TermQuery, TermRangeQuery,
+    WildcardQuery, parse_query, rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -129,7 +129,7 @@ class LRUQueryCache:
         s = self.searcher
         if isinstance(query, str):
             query = parse_query(query, s.reader.cfg["analyzer"],
-                                s.keyword_fields)
+                                s.keyword_fields, s.text_fields)
         key = rewrite_fixpoint(s._expand_tree(
             rewrite_fixpoint(s._resolve_fields(query))))
         hit = self._entries.get(key)
@@ -172,6 +172,8 @@ class IndexSearcher:
         self.doc_count = st["doc_count"]
         self.keyword_fields = frozenset(
             reader.cfg.get("keyword_fields") or ())
+        self.text_fields = frozenset(
+            reader.cfg.get("text_fields") or ())
         self._field_cache_memo: dict[str, np.ndarray] = {}
         self.query_cache: LRUQueryCache | None = None
 
@@ -219,11 +221,20 @@ class IndexSearcher:
         whole downstream pipeline (stats seek, bucket pruning, decode,
         aggregation) is field-agnostic."""
         if isinstance(q, TermQuery) and q.field != "content":
-            if q.field not in self.keyword_fields:
+            if q.field not in self.keyword_fields \
+                    and q.field not in self.text_fields:
                 raise ValueError(
-                    f"field '{q.field}' is not indexed "
-                    f"(keyword_fields={sorted(self.keyword_fields)})")
+                    f"field '{q.field}' is not indexed (fields: "
+                    f"{sorted(self.keyword_fields | self.text_fields)})")
             return TermQuery(f"{q.field}{FIELD_SEP}{q.term}", q.boost)
+        if isinstance(q, PhraseQuery) and q.field != "content":
+            if q.field not in self.text_fields:
+                raise ValueError(
+                    f"field '{q.field}' is not an analyzed text field "
+                    f"(text_fields={sorted(self.text_fields)})")
+            return PhraseQuery(
+                tuple(f"{q.field}{FIELD_SEP}{t}" for t in q.terms),
+                q.boost, q.slop)
         if isinstance(q, BooleanQuery):
             new = tuple(Clause(self._resolve_fields(c.query), c.occur)
                         for c in q.clauses)
@@ -384,7 +395,7 @@ class IndexSearcher:
                       after: tuple[float, int] | None = None) -> DataFrame:
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"],
-                                self.keyword_fields)
+                                self.keyword_fields, self.text_fields)
         query = rewrite_fixpoint(self._expand_tree(
             rewrite_fixpoint(self._resolve_fields(query))))
         spark = self.spark
@@ -404,6 +415,23 @@ class IndexSearcher:
                       .select("doc_id",
                               F.lit(float(query.boost)).cast("float")
                               .alias("score")))
+            if k is None:
+                return scored
+            return scored.orderBy(F.asc("doc_id")).limit(k)
+        if isinstance(query, DocValuesRangeQuery):
+            col = F.col(query.field)
+            pred = col.isNotNull()
+            if query.lower is not None:
+                pred = pred & (col >= query.lower if query.include_lower
+                               else col > query.lower)
+            if query.upper is not None:
+                pred = pred & (col <= query.upper if query.include_upper
+                               else col < query.upper)
+            scored = (self.reader.docs().filter(pred)
+                      .select("doc_id",
+                              F.lit(float(query.boost))
+                              .cast("double" if self.double_mode
+                                    else "float").alias("score")))
             if k is None:
                 return scored
             return scored.orderBy(F.asc("doc_id")).limit(k)
@@ -753,13 +781,16 @@ class IndexSearcher:
         stats = self.reader.term_statistics(uniq_terms)
         if any(t not in stats for t in q.terms):
             return empty
+        # per-field stats: a fielded phrase (composite terms) scores
+        # with ITS field's docCount/avgdl and per-field norms
+        fdc, _ = self._field_params(q.terms[0])
         if self.double_mode:
             weight = q.boost * sum(
-                bm25.idf_double(stats[t][0], self.doc_count) for t in q.terms)
+                bm25.idf_double(stats[t][0], fdc) for t in q.terms)
         else:
             acc = 0.0
             for t in q.terms:
-                acc += float(bm25.idf(stats[t][0], self.doc_count))
+                acc += float(bm25.idf(stats[t][0], fdc))
             weight = float(np.float32(np.float32(q.boost) * np.float32(acc)))
 
         # 1. candidate docs containing every phrase term (docs-only decode)
@@ -786,9 +817,10 @@ class IndexSearcher:
                            F.col("positions").alias(f"p{i}")))
             joined = dec if joined is None else joined.join(dec, "doc_id")
 
-        cache = self.cache
+        f_caches, f_avgdls = self._per_term_field_maps({q.terms[0]: 1.0})
+        cache = f_caches.get(q.terms[0], self.cache)
         k1, b = float(self.k1), float(self.b)
-        avgdl = float(self.avgdl)
+        avgdl = f_avgdls.get(q.terms[0], float(self.avgdl))
         double_mode = self.double_mode
         n_terms = len(q.terms)
         slop = int(q.slop)
@@ -1168,7 +1200,7 @@ class IndexSearcher:
         similarity); non-matching docs explain as match=False, 0."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"],
-                                self.keyword_fields)
+                                self.keyword_fields, self.text_fields)
         query = rewrite_fixpoint(self._expand_tree(
             rewrite_fixpoint(self._resolve_fields(query))))
 
@@ -1274,7 +1306,7 @@ class IndexSearcher:
         global sort (``search_df(k=None)`` is the unsorted collector)."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"],
-                                self.keyword_fields)
+                                self.keyword_fields, self.text_fields)
         query = rewrite_fixpoint(query)
         if isinstance(query, MatchNoDocsQuery):
             return 0
@@ -1307,7 +1339,7 @@ class IndexSearcher:
         for qid, q in queries.items():
             if isinstance(q, str):
                 q = parse_query(q, self.reader.cfg["analyzer"],
-                                self.keyword_fields)
+                                self.keyword_fields, self.text_fields)
             q = rewrite_fixpoint(self._expand_tree(
                 rewrite_fixpoint(self._resolve_fields(q))))
             try:

@@ -107,6 +107,7 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0
     slop: int = 0
+    field: str = "content"  # phrases match WITHIN one field's positions
 
 
 class MultiTermQuery(Query):
@@ -191,6 +192,25 @@ class KnnVectorQuery(Query):
     query_vec: tuple[float, ...]
     k: int = 10
     filter: "Query | None" = None
+
+
+@dataclass(frozen=True)
+class DocValuesRangeQuery(Query):
+    """Numeric range over a STORED doc column — the
+    ``SortedNumericDocValuesField.newSlowRangeQuery`` /
+    PointRangeQuery-on-doc-values analog
+    (``document/SortedNumericDocValuesField.java:120``,
+    ``search/PointRangeQuery.java``): constant-score ``boost`` for docs
+    whose value lies in [lower, upper]; ``None`` = open bound.
+    Composable as any BooleanQuery clause (typically FILTER) — the
+    relational IndexOrDocValuesQuery: Spark pushes the predicate to the
+    parquet scan of the docs table (row-group min/max pruning)."""
+    field: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -299,7 +319,7 @@ def _apply_boost(q: Query, b: float) -> Query:
     if isinstance(q, TermQuery):
         return TermQuery(q.term, q.boost * b, q.field)
     if isinstance(q, PhraseQuery):
-        return PhraseQuery(q.terms, q.boost * b, q.slop)
+        return PhraseQuery(q.terms, q.boost * b, q.slop, q.field)
     if isinstance(q, SynonymQuery):
         return SynonymQuery(q.terms, q.boost * b)
     if isinstance(q, ConstantScoreQuery):
@@ -380,12 +400,13 @@ class _Scanner:
         return tilde, self.read_boost()
 
 
-def _word_atom(word: str, an, kw_fields: frozenset = frozenset()) \
-        -> Query | None:
+def _word_atom(word: str, an, kw_fields: frozenset = frozenset(),
+               text_fields: frozenset = frozenset()) -> Query | None:
     """One bare word -> Term/Prefix/Wildcard/Fuzzy query with optional
     ``field:``, ``~fuzz`` and ``^boost`` suffixes.  ``field:`` names
-    either the analyzed content field or a registered keyword field
-    (exact, unanalyzed value match)."""
+    the analyzed content field, a registered keyword field (exact,
+    unanalyzed value match), or a registered analyzed text field (the
+    word runs through the analyzer and matches in that field)."""
     if ":" in word:
         field, rest = word.split(":", 1)
         if field in kw_fields:
@@ -395,10 +416,24 @@ def _word_atom(word: str, an, kw_fields: frozenset = frozenset()) \
             boost = float(m.group("boost")) if m and m.group("boost") else 1.0
             value = m.group("body") if m else rest
             return TermQuery(value, boost, field)
+        if field in text_fields:
+            if not rest:
+                return None
+            m = _SUFFIX_RE.match(rest)
+            boost = float(m.group("boost")) if m and m.group("boost") else 1.0
+            body = m.group("body") if m else rest
+            terms = an.tokens(body)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(terms[0], boost, field)
+            return BooleanQuery(tuple(
+                Clause(TermQuery(t, boost, field), Occur.SHOULD)
+                for t in terms))
         if field not in _VALID_FIELDS:
             raise ValueError(
                 f"unknown field '{field}' (indexed fields: "
-                f"{sorted(_VALID_FIELDS | kw_fields)})")
+                f"{sorted(_VALID_FIELDS | kw_fields | text_fields)})")
         word = rest
         if not word:
             return None
@@ -427,7 +462,8 @@ def _word_atom(word: str, an, kw_fields: frozenset = frozenset()) \
 
 
 def _parse_clauses(sc: _Scanner, an,
-                   kw_fields: frozenset = frozenset()) -> Query:
+                   kw_fields: frozenset = frozenset(),
+                   text_fields: frozenset = frozenset()) -> Query:
     clauses: list[Clause] = []
     pending: Occur | None = None
     last_op: str | None = None
@@ -452,7 +488,7 @@ def _parse_clauses(sc: _Scanner, an,
             break
         if ch == "(":
             sc.next()
-            sub = _parse_clauses(sc, an, kw_fields)
+            sub = _parse_clauses(sc, an, kw_fields, text_fields)
             if sc.peek() == ")":
                 sc.next()
             _, boost = sc.read_suffix()
@@ -518,7 +554,7 @@ def _parse_clauses(sc: _Scanner, an,
         if word == "*" or word == "*:*":
             push(MatchAllDocsQuery())
             continue
-        push(_word_atom(word, an, kw_fields))
+        push(_word_atom(word, an, kw_fields, text_fields))
 
     if not clauses:
         return MatchNoDocsQuery()
@@ -528,7 +564,8 @@ def _parse_clauses(sc: _Scanner, an,
 
 
 def parse_query(text: str, analyzer: str = "standard",
-                keyword_fields: frozenset | set | tuple = ()) -> Query:
+                keyword_fields: frozenset | set | tuple = (),
+                text_fields: frozenset | set | tuple = ()) -> Query:
     """Classic-syntax query parser — the role of
     ``queryparser/classic/QueryParser.jj:196-320`` (the reference's
     user-facing entry point, ``demo/SearchFiles.java:109-120``):
@@ -547,4 +584,5 @@ def parse_query(text: str, analyzer: str = "standard",
     indexing; multi-term atoms (wildcard/fuzzy/range/regexp) are only
     lowercase-normalized, as in QueryParserBase."""
     return _parse_clauses(_Scanner(text), get_analyzer(analyzer),
-                          frozenset(keyword_fields))
+                          frozenset(keyword_fields),
+                          frozenset(text_fields))

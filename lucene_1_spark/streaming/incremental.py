@@ -159,20 +159,22 @@ class IncrementalIndexWriter:
                     self.spark.read.parquet(os.path.join(staging, "stats_seg"))
                     .filter(~F.col("term").contains(FIELD_SEP))
                     .agg(F.sum("doc_freq")).collect()[0][0] or 0)
-            kw = tuple(self.cfg.keyword_fields or ())
-            drow = (self.spark.read.parquet(os.path.join(staging, "docs_seg"))
+            seg_docs = self.spark.read.parquet(
+                os.path.join(staging, "docs_seg"))
+            drow = (seg_docs
                     .agg(F.count("*").alias("n"),
                          F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
                          .alias("nonempty"),
-                         F.sum("length").alias("len"),
-                         *[F.count(F.col(f)).alias(f"kw_{f}")
-                           for f in kw]).collect()[0])
+                         F.sum("length").alias("len")).collect()[0])
+            from lucene_1_spark.index.builder import _field_stats_of_docs
+            fs_delta = _field_stats_of_docs(
+                seg_docs, self.cfg.keyword_fields, self.cfg.text_fields)
             b._write_json(seg_json, {
                 "n_docs": int(drow["n"]),
                 "doc_count": int(drow["nonempty"] or 0),
                 "sum_total_term_freq": int(drow["len"] or 0),
                 "sum_doc_freq": sum_df_delta,
-                "field_docs": {f: int(drow[f"kw_{f}"] or 0) for f in kw},
+                "field_stats_delta": fs_delta,
             })
             b._write_checkpoint(cp_id, stage_name, "done", int(drow["n"]))
 
@@ -194,15 +196,16 @@ class IncrementalIndexWriter:
                 + deltas.get("sum_doc_freq", 0),
             }
             manifest["collection_stats"] = cs
-            if deltas.get("field_docs"):
+            if deltas.get("field_stats_delta"):
                 fs = manifest.get("field_stats", {})
-                for f, n_new in deltas["field_docs"].items():
+                for f, d in deltas["field_stats_delta"].items():
                     cur = fs.get(f, {"doc_count": 0,
                                      "sum_total_term_freq": 0})
                     fs[f] = {
-                        "doc_count": cur["doc_count"] + n_new,
+                        "doc_count": cur["doc_count"] + d["doc_count"],
                         "sum_total_term_freq":
-                            cur["sum_total_term_freq"] + n_new,
+                            cur["sum_total_term_freq"]
+                            + d["sum_total_term_freq"],
                     }
                 manifest["field_stats"] = fs
             manifest["n_segments"] = seg_id + 1

@@ -192,3 +192,31 @@ def test_count_with_composite(cidx):
     ph = _phrase_scores(idx, ["tok0", "tok1"])
     expected = len(set(idx.postings["tok1"]) & set(ph))
     assert s.count('+tok1 +"tok0 tok1"') == expected
+
+
+def test_doc_values_range_filter_clause(cidx):
+    """DocValuesRangeQuery as a FILTER clause: restricts by a stored
+    numeric column, contributes no score."""
+    from lucene_1_spark.search.query import DocValuesRangeQuery
+    s, idx = cidx
+    cache = _cache(idx)
+    q = BooleanQuery((
+        Clause(TermQuery("tok1"), Occur.MUST),
+        Clause(DocValuesRangeQuery("length", 50, 200), Occur.FILTER)))
+    lengths = {r["doc_id"]: r["length"]
+               for r in s.reader.docs().select("doc_id", "length").collect()}
+    docs = {d for d in idx.postings["tok1"] if 50 <= lengths[d] <= 200}
+    exp = _expect({d: _term_score(idx, cache, "tok1", d) for d in docs})
+    got = _run(s, q)
+    assert got == exp and got
+
+
+def test_doc_values_range_standalone(cidx):
+    from lucene_1_spark.search.query import DocValuesRangeQuery
+    s, idx = cidx
+    lengths = {r["doc_id"]: r["length"]
+               for r in s.reader.docs().select("doc_id", "length").collect()}
+    got = {r["doc_id"] for r in
+           s.search_df(DocValuesRangeQuery("length", 300, None),
+                       k=None).collect()}
+    assert got == {d for d, ln in lengths.items() if ln >= 300} and got

@@ -155,3 +155,127 @@ def test_unknown_field_raises(kws):
         kws.search_df(TermQuery("x", field="nope"), k=5).collect()
     with pytest.raises(ValueError, match="unknown field"):
         parse_query("nope:x", "standard", frozenset({"lang"}))
+
+
+# ---------------------------------------------------------------------------
+# analyzed text fields (full per-field postings, norms, positions)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def txt_index(spark, tmp_root):
+    pdf = corpus_mod.generate(200)
+    d = os.path.join(tmp_root, "idx_textfields")
+    src = (spark.createDataFrame(pdf)
+           .withColumn("title", F.substring("content", 1, 60))
+           .repartition(4, "repo"))
+    IndexBuilder(spark, d, IndexConfig(
+        n_buckets=8, n_doc_partitions=4, positions=True,
+        text_fields=("title",))).build(src)
+    return d, pdf
+
+
+@pytest.fixture(scope="module")
+def txts(spark, txt_index):
+    d, _ = txt_index
+    return IndexSearcher(IndexReader(spark, d))
+
+
+def _title_tokens(pdf):
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("standard")
+    out = {}
+    for did, row in enumerate(
+            pdf.sort_values(["repo", "path", "commit"],
+                            kind="mergesort").itertuples(index=False)):
+        out[did] = an.tokens_with_positions(row.content[:60])
+    return out
+
+
+def test_text_field_term_query_scores_with_field_stats(txts, txt_index):
+    _, pdf = txt_index
+    titles = _title_tokens(pdf)
+    probe = "tok0"
+    freqs = {d: sum(1 for t, _ in toks if t == probe)
+             for d, toks in titles.items()}
+    match_docs = {d for d, f in freqs.items() if f > 0}
+    lens = {d: len(toks) for d, toks in titles.items()}
+    fs = txts.reader.manifest["field_stats"]["title"]
+    assert fs["doc_count"] == sum(1 for v in lens.values() if v > 0)
+    assert fs["sum_total_term_freq"] == sum(lens.values())
+    avgdl = np.float32(fs["sum_total_term_freq"]) / np.float32(
+        max(fs["doc_count"], 1))
+    from lucene_1_spark.functions.smallfloat import int_to_byte4
+    cache = bm25.norm_inverse_cache(
+        bm25.avg_field_length(fs["sum_total_term_freq"], fs["doc_count"]),
+        np.float32(1.2), np.float32(0.75))
+    w = bm25.term_weight(len(match_docs), fs["doc_count"])
+    rows = txts.search_df(TermQuery(probe, field="title"),
+                          k=None).collect()
+    got = {r["doc_id"]: np.float32(r["score"]) for r in rows}
+    assert set(got) == match_docs and match_docs
+    for d in match_docs:
+        nb = int_to_byte4(np.array([lens[d]]))
+        exp = np.float32(bm25.score_term(
+            np.array([freqs[d]]), nb, w, cache)[0])
+        assert got[d] == exp, d
+
+
+def test_text_field_phrase_query(txts, txt_index):
+    _, pdf = txt_index
+    titles = _title_tokens(pdf)
+    # expected: docs whose title holds an adjacent (tok0, tok1) pair
+    exp_docs = set()
+    for d, toks in titles.items():
+        pos = {}
+        for t, p in toks:
+            pos.setdefault(t, []).append(p)
+        a = pos.get("tok0", [])
+        b = set(pos.get("tok1", []))
+        if any(p + 1 in b for p in a):
+            exp_docs.add(d)
+    from lucene_1_spark.search.query import PhraseQuery
+    got = {r["doc_id"] for r in txts.search_df(
+        PhraseQuery(("tok0", "tok1"), field="title"), k=None).collect()}
+    assert got == exp_docs and exp_docs
+
+
+def test_text_field_parser_and_content_isolation(spark, txts, txt_index,
+                                                 tmp_root):
+    # parser routes title:xyz to the field; content stats unpolluted
+    via_parser = {r["doc_id"] for r in
+                  txts.search_df("title:tok0", k=None).collect()}
+    via_query = {r["doc_id"] for r in
+                 txts.search_df(TermQuery("tok0", field="title"),
+                                k=None).collect()}
+    assert via_parser == via_query and via_parser
+    d2 = os.path.join(tmp_root, "idx_textfields_ref")
+    _, pdf = txt_index
+    IndexBuilder(spark, d2, IndexConfig(
+        n_buckets=8, n_doc_partitions=4, positions=True)).build(
+        spark.createDataFrame(pdf).repartition(4, "repo"))
+    assert IndexReader(spark, d2).stats == txts.reader.stats
+    s2 = IndexSearcher(IndexReader(spark, d2))
+    for q in ["tok0", "+tok1 +tok2", '"tok0 tok1"']:
+        a = sorted((r["doc_id"], np.float32(r["score"]))
+                   for r in txts.search_df(q, k=None).collect())
+        b = sorted((r["doc_id"], np.float32(r["score"]))
+                   for r in s2.search_df(q, k=None).collect())
+        assert a == b, q
+
+
+def test_text_field_survives_compaction(spark, txt_index):
+    import shutil
+    d, pdf = txt_index
+    d3 = d + "_compact"
+    shutil.rmtree(d3, ignore_errors=True)
+    shutil.copytree(d, d3)
+    from lucene_1_spark.index.maintenance import compact_index
+    compact_index(spark, d3)
+    s3 = IndexSearcher(IndexReader(spark, d3))
+    assert s3.reader.manifest["field_stats"]["title"]["doc_count"] > 0
+    before = {r["doc_id"] for r in IndexSearcher(IndexReader(spark, d))
+              .search_df(TermQuery("tok0", field="title"), k=None).collect()}
+    after = {r["doc_id"] for r in
+             s3.search_df(TermQuery("tok0", field="title"),
+                          k=None).collect()}
+    assert before == after and before

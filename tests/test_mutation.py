@@ -385,3 +385,35 @@ def test_append_is_o_segment_not_o_index(spark, tmp_root, corpus):
     dup = (r.term_stats().groupBy("term").count()
            .filter("count > 1").count())
     assert dup == 0
+
+
+def test_salted_compaction_identical_results(spark, tmp_root, corpus):
+    """Explicit hot-term skew salting: compaction keyed by
+    (bucket, term, first_doc // salt_docs) splits a hot term's repack
+    across tasks; results stay byte-identical and blocks-per-term is
+    bounded by ceil(df/128) + ranges-1."""
+    import shutil
+
+    from lucene_1_spark.index.builder import IndexConfig as IC
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+    d = os.path.join(tmp_root, "idx_salt")
+    w = IncrementalIndexWriter(spark, d, IC(n_buckets=4,
+                                            n_doc_partitions=4))
+    w.append(spark.createDataFrame(corpus.iloc[:150]), batch_id=0)
+    w.append(spark.createDataFrame(corpus.iloc[150:300]), batch_id=1)
+    d2 = d + "_ref"
+    shutil.rmtree(d2, ignore_errors=True)
+    shutil.copytree(d, d2)
+
+    compact_index(spark, d, salt_docs=64)   # salted
+    compact_index(spark, d2)                # exact
+    sa = IndexSearcher(IndexReader(spark, d))
+    sb = IndexSearcher(IndexReader(spark, d2))
+    for q in ["tok0", "tok1 tok2", "+tok0 +tok3", "tok4 -tok0"]:
+        assert _hits(sa, q) == _hits(sb, q), q
+    # bound: ceil(df/128) + (n_salt_ranges - 1); 300 docs / 64 => <= 5
+    bad = (sa.reader.postings().groupBy("term")
+           .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
+           .filter(F.col("nb") > F.ceil(F.col("df") / 128) + 4).count())
+    assert bad == 0
+    assert sa.reader.stats == sb.reader.stats
