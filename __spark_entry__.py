@@ -893,6 +893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_features(synthetic_media(s, n=32), fake=True)
     q["mm_image_features"] = mm_image_features
 
+    def mm_audio_features(s, d):
+        from lucene_1_spark.pipeline.multimodal import (audio_features,
+                                                        synthetic_media)
+        return audio_features(synthetic_media(s, n=32), fake=True)
+    q["mm_audio_features"] = mm_audio_features
+
     return q
 
 
@@ -1712,6 +1718,6 @@ FROM documents"""
 
     o["points_range_count"] = ("SELECT count(*)::BIGINT AS n FROM events "
                                "WHERE value BETWEEN 10.0 AND 50.0")
-    # sim_ann_topk, mm_image_features: intentionally no oracle
+    # sim_ann_topk, mm_image_features, mm_audio_features: no oracle
     # (approximate / stubbed-media ops -> rows-only check)
     return o

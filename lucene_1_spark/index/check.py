@@ -116,12 +116,26 @@ def check_index(reader: IndexReader, source: DataFrame | None = None) -> dict:
             yield (pd.concat(parts) if parts
                    else pd.DataFrame({"doc_id": [], "freq_sum": []}))
 
-    per_doc = (blocks.mapInPandas(doc_freq_sums, _DOCLEN_SCHEMA)
+    from lucene_1_spark.index.builder import FIELD_SEP
+    content_blocks = blocks.filter(~F.col("term").contains(FIELD_SEP))
+    per_doc = (content_blocks.mapInPandas(doc_freq_sums, _DOCLEN_SCHEMA)
                .groupBy("doc_id").agg(F.sum("freq_sum").alias("fsum")))
     bad = (docs.join(per_doc, "doc_id", "left_outer")
            .filter(F.col("length") != F.coalesce(F.col("fsum"), F.lit(0)))
            .count())
     out["doc_length_vs_postings"] = (bad == 0, f"{bad} docs disagree")
+
+    # 4b. per-field stats agreement (multi-field indexes): the manifest
+    # field_stats must equal a recompute from the docs table
+    cfg = reader.cfg
+    if cfg.get("keyword_fields") or cfg.get("text_fields"):
+        from lucene_1_spark.index.builder import _field_stats_of_docs
+        derived_fs = _field_stats_of_docs(
+            reader.spark.read.parquet(reader.table_path("docs")),
+            cfg.get("keyword_fields"), cfg.get("text_fields"))
+        stored_fs = reader.manifest.get("field_stats", {})
+        out["field_stats"] = (derived_fs == stored_fs,
+                              f"manifest={stored_fs} derived={derived_fs}")
 
     # 5. sha256 invariant vs source
     if source is not None:

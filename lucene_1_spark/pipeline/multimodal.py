@@ -92,6 +92,62 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+    T.StructField("zero_crossing_rate", T.FloatType()),
+    T.StructField("peak", T.FloatType()),
+])
+
+
+def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize — REAL numpy plumbing (no media lib
+    needed once pixels exist): index-map sampling, the downstream shape
+    every thumbnail/tiling pipeline needs."""
+    ys = (np.arange(out_h) * arr.shape[0] // out_h).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(out_w) * arr.shape[1] // out_w).clip(0, arr.shape[1] - 1)
+    return arr[ys][:, xs]
+
+
+def _fake_decode_audio(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: int16-ish waveform
+    derived from the blob bytes."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    n = 512 + int.from_bytes(h[4:6], "big") % 1024
+    return (rng.standard_normal(n) * 8192).astype(np.float32)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_decode_audio(payload)
+    raise NotImplementedError(
+        "real audio decoding requires an audio library not present in "
+        "this environment; pass fake=True for the deterministic stub")
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Waveform feature extraction over audio blobs via mapInPandas:
+    RMS energy, zero-crossing rate, peak — the same Arrow-batched
+    shape as :func:`image_features` (decode stubbed, features real)."""
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = pdf[pdf["kind"] == "audio"]
+            out = []
+            for row in rows.itertuples(index=False):
+                w = decode_audio(bytes(row.payload), fake=fake)
+                zc = float(np.mean(np.signbit(w[:-1]) != np.signbit(w[1:])))
+                out.append((row.media_id, int(len(w)),
+                            float(np.sqrt(np.mean(w ** 2))), zc,
+                            float(np.abs(w).max())))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: emits (media_id, frame_no) rows
     relationally from metadata (decode stubbed).  Shows the explode

@@ -129,6 +129,41 @@ class Monitor:
         if phrases:
             self._phrase_defs[query_id] = phrases
 
+    # -- persistence (Monitor's durable query index,
+    #    ``monitor/Monitor.java`` with an FSDirectory-backed
+    #    QueryIndex): registered queries survive a driver restart ----
+    def save(self, path: str) -> None:
+        """Write the registered-query state as JSON (tiny driver-side
+        metadata, same durability class as the index manifest)."""
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        state = {
+            "analyzer": self.analyzer,
+            "rows": self._rows,
+            "meta": self._meta,
+            "phrase_defs": {qid: [[list(t), s, o] for t, s, o in defs]
+                            for qid, defs in self._phrase_defs.items()},
+        }
+        tmp = os.path.join(path, "monitor.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(path, "monitor.json"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Monitor":
+        import json
+        import os
+        with open(os.path.join(path, "monitor.json")) as fh:
+            state = json.load(fh)
+        m = cls(spark, analyzer=state["analyzer"])
+        m._rows = [tuple(r) for r in state["rows"]]
+        m._meta = [tuple(r) for r in state["meta"]]
+        m._phrase_defs = {qid: [(tuple(t), int(s), o)
+                                for t, s, o in defs]
+                          for qid, defs in state["phrase_defs"].items()}
+        return m
+
     def _tables(self) -> tuple[DataFrame, DataFrame]:
         qt = self.spark.createDataFrame(
             self._rows, "query_id string, term string, occur string")

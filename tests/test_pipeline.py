@@ -246,3 +246,28 @@ def test_knn_vector_query_prefiltered(spark, tmp_root):
     unf = s.knn_search(emb, KnnVectorQuery(qv, k=5)).collect()
     assert {r["doc_id"] for r in unf} != {r["doc_id"] for r in got} or \
         allowed == set(range(n))
+
+
+def test_multimodal_audio_and_resize(spark):
+    import numpy as np
+
+    from lucene_1_spark.pipeline.multimodal import (audio_features,
+                                                    decode_audio,
+                                                    resize_image,
+                                                    synthetic_media)
+    rows = audio_features(synthetic_media(spark, n=30), fake=True).collect()
+    assert len(rows) == 10  # every 3rd synthetic row is audio
+    for r in rows:
+        assert r["n_samples"] > 0 and r["rms"] > 0
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["peak"] >= r["rms"]
+    # deterministic: same blob -> same features
+    again = audio_features(synthetic_media(spark, n=30), fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"abc", fake=False)
+    # resize: real numpy plumbing
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = resize_image(arr, 8, 3)
+    assert out.shape == (3, 8, 3)
+    assert (resize_image(arr, 4, 6) == arr).all()

@@ -95,3 +95,45 @@ def test_query_cache_lru_eviction(qc_searcher):
     finally:
         cache.clear()
         s.query_cache = None
+
+
+def test_monitor_save_load_roundtrip(spark, tmp_root):
+    """Monitor persistence (the reference Monitor's durable query
+    index): saved + loaded state percolates identically."""
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="whitespace")
+    m.register("q1", "+a +b")
+    m.register("q2", '"x y" -z')
+    m.register("q3", 'c "p q"')
+    path = os.path.join(tmp_root, "monitor_state")
+    m.save(path)
+    m2 = Monitor.load(spark, path)
+    docs = spark.createDataFrame([
+        (0, "a b c"), (1, "x y w"), (2, "x y z"), (3, "p q"),
+    ], "doc_id long, text string")
+    a = sorted((r["doc_id"], r["query_id"])
+               for r in m.match_batch(docs).collect())
+    b = sorted((r["doc_id"], r["query_id"])
+               for r in m2.match_batch(docs).collect())
+    assert a == b and a
+
+
+def test_check_index_field_stats(spark, tmp_root):
+    """check_index validates manifest field_stats on multi-field
+    indexes and keeps doc-length agreement content-only."""
+    from pyspark.sql import functions as FF
+
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.index.check import check_index
+    d = os.path.join(tmp_root, "idx_check_fields")
+    src = (spark.createDataFrame(corpus_mod.generate(80))
+           .withColumn("title", FF.substring("content", 1, 40))
+           .repartition(2, "repo"))
+    IndexBuilder(spark, d, IndexConfig(
+        n_buckets=4, n_doc_partitions=2, keyword_fields=("lang",),
+        text_fields=("title",))).build(src)
+    out = check_index(IndexReader(spark, d))
+    for name, (ok, msg) in out.items():
+        assert ok, (name, msg)
+    assert "field_stats" in out

@@ -102,6 +102,33 @@ def main() -> int:
     p = plan_of(searcher.search_sorted("tok1", by=[("lang", "asc")], k=10))
     ok &= audit("sort_by_field_take_ordered", p, ["TakeOrderedAndProject"])
 
+    # 7. doc-values range FILTER: predicate pushed to the docs scan
+    from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                             DocValuesRangeQuery, Occur,
+                                             TermQuery)
+    q = BooleanQuery((Clause(TermQuery("tok1"), Occur.MUST),
+                      Clause(DocValuesRangeQuery("length", 50, 200),
+                             Occur.FILTER)))
+    p = plan_of(searcher.search_df(q, k=10))
+    ok &= audit("dv_range_pushdown", p,
+                ["GreaterThanOrEqual(length,50"])
+    ok &= audit("composite_topk_take_ordered", p, ["TakeOrderedAndProject"])
+
+    # 8. filtered kNN: the allowed-id set joins BEFORE cosine top-k
+    import numpy as np
+
+    from lucene_1_spark.search.query import KnnVectorQuery
+    n = searcher.reader.stats["n_docs"]
+    vecs = np.random.RandomState(5).normal(size=(min(n, 64), 4))
+    emb = searcher.spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "doc_id long, embedding array<double>")
+    p = plan_of(searcher.knn_search(
+        emb, KnnVectorQuery(tuple(float(x) for x in vecs[0]), k=5,
+                            filter=TermQuery("tok1"))))
+    ok &= audit("knn_prefilter_semi_join", p, ["LeftSemi"])
+    ok &= audit("knn_topk_take_ordered", p, ["TakeOrderedAndProject"])
+
     print("ALL PASS" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 

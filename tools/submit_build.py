@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--source-mode", choices=["persist", "materialize"],
                     default="persist")
     ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--keyword-fields", default="",
+                    help="comma-separated stored columns indexed as "
+                         "exact keyword fields (e.g. lang)")
+    ap.add_argument("--text-fields", default="",
+                    help="comma-separated extra ANALYZED text columns "
+                         "(full per-field postings/norms/positions)")
     ap.add_argument("--local", type=int, default=0,
                     help="run on local[N] instead of the configured master")
     args = ap.parse_args()
@@ -71,7 +77,11 @@ def main() -> int:
                       n_doc_partitions=args.n_doc_partitions,
                       n_buckets=args.n_buckets,
                       source_mode=args.source_mode,
-                      positions=args.positions)
+                      positions=args.positions,
+                      keyword_fields=tuple(
+                          f for f in args.keyword_fields.split(",") if f),
+                      text_fields=tuple(
+                          f for f in args.text_fields.split(",") if f))
     build_index(spark, src, args.index_dir, cfg)
     stats = IndexReader(spark, args.index_dir).stats
     print({"index_dir": args.index_dir, **stats})
