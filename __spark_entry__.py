@@ -87,6 +87,38 @@ def _searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+_CLASSIC_SEARCHERS: dict[str, object] = {}
+
+
+def _classic_searcher(spark: SparkSession, sf_dir: str):
+    """A second index over ``documents`` built with the
+    ClassicSimilarity (TF-IDF) — the pluggable-Similarity extension
+    point exercised end-to-end (cached per sf_dir)."""
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key in _CLASSIC_SEARCHERS:
+        return _CLASSIC_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_classic_v1",
+        hashlib.md5(key.encode()).hexdigest()[:12])
+    corpus = _docs(spark, sf_dir).select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    cfg = IndexConfig(analyzer="whitespace", similarity="classic_double",
+                      n_buckets=8, n_doc_partitions=8)
+    build_index(spark, corpus, idx_dir, cfg)
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _CLASSIC_SEARCHERS[key] = s
+    return s
+
+
 _MUT_SEARCHERS: dict[str, object] = {}
 
 
@@ -467,6 +499,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Clause(TermQuery("de", field="lang"), Occur.FILTER)))
         return _topk_query(s, d, bq)
     q["ft_field_filter_topk"] = ft_field_filter_topk
+
+    def ft_classic_topk(s, d):
+        """ClassicSimilarity (TF-IDF) top-10: sqrt(tf) * idf^2 /
+        sqrt(len), idf = ln((N+1)/(df+1)) + 1."""
+        se = _classic_searcher(s, d)
+        top = se.search_df("spark merge window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_classic_topk"] = ft_classic_topk
 
     def ft_dv_range_filter(s, d):
         """Doc-values numeric range as a FILTER clause: bm25('spark')
@@ -1328,6 +1372,26 @@ sc AS (
            AS s
   FROM pf JOIN hdl ON pf.doc_id = hdl.doc_id
   CROSS JOIN hst CROSS JOIN pw)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # ClassicSimilarity: sqrt(tf) * (ln((N+1)/(df+1))+1)^2 / sqrt(len)
+    o["ft_classic_topk"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(sqrt(tf.freq)
+             * pow(ln((st.n + 1) / (df.dfreq + 1)) + 1, 2)
+             / sqrt(greatest(dl.len, 1))) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+  GROUP BY tf.doc_id)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""

@@ -80,6 +80,25 @@ def score_term_double(freq: np.ndarray, lengths: np.ndarray, weight: float,
     return weight * f / (f + k1 * ((1.0 - b) + b * ln / avgdl))
 
 
+def idf_classic(doc_freq: int, doc_count: int) -> float:
+    """ClassicSimilarity idf — ``log((docCount+1)/(docFreq+1)) + 1``
+    (``search/similarities/ClassicSimilarity.java:59-62``), double
+    precision (the classic_double similarity is SQL-oracle exact)."""
+    return float(np.log((doc_count + 1.0) / (doc_freq + 1.0)) + 1.0)
+
+
+def score_term_classic(freq: np.ndarray, lengths: np.ndarray,
+                       weight: float) -> np.ndarray:
+    """ClassicSimilarity per-term score: ``tf * weight * norm`` with
+    ``tf = sqrt(freq)`` (``ClassicSimilarity.java:70-73``),
+    ``norm = 1/sqrt(len)`` (lengthNorm, ``:45-48``), and
+    ``weight = boost * idf^2`` (TFIDFSimilarity's weight value).
+    Double precision with exact field lengths."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.maximum(np.asarray(lengths, dtype=np.float64), 1.0)
+    return weight * np.sqrt(f) / np.sqrt(ln)
+
+
 def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
     """Sum aligned per-term float32 score arrays in float64, cast to float32."""
     acc = np.zeros(len(per_term_scores[0]), dtype=np.float64)

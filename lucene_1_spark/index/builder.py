@@ -139,9 +139,12 @@ class IndexConfig:
     block_size: int = codecs.BLOCK_SIZE
     # index positions for phrase queries (DOCS_AND_FREQS_AND_POSITIONS)
     positions: bool = False
-    # "bm25_float32" = Lucene-exact float32 + byte4-quantized norms;
-    # "bm25_double"  = double precision + exact uint32 lengths (the
-    # SQL-oracle-reproducible similarity; SURVEY.md §2.11 pluggable sim)
+    # "bm25_float32"   = Lucene-exact float32 + byte4-quantized norms;
+    # "bm25_double"    = double precision + exact uint32 lengths (the
+    #                    SQL-oracle-reproducible similarity);
+    # "classic_double" = ClassicSimilarity (TF-IDF: sqrt(tf) * idf^2 *
+    #                    1/sqrt(len)) in double precision — the third
+    #                    pluggable Similarity (SURVEY.md §2.11)
     similarity: str = "bm25_float32"
     # how the range-shuffled source is shared by the two kernel passes:
     # "persist"     — cache executor-side (MEMORY_AND_DISK).  Right for
@@ -170,7 +173,8 @@ class IndexConfig:
 
     @property
     def norms_encoding(self) -> str:
-        return "exact32" if self.similarity == "bm25_double" else "byte4"
+        return "exact32" if self.similarity in ("bm25_double",
+                                                "classic_double") else "byte4"
 
 
 def range_partition(source: DataFrame, cfg: IndexConfig, base: int = 0):

@@ -159,7 +159,11 @@ class IndexSearcher:
         self.spark = reader.spark
         st = reader.stats
         self.similarity = reader.cfg.get("similarity", "bm25_float32")
-        self.double_mode = self.similarity == "bm25_double"
+        # double_mode = exact uint32 norms + double arithmetic/output;
+        # classic additionally swaps the scoring curve (TF-IDF)
+        self.double_mode = self.similarity in ("bm25_double",
+                                               "classic_double")
+        self.classic = self.similarity == "classic_double"
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
         if self.double_mode:
@@ -307,6 +311,7 @@ class IndexSearcher:
         k1, b = float(self.k1), float(self.b)
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
+        classic = self.classic
         # per-term field overrides (keyword fields have their own avgdl
         # / norm-inverse cache); empty for content-only queries
         caches, avgdls = self._per_term_field_maps(weights) \
@@ -325,9 +330,13 @@ class IndexSearcher:
                         freqs = codecs.decode_freqs(bytes(row.freqs), n)
                         if double_mode:
                             lens = np.frombuffer(bytes(row.norms), dtype="<u4")
-                            s = bm25.score_term_double(
-                                freqs, lens, weights[row.term],
-                                avgdls.get(row.term, avgdl), k1, b)
+                            if classic:
+                                s = bm25.score_term_classic(
+                                    freqs, lens, weights[row.term])
+                            else:
+                                s = bm25.score_term_double(
+                                    freqs, lens, weights[row.term],
+                                    avgdls.get(row.term, avgdl), k1, b)
                         else:
                             norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
                             w = np.float32(weights[row.term])
@@ -514,7 +523,9 @@ class IndexSearcher:
         weights: dict[str, float] = {}
         for t in scoring:
             fdc, _ = self._field_params(t.term)  # per-field docCount idf
-            if self.double_mode:
+            if self.classic:
+                w = t.boost * bm25.idf_classic(stats[t.term][0], fdc) ** 2
+            elif self.double_mode:
                 w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
             else:
                 w = float(bm25.term_weight(stats[t.term][0], fdc, t.boost))
@@ -541,9 +552,11 @@ class IndexSearcher:
         # Block-max pruning (WAND/MaxScore analog) — only where the bound
         # is sound: pure disjunctions (no complex sub-plans, whose scores
         # block metadata cannot bound) with no pagination cursor.
+        # classic (TF-IDF) scores are not bounded by the BM25 block-max
+        # ub formula, so WAND pruning stays off under that similarity
         use_prune = (prune and k is not None and not must and not mnot
                      and not filters and not must_groups and not filter_groups
-                     and not cx_parts
+                     and not cx_parts and not self.classic
                      and not any(FIELD_SEP in t for t in weights)
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
@@ -696,9 +709,14 @@ class IndexSearcher:
             freqs = codecs.decode_freqs(bytes(row.freqs), n)
             if self.double_mode:
                 lens = np.frombuffer(bytes(row.norms), dtype="<u4")
-                s = bm25.score_term_double(freqs, lens, weights[row.term],
-                                           float(self.avgdl),
-                                           float(self.k1), float(self.b))
+                if self.classic:
+                    s = bm25.score_term_classic(freqs, lens,
+                                                weights[row.term])
+                else:
+                    s = bm25.score_term_double(freqs, lens,
+                                               weights[row.term],
+                                               float(self.avgdl),
+                                               float(self.k1), float(self.b))
             else:
                 norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
                 w = np.float32(weights[row.term])
@@ -784,7 +802,10 @@ class IndexSearcher:
         # per-field stats: a fielded phrase (composite terms) scores
         # with ITS field's docCount/avgdl and per-field norms
         fdc, _ = self._field_params(q.terms[0])
-        if self.double_mode:
+        if self.classic:
+            weight = q.boost * sum(
+                bm25.idf_classic(stats[t][0], fdc) for t in q.terms) ** 2
+        elif self.double_mode:
             weight = q.boost * sum(
                 bm25.idf_double(stats[t][0], fdc) for t in q.terms)
         else:
@@ -889,8 +910,12 @@ class IndexSearcher:
                    .filter(F.col("pf") > 0.0))
         if double_mode:
             ln = F.col("norm_val").cast("double")
-            score_d = (F.lit(weight) * F.col("pf")
-                       / (F.col("pf") + k1 * ((1 - b) + b * ln / avgdl)))
+            if self.classic:
+                score_d = (F.lit(weight) * F.sqrt(F.col("pf"))
+                           / F.sqrt(F.greatest(ln, F.lit(1.0))))
+            else:
+                score_d = (F.lit(weight) * F.col("pf")
+                           / (F.col("pf") + k1 * ((1 - b) + b * ln / avgdl)))
             scored = with_pf.select(
                 "doc_id", score_d.cast("double").alias("score"))
         else:
@@ -926,7 +951,10 @@ class IndexSearcher:
         if not present:
             return empty
         merged_df = max(stats[t][0] for t in present)
-        if self.double_mode:
+        if self.classic:
+            weight = q.boost * bm25.idf_classic(merged_df,
+                                                self.doc_count) ** 2
+        elif self.double_mode:
             weight = q.boost * bm25.idf_double(merged_df, self.doc_count)
         else:
             weight = float(np.float32(np.float32(q.boost)
@@ -967,12 +995,17 @@ class IndexSearcher:
         k1, b, avgdl = float(self.k1), float(self.b), float(self.avgdl)
         from pyspark.sql.functions import pandas_udf
 
+        classic = self.classic
+
         @pandas_udf("double")
         def syn_score(freq: pd.Series, norm_val: pd.Series) -> pd.Series:
             f = freq.to_numpy(dtype=np.float64)
             if double_mode:
                 ln = norm_val.to_numpy(dtype=np.float64)
-                s = weight * f / (f + k1 * ((1 - b) + b * ln / avgdl))
+                if classic:
+                    s = bm25.score_term_classic(f, ln, weight)
+                else:
+                    s = weight * f / (f + k1 * ((1 - b) + b * ln / avgdl))
             else:
                 s = bm25.score_term(
                     f, norm_val.to_numpy(dtype=np.uint8),
@@ -1168,9 +1201,13 @@ class IndexSearcher:
                 lens = np.frombuffer(bytes(row["norms"]), dtype="<u4")
                 norm_len = float(lens[i])
                 _, avgdl_f = self._field_params(term_key)
-                s = float(bm25.score_term_double(
-                    np.array([freq]), np.array([norm_len]), weight,
-                    avgdl_f, float(self.k1), float(self.b))[0])
+                if self.classic:
+                    s = float(bm25.score_term_classic(
+                        np.array([freq]), np.array([norm_len]), weight)[0])
+                else:
+                    s = float(bm25.score_term_double(
+                        np.array([freq]), np.array([norm_len]), weight,
+                        avgdl_f, float(self.k1), float(self.b))[0])
             else:
                 norms = np.frombuffer(bytes(row["norms"]), dtype=np.uint8)
                 caches, _ = self._per_term_field_maps({term_key: weight})
@@ -1216,6 +1253,9 @@ class IndexSearcher:
 
             def term_weight_of(t: TermQuery) -> float:
                 fdc, _ = self._field_params(t.term)
+                if self.classic:
+                    return t.boost * bm25.idf_classic(stats[t.term][0],
+                                                      fdc) ** 2
                 if self.double_mode:
                     return t.boost * bm25.idf_double(stats[t.term][0], fdc)
                 return float(bm25.term_weight(stats[t.term][0], fdc,
@@ -1303,15 +1343,23 @@ class IndexSearcher:
 
     def count(self, query: Query | str) -> int:
         """TotalHitCountCollector analog — exhaustive match set, no
-        global sort (``search_df(k=None)`` is the unsorted collector)."""
+        global sort (``search_df(k=None)`` is the unsorted collector).
+
+        Short-circuits (``search/IndexSearcher.java:361-393`` count()):
+        MatchAll -> live-doc count; a single TermQuery on a delete-free
+        index -> the term's docFreq straight from the dictionary (no
+        Spark job at all)."""
         if isinstance(query, str):
             query = parse_query(query, self.reader.cfg["analyzer"],
                                 self.keyword_fields, self.text_fields)
-        query = rewrite_fixpoint(query)
+        query = rewrite_fixpoint(self._resolve_fields(query))
         if isinstance(query, MatchNoDocsQuery):
             return 0
         if isinstance(query, MatchAllDocsQuery):
             return self.reader.n_live_docs()
+        if isinstance(query, TermQuery) and not self.reader.has_deletes:
+            stats = self.reader.term_statistics([query.term])
+            return stats.get(query.term, (0, 0))[0]
         return self.search_df(query, k=None, prune=False).count()
 
     # ------------------------------------------------------------------
@@ -1376,7 +1424,10 @@ class IndexSearcher:
                 w_by_term: dict[str, float] = {}
                 for t in scoring:
                     fdc, _ = self._field_params(t.term)
-                    if self.double_mode:
+                    if self.classic:
+                        w = t.boost * bm25.idf_classic(stats[t.term][0],
+                                                       fdc) ** 2
+                    elif self.double_mode:
                         w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
                     else:
                         w = float(bm25.term_weight(stats[t.term][0],
@@ -1451,6 +1502,7 @@ class IndexSearcher:
         k1, b = float(self.k1), float(self.b)
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
+        classic = self.classic
         caches, avgdls = self._per_term_field_maps(qweights)
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1477,9 +1529,13 @@ class IndexSearcher:
                                     norms = np.frombuffer(bytes(row.norms),
                                                           dtype=np.uint8)
                             if double_mode:
-                                s = bm25.score_term_double(
-                                    freqs, lens, wgt,
-                                    avgdls.get(row.term, avgdl), k1, b)
+                                if classic:
+                                    s = bm25.score_term_classic(
+                                        freqs, lens, wgt)
+                                else:
+                                    s = bm25.score_term_double(
+                                        freqs, lens, wgt,
+                                        avgdls.get(row.term, avgdl), k1, b)
                             else:
                                 s = bm25.score_term(
                                     freqs, norms, np.float32(wgt),

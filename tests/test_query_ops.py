@@ -528,3 +528,14 @@ def test_fuzzy_prefilter_matches_bruteforce_dictionary(searcher):
     want = sorted(t for t in set(all_terms)
                   if _levenshtein(t, "tok42") <= 1)
     assert got == want and len(want) > 1
+
+
+def test_count_term_shortcut_equals_exhaustive(searcher):
+    """count(TermQuery) on a delete-free index short-circuits to the
+    dictionary docFreq (IndexSearcher.java count()) — must equal the
+    exhaustive collector."""
+    for t in ["tok0", "tok1", "tok123", "def"]:
+        exhaustive = searcher.search_df(TermQuery(t), k=None,
+                                        prune=False).count()
+        assert searcher.count(TermQuery(t)) == exhaustive, t
+    assert searcher.count(TermQuery("zzz_absent")) == 0
