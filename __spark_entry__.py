@@ -822,6 +822,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    max_shingle_df=10_000)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def pipe_decontamination(s, d):
+        """Train/eval 8-gram overlap (benchmark-leakage check): eval =
+        the first 50 docs doc_id-shifted, so every eval doc's twin (and
+        any cross-doc boilerplate) must surface."""
+        from lucene_1_spark.pipeline.dedup import contamination_overlap
+        train = _docs(s, d).select("doc_id", "text")
+        evalset = (train.filter(F.col("doc_id") < 50)
+                   .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                           "text"))
+        return contamination_overlap(train, evalset, n=8)
+    q["pipe_decontamination"] = pipe_decontamination
+
+    def text_repetition(s, d):
+        """Intra-doc repeated-3-gram signals (Gopher-style quality
+        filter): duplicated-ngram ratio + top-ngram share."""
+        from lucene_1_spark.pipeline.textstats import repetition_stats
+        return repetition_stats(_docs(s, d), n=3)
+    q["text_repetition"] = text_repetition
+
     def dedup_minhash_lsh(s, d):
         from lucene_1_spark.pipeline.dedup import minhash_lsh_candidates
         return minhash_lsh_candidates(_docs2(s, d), n=3, num_perm=8, bands=4)
@@ -1621,6 +1640,59 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i / (sa.n + sb.n - i) >= 0.9"""
+
+    # decontamination: distinct 8-grams per side, inverted-index join
+    # (no 8-gram at this scale exceeds the engine's 10k hot cap, so the
+    # cap is a no-op here and the SQL mirrors the uncapped semantics)
+    o["pipe_decontamination"] = """
+WITH ordered AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+g AS (
+  SELECT doc_id, tok || ' ' || t2 || ' ' || t3 || ' ' || t4 || ' ' || t5
+         || ' ' || t6 || ' ' || t7 || ' ' || t8 AS shingle FROM (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3,
+           lead(tok, 3) OVER w AS t4, lead(tok, 4) OVER w AS t5,
+           lead(tok, 5) OVER w AS t6, lead(tok, 6) OVER w AS t7,
+           lead(tok, 7) OVER w AS t8
+    FROM ordered WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+  WHERE t8 IS NOT NULL),
+sh AS (SELECT DISTINCT doc_id, shingle FROM g),
+tr AS (SELECT doc_id AS train_doc, shingle FROM sh),
+ev AS (SELECT doc_id + 1000000 AS eval_doc, shingle FROM sh
+       WHERE doc_id < 50)
+SELECT train_doc, eval_doc, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (shingle) GROUP BY 1, 2"""
+
+    # intra-doc 3-gram repetition signals
+    o["text_repetition"] = """
+WITH ordered AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                              '\\s+'), x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(
+                              lower(coalesce(text, '')), '\\s+'),
+                              x -> x <> ''), 1) AS ord
+    FROM documents)),
+g AS (
+  SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS gram FROM (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3
+    FROM ordered WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+  WHERE t3 IS NOT NULL),
+pg AS (SELECT doc_id, gram, count(*)::DOUBLE AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+       round((sum(c) - count(*)) / greatest(sum(c), 1), 6)
+         AS dup_ngram_ratio,
+       round(max(c) / greatest(sum(c), 1), 6) AS top_ngram_ratio
+FROM pg GROUP BY doc_id"""
 
     o["dedup_minhash_lsh"] = f"""
 WITH {_SHINGLE_CTES},

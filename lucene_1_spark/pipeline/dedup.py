@@ -121,6 +121,29 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
+def contamination_overlap(train: DataFrame, evalset: DataFrame,
+                          text_col: str = "text", n: int = 8,
+                          max_shingle_df: int | None = 10_000) -> DataFrame:
+    """Train/eval DECONTAMINATION: (train_doc, eval_doc, n_shared)
+    pairs sharing >= 1 token n-gram — the standard benchmark-leakage
+    check for training corpora (13-gram overlap in GPT-3's
+    decontamination, 8+ grams common since).  Inverted-index join keyed
+    by shingle (only docs sharing an n-gram are ever compared), with
+    the same hot-shingle cap as :func:`ngram_jaccard_pairs` so a
+    boilerplate n-gram cannot go quadratic at 100 TB.  Flag or drop
+    training docs appearing here."""
+    tr = _shingles(train, text_col, n).withColumnRenamed("doc_id", "train_doc")
+    ev = _shingles(evalset, text_col, n).withColumnRenamed("doc_id", "eval_doc")
+    if max_shingle_df is not None:
+        hot = (tr.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("shingle"))
+        tr = tr.join(hot, "shingle", "left_anti")
+        ev = ev.join(hot, "shingle", "left_anti")
+    return (tr.join(ev, "shingle")
+            .groupBy("train_doc", "eval_doc")
+            .agg(F.count("*").cast("long").alias("n_shared")))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
                        num_perm: int = 16) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash over shingle md5-48 values

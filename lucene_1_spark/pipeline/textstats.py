@@ -93,3 +93,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.col(id_col), digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText
+    quality-filter family: fraction of duplicated n-grams and the most
+    repeated n-gram's share): (doc_id, n_ngrams, dup_ngram_ratio,
+    top_ngram_ratio).  Pure relational — n-grams via array slicing,
+    one explode + per-doc aggregation; high values flag boilerplate /
+    degenerate generations for dropping at 100 TB scale."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda t: t != "")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        .alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count("*").alias("c"))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_ngrams"),
+                 F.round((F.sum("c") - F.count("*"))
+                         / F.greatest(F.sum("c"), F.lit(1)), 6)
+                 .alias("dup_ngram_ratio"),
+                 F.round(F.max("c") / F.greatest(F.sum("c"), F.lit(1)), 6)
+                 .alias("top_ngram_ratio")))

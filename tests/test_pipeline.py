@@ -271,3 +271,32 @@ def test_multimodal_audio_and_resize(spark):
     out = resize_image(arr, 8, 3)
     assert out.shape == (3, 8, 3)
     assert (resize_image(arr, 4, 6) == arr).all()
+
+
+def test_contamination_overlap_and_repetition(spark):
+    """Decontamination: only docs sharing an n-gram pair up; repetition
+    stats flag degenerate docs."""
+    from lucene_1_spark.pipeline.dedup import contamination_overlap
+    from lucene_1_spark.pipeline.textstats import repetition_stats
+    train = spark.createDataFrame([
+        (0, "a b c d e f"),
+        (1, "x y z w q r"),
+        (2, "totally different content here now ok"),
+    ], "doc_id long, text string")
+    evalset = spark.createDataFrame([
+        (100, "a b c d e f extended"),   # shares 3-grams with doc 0
+        (101, "nothing in common at all friend"),
+    ], "doc_id long, text string")
+    got = {(r["train_doc"], r["eval_doc"]): r["n_shared"]
+           for r in contamination_overlap(train, evalset, n=3,
+                                          max_shingle_df=None).collect()}
+    # doc 0 vs 100 share the 4 distinct 3-grams of "a b c d e f"
+    assert got == {(0, 100): 4}
+
+    rep = {r["doc_id"]: r for r in repetition_stats(spark.createDataFrame([
+        (0, "a b a b a b a b"),          # degenerate repetition
+        (1, "all fresh tokens only here"),
+    ], "doc_id long, text string"), n=3).collect()}
+    assert rep[0]["dup_ngram_ratio"] > 0.5
+    assert rep[1]["dup_ngram_ratio"] == 0.0
+    assert rep[0]["top_ngram_ratio"] > rep[1]["top_ngram_ratio"]
