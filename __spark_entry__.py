@@ -500,6 +500,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_query(s, d, bq)
     q["ft_field_filter_topk"] = ft_field_filter_topk
 
+    def ft_batch_queries(s, d):
+        """Batched multi-query execution (search_many): THREE queries
+        in one postings pass — every block decoded once for all of
+        them; per-query boolean semantics replayed relationally."""
+        se = _searcher(s, d)
+        out = se.search_many({"qa": "spark", "qb": "+spark +merge",
+                              "qc": "window -batch"}, k=5)
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select("query_id", F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_batch_queries"] = ft_batch_queries
+
     def ft_classic_topk(s, d):
         """ClassicSimilarity (TF-IDF) top-10: sqrt(tf) * idf^2 /
         sqrt(len), idf = ln((N+1)/(df+1)) + 1."""
@@ -1394,6 +1408,36 @@ sc AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # batched multi-query: three per-query BM25 top-5 lists in one
+    # result set keyed by query_id
+    o["ft_batch_queries"] = f"""
+WITH {_BM25_CTES},
+qa AS (
+  SELECT 'qa' AS query_id, tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark' GROUP BY tf.doc_id),
+qb AS (
+  SELECT 'qb' AS query_id, tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = 2),
+qc AS (
+  SELECT 'qc' AS query_id, tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'window'
+    AND tf.doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'batch')
+  GROUP BY tf.doc_id),
+uni AS (SELECT * FROM qa UNION ALL SELECT * FROM qb
+        UNION ALL SELECT * FROM qc)
+SELECT query_id, doc_id, round(s, 4) AS score, rank FROM (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM uni) WHERE rank <= 5"""
 
     # ClassicSimilarity: sqrt(tf) * (ln((N+1)/(df+1))+1)^2 / sqrt(len)
     o["ft_classic_topk"] = f"""
