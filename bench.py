@@ -171,8 +171,9 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
               "ft_intervals_unordered", "ft_intervals_or_containing",
               "ft_bool_phrase_topk", "ft_field_filter_topk",
               "ft_parent_join_topk", "ft_facet_lang", "ft_delete_topk",
-              "knn_filtered_topk",
+              "knn_filtered_topk", "ft_classic_topk", "ft_batch_queries",
               "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
+              "pipe_decontamination", "text_repetition",
               "sim_cosine_topk", "sim_near_dup_pairs", "sim_ivf_ann_topk",
               "text_quality", "text_fingerprint"]
     qs = entrymod.queries()

@@ -279,3 +279,34 @@ def test_text_field_survives_compaction(spark, txt_index):
              s3.search_df(TermQuery("tok0", field="title"),
                           k=None).collect()}
     assert before == after and before
+
+
+def test_text_fields_survive_incremental_append(spark, tmp_root):
+    """Per-segment appends accumulate text-field stats via the
+    field_stats_delta path; fielded queries see both segments."""
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+    pdf = corpus_mod.generate(120)
+    d = os.path.join(tmp_root, "idx_txt_incr")
+    w = IncrementalIndexWriter(spark, d, IndexConfig(
+        n_buckets=4, n_doc_partitions=2, text_fields=("title",)))
+
+    def src(lo, hi):
+        return (spark.createDataFrame(pdf.iloc[lo:hi])
+                .withColumn("title", F.substring("content", 1, 50)))
+
+    w.append(src(0, 70), batch_id=0)
+    w.append(src(70, 120), batch_id=1)
+    s = IndexSearcher(IndexReader(spark, d))
+    fs = s.reader.manifest["field_stats"]["title"]
+    # expected field stats from a direct re-tokenize
+    from lucene_1_spark.analysis import get_analyzer
+    an = get_analyzer("standard")
+    lens = [len(an.tokens(c[:50])) for c in pdf["content"]]
+    assert fs["doc_count"] == sum(1 for x in lens if x > 0)
+    assert fs["sum_total_term_freq"] == sum(lens)
+    hits = s.search_df(TermQuery("tok0", field="title"), k=None).count()
+    ordered = pdf.sort_values(["repo", "path", "commit"],
+                              kind="mergesort").reset_index(drop=True)
+    exp = sum(1 for c in ordered["content"]
+              if "tok0" in an.tokens(c[:50]))
+    assert hits == exp > 0
