@@ -809,6 +809,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return taxonomy_children(j, "fpath", "en")
     q["ft_taxonomy_children"] = ft_taxonomy_children
 
+    def ft_drill_sideways(s, d):
+        """DrillSideways (facet/DrillSideways.java): base 'spark'
+        drilled on lang='en' and len_bucket=200 — each dim's counts
+        computed with the OTHER dim's filter applied."""
+        from lucene_1_spark.search.facets import drill_sideways
+        se = _searcher(s, d)
+        out = drill_sideways(
+            se, "spark", {"lang": "en", "len_bucket": 200},
+            stored=["lang", "length"],
+            derive={"len_bucket":
+                    (F.floor(F.col("length") / 100) * 100).cast("long")})
+        frames = []
+        for dim in ("lang", "len_bucket"):
+            frames.append(out[dim].select(
+                F.lit(dim).alias("dim"),
+                F.col("value").cast("string").alias("value"), "n"))
+        return frames[0].unionByName(frames[1])
+    q["ft_drill_sideways"] = ft_drill_sideways
+
     def ft_group_top2_per_lang(s, d):
         m = _all_matches(s, d, "spark merge window")
         w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("orig_id"))
@@ -1623,6 +1642,20 @@ SELECT (floor(d.n_chars / 100) * 100)::BIGINT AS bucket_lo,
        count(DISTINCT t.doc_id)::BIGINT AS n
 FROM toks t JOIN documents d USING (doc_id)
 WHERE t.term = 'spark' GROUP BY 1"""
+    # DrillSideways: per-dim counts with the OTHER dim's filter applied
+    # (token length = whitespace token count = dl.len)
+    o["ft_drill_sideways"] = f"""WITH {_TOKS},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = 'spark'),
+j AS (SELECT m.doc_id, d.lang,
+             (floor(dl.len / 100) * 100)::BIGINT AS len_bucket
+      FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id))
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n
+FROM j WHERE len_bucket = 200 GROUP BY lang
+UNION ALL
+SELECT 'len_bucket', len_bucket::VARCHAR, count(*)::BIGINT
+FROM j WHERE lang = 'en' GROUP BY len_bucket"""
+
     # hierarchical taxonomy counts: every prefix of lang/<bucket>
     o["ft_taxonomy_facets"] = f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),

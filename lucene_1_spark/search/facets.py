@@ -92,6 +92,46 @@ def taxonomy_children(matches_with_path: DataFrame, path_col: str,
     return out.limit(k) if k is not None else out
 
 
+def drill_sideways(searcher: IndexSearcher, base_query,
+                   dims: dict[str, object],
+                   stored: list[str] | None = None,
+                   derive: dict[str, "F.Column"] | None = None) \
+        -> dict[str, DataFrame]:
+    """DrillSideways (``facet/DrillSideways.java:63``): for a base
+    query drilled down on several facet dimensions, each dimension's
+    facet counts are computed over the docs matching the base query
+    PLUS every OTHER dimension's filter — so the UI can show what the
+    counts would be if the user changed only that one selection.
+
+    ``dims`` maps a dimension name to its selected value; a dimension
+    is either a stored field or a ``derive``d column over stored
+    fields (``stored`` lists the columns the derivations need).
+    Returns {dim: (value, n) DataFrame} plus the fully-drilled hit set
+    under the key ``"__hits__"``.  One base match set, reused: each
+    dimension's frame is a different filter over the same joined
+    DataFrame (Catalyst shares the scan), exactly the
+    one-collector-per-dim shape of the reference."""
+    derive = derive or {}
+    fields = stored if stored is not None \
+        else sorted(d for d in dims if d not in derive)
+    m = _matches_with_fields(searcher, base_query, fields)
+    for name, col in derive.items():
+        m = m.withColumn(name, col)
+    out: dict[str, DataFrame] = {}
+    for dim in sorted(dims):
+        others = m
+        for f, v in dims.items():
+            if f != dim:
+                others = others.filter(F.col(f) == v)
+        out[dim] = (others.groupBy(F.col(dim).alias("value"))
+                    .agg(F.count("*").cast("long").alias("n")))
+    hits = m
+    for f, v in dims.items():
+        hits = hits.filter(F.col(f) == v)
+    out["__hits__"] = hits.select("doc_id", "score")
+    return out
+
+
 def sampled_facet_counts(searcher: IndexSearcher, query, facet_field: str,
                          fraction: float, seed: int = 42) -> DataFrame:
     """Facet counts over a Bernoulli sample of the matches, scaled back

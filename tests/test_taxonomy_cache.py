@@ -137,3 +137,42 @@ def test_check_index_field_stats(spark, tmp_root):
     for name, (ok, msg) in out.items():
         assert ok, (name, msg)
     assert "field_stats" in out
+
+
+def test_drill_sideways(qc_searcher):
+    """DrillSideways: each dimension's counts apply every OTHER dim's
+    filter; __hits__ applies all of them."""
+    from pyspark.sql import functions as FF
+
+    from lucene_1_spark.search.facets import drill_sideways
+    s = qc_searcher
+    docs = {r["doc_id"]: (r["lang"], r["length"])
+            for r in s.reader.docs().select("doc_id", "lang",
+                                            "length").collect()}
+    base = {r["doc_id"] for r in s.search_df("tok1", k=None).collect()}
+    sel_lang = "python"
+    sel_bucket = 100
+    out = drill_sideways(
+        s, "tok1", {"lang": sel_lang, "len_bucket": sel_bucket},
+        stored=["lang", "length"],
+        derive={"len_bucket":
+                (FF.floor(FF.col("length") / 100) * 100).cast("long")})
+    got_lang = {r["value"]: r["n"] for r in out["lang"].collect()}
+    exp_lang = {}
+    for d in base:
+        lang, ln = docs[d]
+        if (ln // 100) * 100 == sel_bucket:
+            exp_lang[lang] = exp_lang.get(lang, 0) + 1
+    assert got_lang == exp_lang and exp_lang
+    got_b = {int(r["value"]): r["n"] for r in out["len_bucket"].collect()}
+    exp_b = {}
+    for d in base:
+        lang, ln = docs[d]
+        if lang == sel_lang:
+            b = (ln // 100) * 100
+            exp_b[b] = exp_b.get(b, 0) + 1
+    assert got_b == exp_b and exp_b
+    hits = {r["doc_id"] for r in out["__hits__"].collect()}
+    assert hits == {d for d in base
+                    if docs[d][0] == sel_lang
+                    and (docs[d][1] // 100) * 100 == sel_bucket}
