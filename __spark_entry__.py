@@ -356,6 +356,72 @@ def _minhash_cols_sql(num_perm: int = 8) -> str:
     return ", ".join(cols)
 
 
+# deterministic CJK-ified corpus: lowercase letters of the first 60
+# chars map 1:1 onto 26 Han codepoints (U+4E00..U+4E19), everything
+# else becomes a space — reproducible in ANSI SQL with the same
+# translate/regexp_replace, so the CJK bigram analyzer's postings have
+# an exact DuckDB twin
+_HAN26 = "".join(chr(0x4E00 + i) for i in range(26))
+
+_CJK_SEARCHERS: dict[str, object] = {}
+
+
+def _cjk_searcher(spark: SparkSession, sf_dir: str):
+    """Index the CJK-ified documents with the ``cjk`` bigram analyzer
+    (``analysis/cjk/CJKAnalyzer.java:92-99`` chain) — cached per
+    sf_dir."""
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key in _CJK_SEARCHERS:
+        return _CJK_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_cjk_v1",
+        hashlib.md5(key.encode()).hexdigest()[:12])
+    cjk = F.translate(
+        F.regexp_replace(
+            F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)),
+            "[^a-z ]", " "),
+        "abcdefghijklmnopqrstuvwxyz", _HAN26)
+    corpus = _docs(spark, sf_dir).select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        cjk.alias("content"),
+    )
+    cfg = IndexConfig(analyzer="cjk", similarity="bm25_double",
+                      n_buckets=8, n_doc_partitions=8)
+    build_index(spark, corpus, idx_dir, cfg)
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _CJK_SEARCHERS[key] = s
+    return s
+
+
+_CJK_SQL_DOCS = f"""cjkdocs AS (
+  SELECT doc_id,
+         translate(regexp_replace(lower(substr(coalesce(text,''),1,60)),
+                                  '[^a-z ]', ' ', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{_HAN26}') AS cjk
+  FROM documents),
+runs AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, unnest(string_split_regex(cjk, ' +')) AS r FROM cjkdocs
+  ) WHERE r <> ''),
+toks AS (
+  SELECT doc_id, substr(r, CAST(i AS INT), 2) AS term
+  FROM runs, unnest(generate_series(1, len(r) - 1)) AS t(i)
+  WHERE len(r) >= 2
+  UNION ALL
+  SELECT doc_id, r AS term FROM runs WHERE len(r) = 1),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1)"""
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship query, smoke-checked by the driver at sf0.001
 # ---------------------------------------------------------------------------
@@ -903,7 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(s, d).select("vec_id", "embedding")
         e2 = e.unionByName(e.select((F.col("vec_id") + 1_000_000)
                                     .alias("vec_id"), "embedding"))
-        return embedding_near_dup_pairs(e2, threshold=0.98)
+        return embedding_near_dup_pairs(e2, threshold=0.98, dim=64)
     q["sim_near_dup_pairs"] = sim_near_dup_pairs
 
     def sim_ann_topk(s, d):  # approximate — rows-only check (no oracle)
@@ -994,6 +1060,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                         synthetic_media)
         return audio_features(synthetic_media(s, n=32), fake=True)
     q["mm_audio_features"] = mm_audio_features
+
+    # ---- CJK bigram analyzer end-to-end (§2.8; CJKAnalyzer.java:92) ----
+    def ft_cjk_term_topk(s, d):
+        """BM25 top-10 for one Han BIGRAM term over the CJK-ified
+        corpus — exercises the full CJKAnalyzer chain (width fold,
+        per-codepoint Han tokens, bigramming) in the index build."""
+        se = _cjk_searcher(s, d)
+        top = se.search_df("与世", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_cjk_term_topk"] = ft_cjk_term_topk
+
+    def ft_cjk_unigram_count(s, d):
+        """Lone CJK codepoints emit unigrams (CJKBigramFilter
+        flushUnigram): docs containing the isolated single-char run
+        for 'a' (-> U+4E00)."""
+        se = _cjk_searcher(s, d)
+        return s.createDataFrame(
+            [(se.count("一"),)], "n long")
+    q["ft_cjk_unigram_count"] = ft_cjk_unigram_count
 
     return q
 
@@ -1931,6 +2022,30 @@ FROM documents"""
 
     o["points_range_count"] = ("SELECT count(*)::BIGINT AS n FROM events "
                                "WHERE value BETWEEN 10.0 AND 50.0")
+
+    # CJK bigram analyzer: the SQL twin re-derives the same CJK-ified
+    # corpus and tokenizes per CJKBigramFilter semantics — bigrams
+    # within each space-separated Han run, lone single-char runs as
+    # unigrams — then scores standard BM25
+    o["ft_cjk_term_topk"] = f"""
+WITH {_CJK_SQL_DOCS},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '与世'
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    o["ft_cjk_unigram_count"] = f"""
+WITH {_CJK_SQL_DOCS}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks WHERE term = '一'"""
+
     # sim_ann_topk, mm_image_features, mm_audio_features: no oracle
     # (approximate / stubbed-media ops -> rows-only check)
     return o

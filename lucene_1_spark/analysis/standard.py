@@ -163,6 +163,11 @@ def get_analyzer(name: str):
         from lucene_1_spark.analysis.english import EnglishAnalyzer
         _REGISTRY[name] = EnglishAnalyzer()
         return _REGISTRY[name]
+    if name in ("cjk", "cjk_unigram"):
+        from lucene_1_spark.analysis.cjk import CJKAnalyzer
+        _REGISTRY[name] = CJKAnalyzer(
+            output_unigrams=(name == "cjk_unigram"))
+        return _REGISTRY[name]
     from lucene_1_spark.analysis.languages import make_analyzer
     lang = make_analyzer(name)
     if lang is not None:

@@ -257,21 +257,26 @@ def materialize_keyed_source(spark: SparkSession, source: DataFrame,
 def _field_stats_of_docs(docs: DataFrame, keyword_fields, text_fields) \
         -> dict:
     """Per-field collection stats from the docs table: keyword fields
-    (one length-1 value per non-null doc => sum_ttf == doc_count,
-    avgdl == 1) and analyzed text fields (doc_count over docs with >=1
-    emitted token, sum_ttf from the ``field_lengths`` map)."""
+    (one length-1 value per doc with a NON-EMPTY value => sum_ttf ==
+    doc_count, avgdl == 1) and analyzed text fields (doc_count over
+    docs with >=1 emitted token, sum_ttf from the ``field_lengths``
+    map).  The keyword predicate mirrors the posting-emission predicate
+    in ``pack_blocks_df`` (which skips ``v == ""``), so manifest
+    field_stats never drift from the actual postings on corpora with
+    empty-string keyword values."""
     kw = tuple(keyword_fields or ())
     tf = tuple(text_fields or ())
     if not kw and not tf:
         return {}
-    aggs = [F.count(F.col(f)).alias(f"kw_{f}") for f in kw]
+    aggs = [F.sum(F.when(F.col(f).isNotNull() & (F.col(f) != ""), 1)
+                  .otherwise(0)).alias(f"kw_{f}") for f in kw]
     for f in tf:
         v = F.element_at(F.col("field_lengths"), f)
         aggs.append(F.sum(F.when(v > 0, 1).otherwise(0)).alias(f"dc_{f}"))
         aggs.append(F.sum(F.coalesce(v, F.lit(0))).alias(f"ttf_{f}"))
     row = docs.agg(*aggs).collect()[0]
-    out = {f: {"doc_count": int(row[f"kw_{f}"]),
-               "sum_total_term_freq": int(row[f"kw_{f}"])} for f in kw}
+    out = {f: {"doc_count": int(row[f"kw_{f}"] or 0),
+               "sum_total_term_freq": int(row[f"kw_{f}"] or 0)} for f in kw}
     for f in tf:
         out[f] = {"doc_count": int(row[f"dc_{f}"] or 0),
                   "sum_total_term_freq": int(row[f"ttf_{f}"] or 0)}

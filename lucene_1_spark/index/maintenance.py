@@ -90,13 +90,19 @@ def compact_index(spark: SparkSession, index_dir: str,
     shuffle.  The default (None) keys the shuffle by (bucket, term) —
     one task per term, which at 10^9-posting terms becomes the skewed
     straggler.  With ``salt_docs=N`` the key gains
-    ``floor(first_doc / N)``: a hot term's runs split into contiguous
-    docID ranges repacked in parallel (outputs stay doc-ordered and
-    disjoint — exactly the block-run shape the decode already
-    tolerates).  Each salt range may end in one tail block (<128
-    docs), so blocks-per-term is bounded by ceil(df/128) + ranges-1
-    instead of the unsalted exact ceil(df/128); query results are
-    identical.  Returns the new collection stats."""
+    ``floor(first_doc / N)``: a hot term's runs split into salt groups
+    repacked in parallel.  A block run is assigned wholesale to one
+    salt group by its ``first_doc``, so a run straddling a salt
+    boundary can make adjacent groups' repacked blocks have OVERLAPPING
+    ``[first_doc, last_doc]`` ranges for the same term — tolerated, not
+    disjoint: each doc still posts exactly once per term (runs
+    partition the postings), and the decode kernel never assumes
+    disjoint block ranges (block pruning uses range CONTAINMENT, which
+    stays sound over overlaps).  Each salt group may end in one tail
+    block (<128 docs), so blocks-per-term is bounded by
+    ceil(df/128) + (groups with a straddling run) + groups-1 rather
+    than the unsalted exact ceil(df/128); query results are identical.
+    Returns the new collection stats."""
     reader = IndexReader(spark, index_dir)
     cfg = reader.cfg
     gen = int(reader.manifest.get("generation", 0)) + 1

@@ -25,8 +25,13 @@ def _tokens(text_col: str) -> F.Column:
 
 def token_count(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (word-piece regex:
-    runs of letters / digits / single punctuation)."""
+    """Whitespace tokens + a BPE-ish subword ESTIMATE.  ``n_subwords``
+    is a word-piece proxy (runs of letters / digits / single
+    punctuation), NOT a real BPE vocabulary count: it has no merges
+    table, so it over-counts long words a trained tokenizer would keep
+    whole and under-counts rare words BPE would split further.  Use it
+    for relative corpus sizing / filtering, not billing-grade token
+    accounting."""
     toks = _tokens(text_col)
     bpe_pieces = F.filter(
         F.split(F.lower(F.col(text_col)), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),

@@ -114,7 +114,19 @@ class LRUQueryCache:
     frequently-reused filters; here the cached artifact is the
     distributed doc_id set itself (``df.persist()`` — memory/disk
     executor-side, reused across jobs with zero recompute).  Keys are
-    rewritten Query dataclasses (frozen => hashable)."""
+    rewritten Query dataclasses (frozen => hashable).
+
+    Snapshot semantics: a searcher + cache pair is a POINT-IN-TIME view
+    (DirectoryReader.open snapshot).  Because block scans list parquet
+    files lazily at execution, an index MUTATION (IncrementalIndexWriter
+    append/delete/compact) while the searcher lives could make a
+    persisted filter set disagree with a fresh sub-plan — so every
+    ``docs_for`` call re-reads the on-disk manifest's commit stamp and
+    DROPS all entries when it moved (the per-call cost is one tiny JSON
+    read).  Holders of previously returned DataFrames should also
+    discard them after a mutation: eviction (and ``clear()``)
+    unpersists cached frames, silently degrading any still-held
+    reference to a full recompute."""
 
     def __init__(self, searcher: "IndexSearcher", max_entries: int = 32):
         from collections import OrderedDict
@@ -123,10 +135,29 @@ class LRUQueryCache:
         self._entries: "OrderedDict" = OrderedDict()
         self.hits = 0
         self.misses = 0
+        self._gen = self._disk_generation()
+
+    def _disk_generation(self):
+        """(committed_at, n_segments, generation) from the on-disk
+        manifest — moves on every append/delete/compact commit."""
+        import json
+        import os
+        try:
+            with open(os.path.join(self.searcher.reader.dir,
+                                   "manifest.json")) as fh:
+                m = json.load(fh)
+            return (m.get("committed_at"), m.get("n_segments"),
+                    m.get("generation"), m.get("has_deletes"))
+        except OSError:
+            return None
 
     def docs_for(self, query) -> DataFrame:
         """Persisted (doc_id) set of the query's matches."""
         s = self.searcher
+        gen = self._disk_generation()
+        if gen != self._gen:
+            self.clear()           # index mutated: stale sets are wrong
+            self._gen = gen
         if isinstance(query, str):
             query = parse_query(query, s.reader.cfg["analyzer"],
                                 s.keyword_fields, s.text_fields)

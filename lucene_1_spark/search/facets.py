@@ -15,6 +15,8 @@ DataFrame composition over the exhaustive match set
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from lucene_1_spark.search.executor import IndexSearcher
@@ -52,8 +54,10 @@ def taxonomy_facet_counts(matches_with_path: DataFrame, path_col: str,
     every doc contributes one count to EVERY prefix of its facet path
     ("a/b/c" -> a, a/b, a/b/c), so one explode+groupBy pass yields the
     whole taxonomy's counts (the per-ordinal count array).  Returns
-    (path, depth, n) with depth = number of components."""
-    parts = F.split(F.col(path_col), sep)
+    (path, depth, n) with depth = number of components.  ``sep`` is
+    treated as a LITERAL separator (regex-escaped before F.split, so
+    '.' or '|' work)."""
+    parts = F.split(F.col(path_col), re.escape(sep))
     depth_cap = F.size(parts) if max_depth is None \
         else F.least(F.size(parts), F.lit(int(max_depth)))
     prefixes = F.transform(
@@ -75,8 +79,9 @@ def taxonomy_children(matches_with_path: DataFrame, path_col: str,
     prefix (DrillDownQuery + getTopChildren,
     ``facet/DrillDownQuery.java`` / ``FacetResult``).  Empty
     ``drill_down`` lists the roots.  Returns (child, n) ordered by
-    (n desc, child asc)."""
-    parts = F.split(F.col(path_col), sep)
+    (n desc, child asc).  ``sep`` is a LITERAL separator (regex-escaped
+    before F.split, matching the Python-side ``drill_down.split``)."""
+    parts = F.split(F.col(path_col), re.escape(sep))
     if drill_down:
         prefix_parts = drill_down.split(sep)
         d = len(prefix_parts)

@@ -43,10 +43,16 @@ Structured Streaming: ``writer.foreach_batch()`` plugs into
 ``df.writeStream.foreachBatch(...)`` so a document stream continuously
 extends the index, one micro-batch per segment.  Replay correlation is
 by batch_id at every stage, so redelivery after a crash anywhere in
-1-3 resumes exactly where it stopped.  (Manual ``append()`` calls
-without a batch_id get the same staging safety for crashes BEFORE the
-manifest commit; only a caller re-invoking append after a completed
-commit would re-add the batch — streaming always passes batch_id.)
+1-3 resumes exactly where it stopped.  Manual ``append()`` calls
+without a batch_id correlate by a CONTENT hash of the batch instead:
+a retried identical batch resumes its staged segment, while a new
+batch arriving after an earlier manual append crashed mid-way first
+FINISHES the crashed append's sealed segment (promote + commit — its
+stage checkpoint guarantees the staged data is complete) and then
+appends itself as the next segment, so no batch is ever silently
+swapped for a stale staging or duplicated by orphaned promote files.
+(Only a caller re-invoking append after a COMPLETED commit re-adds the
+batch — streaming always passes batch_id and is exactly-once.)
 
 Deletes are tombstones (query-time liveDocs masking); updates are
 delete-by-key + append — Lucene's updateDocument contract: the new
@@ -97,8 +103,9 @@ class IncrementalIndexWriter:
         """Append a batch of (repo, path, commit, lang, content) docs as
         a new segment; bootstraps the index on first call.  Staged +
         promoted + committed as described in the module docstring —
-        crash-safe at every point for batch-identified appends, and
-        O(segment) (no job touches pre-existing table data)."""
+        crash-safe at every point (batch-identified appends correlate
+        by batch_id, manual appends by a content hash of the batch),
+        and O(segment) (no job touches pre-existing table data)."""
         if not os.path.exists(self._manifest_path()):
             IndexBuilder(self.spark, self.dir, self.cfg).build(docs_df)
             if batch_id is not None:
@@ -114,21 +121,48 @@ class IncrementalIndexWriter:
                      & (cp.status == "done")]
             if len(hit) > 0:
                 return  # replayed micro-batch: already committed
+        if batch_id is None:
+            # manual appends correlate by CONTENT, not by caller-supplied
+            # id: a stable hash of the batch becomes the checkpoint
+            # partition_id, so a retried identical batch resumes its
+            # staged segment while a DIFFERENT batch can never be
+            # silently swapped for a stale staged one (the old fixed
+            # cp_id=-1 scheme could promote a crashed earlier batch's
+            # staging and drop the new docs while returning success)
+            h = docs_df.select(
+                F.sum(F.pmod(F.xxhash64(*docs_df.columns),
+                             F.lit(2147483629))).alias("h")) \
+                .collect()[0]["h"] or 0
+            cp_id = int(h) % 2147483645 + 1   # positive int32, never -1
+        else:
+            cp_id = int(batch_id)
         manifest = self._read_manifest()
         seg_id = int(manifest.get("n_segments", 1))
-        if batch_id is not None:
-            # replay correlation: a crashed run may have staged (or even
-            # promoted+committed part of) this batch under an earlier
-            # seg_id — resume THAT segment instead of staging a new one
-            prev = cp[cp.stage.str.startswith("append_staged_")
-                      & (cp.partition_id == int(batch_id))
-                      & (cp.status == "done")]
-            if len(prev) > 0:
-                seg_id = int(prev.stage.iloc[0].rsplit("_", 1)[1])
+        # replay correlation: a crashed run may have staged (or even
+        # promoted+committed part of) this batch under an earlier
+        # seg_id — resume THAT segment instead of staging a new one
+        prev = cp[cp.stage.str.startswith("append_staged_")
+                  & (cp.partition_id == cp_id)
+                  & (cp.status == "done")]
+        if len(prev) > 0:
+            seg_id = int(prev.stage.iloc[0].rsplit("_", 1)[1])
         staging = os.path.join(self.dir, "append_staging")
         stage_name = f"append_staged_{seg_id}"
-        cp_id = -1 if batch_id is None else int(batch_id)
         seg_json = f"append_seg_{seg_id}.json"
+
+        # a DIFFERENT batch staged this segment but crashed before its
+        # commit: its stage is durably sealed, so FINISH it (promote +
+        # commit preserves its data and its doc_id range), then restart
+        # this append against the advanced manifest.  Discarding it
+        # instead could orphan partially-promoted files that share this
+        # segment's doc_id base — silent duplication.
+        pending = cp[(cp.stage == stage_name) & (cp.status == "done")]
+        if len(pending) > 0 and not (pending.partition_id == cp_id).any() \
+                and int(manifest.get("n_segments", 1)) <= seg_id:
+            self._promote_segment(seg_id, staging)
+            self._commit_segment(b, seg_id, seg_json)
+            shutil.rmtree(staging, ignore_errors=True)
+            return self.append(docs_df, batch_id=batch_id)
 
         if not b._stage_done(stage_name, cp_id):
             # ---- 1. STAGE (a crashed partial staging is discarded) ----
@@ -182,49 +216,58 @@ class IncrementalIndexWriter:
         self._promote_segment(seg_id, staging)
 
         # ---- 3. COMMIT (manifest swap; n_segments is the marker) ----
-        manifest = self._read_manifest()
-        if int(manifest.get("n_segments", 1)) <= seg_id:
-            deltas = b._read_json(seg_json) or {}
-            cs = manifest["collection_stats"]
-            cs = {
-                "n_docs": int(cs["n_docs"]) + deltas.get("n_docs", 0),
-                "doc_count": int(cs["doc_count"])
-                + deltas.get("doc_count", 0),
-                "sum_total_term_freq": int(cs["sum_total_term_freq"])
-                + deltas.get("sum_total_term_freq", 0),
-                "sum_doc_freq": int(cs["sum_doc_freq"])
-                + deltas.get("sum_doc_freq", 0),
-            }
-            manifest["collection_stats"] = cs
-            if deltas.get("field_stats_delta"):
-                fs = manifest.get("field_stats", {})
-                for f, d in deltas["field_stats_delta"].items():
-                    cur = fs.get(f, {"doc_count": 0,
-                                     "sum_total_term_freq": 0})
-                    fs[f] = {
-                        "doc_count": cur["doc_count"] + d["doc_count"],
-                        "sum_total_term_freq":
-                            cur["sum_total_term_freq"]
-                            + d["sum_total_term_freq"],
-                    }
-                manifest["field_stats"] = fs
-            manifest["n_segments"] = seg_id + 1
-            manifest["committed_at"] = time.time()
-            # keep the builder's stage stats coherent for later resumes
-            b._write_json("docs_stats.json", {
-                k: cs[k] for k in ("n_docs", "doc_count",
-                                   "sum_total_term_freq")})
-            b._write_json("postings_stats.json",
-                          {"sum_doc_freq": cs["sum_doc_freq"]})
-            _write_manifest(self.dir, manifest)  # atomic commit
-            b._write_checkpoint(
-                cp_id, f"append_{seg_id}", "done",
-                (b._read_json(seg_json) or {}).get("n_docs", 0))
+        self._commit_segment(b, seg_id, seg_json, cp_id)
         shutil.rmtree(staging, ignore_errors=True)
         if batch_id is not None:
             b._write_checkpoint(int(batch_id), "stream_batch", "done",
                                 (b._read_json(seg_json) or {})
                                 .get("n_docs", 0))
+
+    def _commit_segment(self, b: IndexBuilder, seg_id: int, seg_json: str,
+                        cp_id: int = -1) -> None:
+        """Advance collection stats by the staged segment's JSON deltas
+        and swap the manifest atomically; ``manifest.n_segments`` is the
+        commit marker, so a replay that finds it advanced skips the stat
+        update (no double-count)."""
+        manifest = self._read_manifest()
+        if int(manifest.get("n_segments", 1)) > seg_id:
+            return  # already committed
+        deltas = b._read_json(seg_json) or {}
+        cs = manifest["collection_stats"]
+        cs = {
+            "n_docs": int(cs["n_docs"]) + deltas.get("n_docs", 0),
+            "doc_count": int(cs["doc_count"])
+            + deltas.get("doc_count", 0),
+            "sum_total_term_freq": int(cs["sum_total_term_freq"])
+            + deltas.get("sum_total_term_freq", 0),
+            "sum_doc_freq": int(cs["sum_doc_freq"])
+            + deltas.get("sum_doc_freq", 0),
+        }
+        manifest["collection_stats"] = cs
+        if deltas.get("field_stats_delta"):
+            fs = manifest.get("field_stats", {})
+            for f, d in deltas["field_stats_delta"].items():
+                cur = fs.get(f, {"doc_count": 0,
+                                 "sum_total_term_freq": 0})
+                fs[f] = {
+                    "doc_count": cur["doc_count"] + d["doc_count"],
+                    "sum_total_term_freq":
+                        cur["sum_total_term_freq"]
+                        + d["sum_total_term_freq"],
+                }
+            manifest["field_stats"] = fs
+        manifest["n_segments"] = seg_id + 1
+        manifest["committed_at"] = time.time()
+        # keep the builder's stage stats coherent for later resumes
+        b._write_json("docs_stats.json", {
+            k: cs[k] for k in ("n_docs", "doc_count",
+                               "sum_total_term_freq")})
+        b._write_json("postings_stats.json",
+                      {"sum_doc_freq": cs["sum_doc_freq"]})
+        _write_manifest(self.dir, manifest)  # atomic commit
+        b._write_checkpoint(
+            cp_id, f"append_{seg_id}", "done",
+            (b._read_json(seg_json) or {}).get("n_docs", 0))
 
     def _promote_segment(self, seg_id: int, staging: str) -> None:
         """Move staged segment files into the live tables.  os.replace

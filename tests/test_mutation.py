@@ -417,3 +417,67 @@ def test_salted_compaction_identical_results(spark, tmp_root, corpus):
            .filter(F.col("nb") > F.ceil(F.col("df") / 128) + 4).count())
     assert bad == 0
     assert sa.reader.stats == sb.reader.stats
+
+
+def test_manual_append_crash_then_new_batch_preserves_both(
+        spark, tmp_root, corpus, monkeypatch):
+    """Manual appends (batch_id=None) crashed after the STAGE checkpoint
+    but before commit: a LATER manual append with DIFFERENT docs must
+    not silently promote the stale staged segment and drop its own
+    batch — it finishes the crashed segment's commit AND appends
+    itself, so both batches land exactly once."""
+    import lucene_1_spark.streaming.incremental as inc
+    d = os.path.join(tmp_root, "idx_manual_crash")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(corpus.iloc[:100]))  # bootstrap
+
+    # batch A stages + checkpoints, crashes before promote
+    batchA = spark.createDataFrame(corpus.iloc[100:140])
+    orig_promote = IncrementalIndexWriter._promote_segment
+
+    def boom(self, seg_id, staging):
+        raise RuntimeError("crash-before-promote")
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment", boom)
+    with pytest.raises(RuntimeError):
+        w.append(batchA)
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment",
+                        orig_promote)
+
+    # batch B: different docs, manual append — must adopt A then add B
+    batchB = spark.createDataFrame(corpus.iloc[140:170])
+    w.append(batchB)
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == 170
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 170
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    exp_df = _probe_df(corpus.iloc[:170], "tok0")
+    assert r.term_statistics(["tok0"])["tok0"][0] == exp_df
+
+
+def test_manual_append_identical_retry_resumes_staged(
+        spark, tmp_root, corpus, monkeypatch):
+    """A retried IDENTICAL manual batch (content-hash correlation)
+    resumes its own staged segment instead of double-adding."""
+    d = os.path.join(tmp_root, "idx_manual_retry")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    w = IncrementalIndexWriter(spark, d, cfg)
+    w.append(spark.createDataFrame(corpus.iloc[:100]))
+
+    batch = spark.createDataFrame(corpus.iloc[100:130])
+    orig_promote = IncrementalIndexWriter._promote_segment
+
+    def boom(self, seg_id, staging):
+        raise RuntimeError("crash-before-promote")
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment", boom)
+    with pytest.raises(RuntimeError):
+        w.append(batch)
+    monkeypatch.setattr(IncrementalIndexWriter, "_promote_segment",
+                        orig_promote)
+    w.append(batch)  # identical retry: same content hash -> resume
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == 130
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 130
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
