@@ -813,14 +813,19 @@ class IndexSearcher:
            are flattened into one (row, pos)-keyed array; adjacency is
            one ``np.isin`` per phrase slot (no per-row Python loop).
 
-        slop>0 (two-term): freq = sum over in-slop pairs of
-        1/(1+|displacement|); slop>0 with n>=3 terms: each occurrence of
-        the FIRST term anchors one candidate match — every other slot i
-        must have some position within ``slop`` of (anchor + i), and the
-        match weighs 1/(1 + sum of per-slot minimal |displacement|s).
-        Both are documented deviations from SloppyPhraseMatcher's greedy
-        repositioning walk (same 1/(1+matchLength) weighting idea,
-        ``search/SloppyPhraseMatcher.java``), chosen because they are
+        slop>0 (two distinct terms): freq = sum over in-slop pairs of
+        1/(1+|displacement|); slop>0 with n>=3 terms (or any repeated
+        term): each occurrence of the FIRST term anchors one candidate
+        match — every other slot i must have some position within
+        ``slop`` of (anchor + i), and the match weighs 1/(1 + sum of
+        per-slot |displacement|s).  Slots sharing a REPEATED term are
+        assigned DISTINCT occurrences (Lucene's
+        ``search/SloppyPhraseMatcher.java:52-90`` forbids two repeat
+        slots matching the same position) via a leftmost-feasible
+        greedy in slot order; the anchor occurrence is consumed when
+        term0 itself repeats.  These are documented deviations from
+        SloppyPhraseMatcher's greedy repositioning walk (same
+        1/(1+matchLength) weighting idea), chosen because they are
         exactly reproducible in set-based SQL for the oracle."""
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if self.reader.cfg.get("positions") is not True:
@@ -876,6 +881,11 @@ class IndexSearcher:
         double_mode = self.double_mode
         n_terms = len(q.terms)
         slop = int(q.slop)
+        qterms = tuple(q.terms)
+        has_repeats = len(set(qterms)) != n_terms
+        # slots sharing a term need DISTINCT occurrences
+        # (SloppyPhraseMatcher.java:52-90 repeat handling)
+        repeated = {t for t in qterms if qterms.count(t) > 1}
 
         from pyspark.sql.functions import pandas_udf
 
@@ -904,7 +914,7 @@ class IndexSearcher:
                     mask &= np.isin(k0 + i, ki)
                 pf = np.bincount(rows0[mask],
                                  minlength=nrows).astype(np.float64)
-            elif n_terms == 2:
+            elif n_terms == 2 and not has_repeats:
                 k1s, _ = keyed(plists[1])
                 pf = np.zeros(nrows, dtype=np.float64)
                 for e in range(-slop, slop + 1):
@@ -913,24 +923,58 @@ class IndexSearcher:
                         pf += (np.bincount(rows0[m], minlength=nrows)
                                / (1.0 + abs(e)))
             else:
-                # n>=3: anchor on term0; per slot i the minimal in-slop
-                # |displacement| (checked in increasing |e| order, one
-                # np.isin per offset — no per-row Python)
-                disp_total = np.zeros(len(k0), dtype=np.float64)
-                valid = np.ones(len(k0), dtype=bool)
+                # anchor on term0 (n>=3, or any n with repeated terms).
+                # Non-repeated slots pick the minimal in-slop
+                # |displacement| independently (one np.isin per offset).
+                # Slots of a REPEATED term are assigned DISTINCT
+                # occurrences (Lucene's SloppyPhraseMatcher.java:52-90
+                # forces repeats onto different positions): a
+                # leftmost-feasible greedy in slot order — keys of the
+                # term must be strictly increasing across its slots,
+                # which is WLOG since any crossing assignment can be
+                # uncrossed within the per-slot windows.  The anchor
+                # occurrence is consumed when term0 itself repeats.
+                nk = len(k0)
+                disp_total = np.zeros(nk, dtype=np.float64)
+                valid = np.ones(nk, dtype=bool)
                 offsets_by_abs = sorted(range(-slop, slop + 1), key=abs)
+                keyed_memo: dict[int, np.ndarray] = {}
+                prev: dict[str, np.ndarray] = {}
+                if qterms[0] in repeated:
+                    prev[qterms[0]] = k0
                 for i in range(1, n_terms):
-                    ki, _ = keyed(plists[i])
-                    best = np.full(len(k0), np.inf)
-                    for e in offsets_by_abs:
-                        undecided = ~np.isfinite(best)
-                        if not undecided.any():
-                            break
-                        m = undecided & np.isin(k0 + i + e, ki)
-                        best[m] = abs(e)
-                    slot_ok = np.isfinite(best)
-                    valid &= slot_ok
-                    disp_total += np.where(slot_ok, best, 0.0)
+                    t = qterms[i]
+                    if i not in keyed_memo:
+                        keyed_memo[i] = keyed(plists[i])[0]
+                    ki = keyed_memo[i]
+                    target = k0 + i
+                    if t not in repeated:
+                        best = np.full(nk, np.inf)
+                        for e in offsets_by_abs:
+                            undecided = ~np.isfinite(best)
+                            if not undecided.any():
+                                break
+                            m = undecided & np.isin(target + e, ki)
+                            best[m] = abs(e)
+                        slot_ok = np.isfinite(best)
+                        valid &= slot_ok
+                        disp_total += np.where(slot_ok, best, 0.0)
+                        continue
+                    p = prev.get(t)
+                    lb = target - slop if p is None \
+                        else np.maximum(target - slop, p + 1)
+                    if len(ki) == 0:
+                        valid[:] = False
+                        break
+                    idx = np.searchsorted(ki, lb, side="left")
+                    idxc = np.minimum(idx, len(ki) - 1)
+                    pos = ki[idxc]
+                    # pos in [lb, target+slop] stays inside the anchor's
+                    # row: keys are row*M + position and slop << M
+                    ok = (idx < len(ki)) & (pos <= target + slop)
+                    valid &= ok
+                    disp_total += np.where(ok, np.abs(pos - target), 0.0)
+                    prev[t] = np.where(ok, pos, target)
                 w = np.where(valid, 1.0 / (1.0 + disp_total), 0.0)
                 pf = np.bincount(rows0, weights=w, minlength=nrows)
             return pd.Series(pf)
