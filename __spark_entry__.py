@@ -787,6 +787,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.match_batch(_docs(s, d))
     q["mon_match_batch"] = mon_match_batch
 
+    def mon_complex_batch(s, d):
+        """Percolation of ARBITRARY query trees (nested boolean,
+        prefix, range): presearcher extracts the conjunctive /
+        disjunctive term sets, candidates verified by full tree
+        evaluation (TermFilteredPresearcher -> CandidateMatcher)."""
+        from lucene_1_spark.streaming.monitor import Monitor
+        m = Monitor(s, analyzer="whitespace")
+        m.register("q_nested", "+spark +(merge || window)")
+        m.register("q_prefix", "win*")              # ANYTOKEN path
+        m.register("q_boolpfx", "+dup +win*")
+        m.register("q_range", "[merge TO part]")
+        return m.match_batch(_docs(s, d))
+    q["mon_complex_batch"] = mon_complex_batch
+
     # ---- counting collectors (§2.3) ----
     q["ft_term_count"] = lambda s, d: (
         _all_matches(s, d, "batch").agg(F.count("*").cast("long").alias("n")))
@@ -1383,6 +1397,22 @@ SELECT DISTINCT doc_id, 'q_orph' FROM (
     ON sp.doc_id = mp.doc_id AND mp.ord = sp.ord + 1
   UNION ALL
   SELECT doc_id FROM toks WHERE term = 'window')"""
+
+    o["mon_complex_batch"] = f"""WITH {_TOKS}
+SELECT doc_id, 'q_nested' AS query_id FROM (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) = 1)
+UNION ALL
+SELECT DISTINCT doc_id, 'q_prefix' FROM toks WHERE term LIKE 'win%'
+UNION ALL
+SELECT doc_id, 'q_boolpfx' FROM (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term LIKE 'win%' THEN 1 ELSE 0 END) = 1)
+UNION ALL
+SELECT DISTINCT doc_id, 'q_range' FROM toks
+WHERE term >= 'merge' AND term <= 'part'"""
 
     # mutable-index scenario: upsert + delete-by-term + compaction
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])

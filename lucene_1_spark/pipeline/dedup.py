@@ -83,7 +83,7 @@ def _shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= 1 shingle
     (inverted-index join). Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard >= threshold.
@@ -92,9 +92,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     docs from the shingle universe (sizes AND intersections — Jaccard
     stays internally exact over the restricted universe): a hot shingle
     (a boilerplate 3-gram) makes the self-join quadratic in its doc
-    count, so at 100 TB cap it (e.g. 10_000) — the standard
-    stop-shingle mitigation for inverted-index joins.  Pairs similar
-    ONLY through ultra-hot shingles are the documented recall loss."""
+    count, so the cap DEFAULTS ON (10_000) — the standard stop-shingle
+    mitigation for inverted-index joins; pass ``None`` only for small
+    corpora where exact full-universe Jaccard is wanted.  Pairs similar
+    ONLY through ultra-hot shingles are the documented recall loss.
+    Run :func:`dedup_exact` FIRST — a cluster of byte-identical docs
+    shares every shingle, and no per-shingle cap bounds that."""
     sh = _shingles(docs, text_col, n)
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
@@ -208,9 +211,18 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, bucketed by
-    12-bit chunks (pigeonhole over 4 chunks covers hamming <= 3)."""
+    12-bit chunks (pigeonhole over 4 chunks covers hamming <= 3).
+
+    ``max_bucket_size`` (DEFAULT ON) drops (chunk, value) buckets with
+    more members than the cap before the self-join: one cluster of a
+    million near-identical docs otherwise lands in a single bucket and
+    makes the candidate join quadratic in its size.  The documented
+    recall loss is pairs matchable ONLY through a dropped bucket — in
+    practice byte-identical boilerplate, which :func:`dedup_exact`
+    should collapse FIRST (the intended pipeline order)."""
     sh = simhash64(docs, text_col)
     chunks = sh.select(
         "doc_id", "simhash",
@@ -220,6 +232,12 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                      .alias("cval"))
             for c in range(4)])).alias("cc")
     ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
+    if max_bucket_size is not None:
+        hot = (chunks.groupBy("chunk", "cval")
+               .agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_bucket_size)
+               .select("chunk", "cval"))
+        chunks = chunks.join(hot, ["chunk", "cval"], "left_anti")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.cval") == F.col("b.cval"))

@@ -279,13 +279,28 @@ def embedding_near_dup_pairs_exact(embeddings: DataFrame,
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              bits: int = 6, id_col: str = "vec_id",
                              vec_col: str = "embedding", seed: int = 42,
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             max_bucket_size: int | None = 10_000) \
+        -> DataFrame:
     """(id_a, id_b, cosine) with cosine >= threshold, candidate pairs
-    restricted to the same LSH bucket (one self-join keyed by bucket)."""
+    restricted to the same LSH bucket (one self-join keyed by bucket).
+
+    Pass ``dim`` explicitly at scale — ``dim=None`` infers it with a
+    driver-side ``.first()`` action (one extra tiny job).
+    ``max_bucket_size`` (DEFAULT ON) drops buckets larger than the cap
+    before the self-join so a degenerate cluster of identical vectors
+    cannot make one bucket quadratic; collapse exact duplicates first
+    (``dedup_exact`` on a vector digest) to keep recall.  Size
+    ``bits`` so the EXPECTED bucket population N/2^bits stays far
+    under the cap."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
     b = embeddings.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    if max_bucket_size is not None:
+        hot = (b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_bucket_size).select("_bucket"))
+        b = b.join(hot, "_bucket", "left_anti")
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                     F.col("_bucket").alias("ba"))
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

@@ -15,13 +15,17 @@ counting replays the boolean semantics:
 - no MUST_NOT term present (counted on the same join, checked = 0).
 
 One shuffle keyed by term; scales with documents x matched-terms, never
-documents x queries.  Phrase queries percolate in two stages, exactly
-the reference's presearcher-then-run-the-query design
+documents x queries.  Phrase queries and ARBITRARY query trees (nested
+booleans, prefix/wildcard/regexp/fuzzy/range clauses) percolate in two
+stages, exactly the reference's presearcher-then-run-the-query design
 (``monitor/TermFilteredPresearcher.java`` -> ``CandidateMatcher``):
-the term join requires every phrase term present (candidate pruning),
-then a positions verification kernel re-analyzes ONLY candidate docs
-and keeps (doc, query) pairs where the phrase occurs (exact or within
-slop, same semantics as :class:`PhraseQuery`).
+the term join prunes candidates using the query's conjunctively
+required exact terms (or a some-of set for pure disjunctions; queries
+with no extractable term set degrade to every-doc candidates, the
+reference's ANYTOKEN), then a verification kernel re-analyzes ONLY
+candidate docs and evaluates the full query tree against each doc's
+term -> positions map (:func:`_eval_query`; phrases use the same
+slop/repeat semantics as :class:`PhraseQuery`).
 
 Streaming: wire :meth:`Monitor.match_batch` into
 ``writeStream.foreachBatch`` for continuous percolation.
@@ -29,37 +33,200 @@ Streaming: wire :meth:`Monitor.match_batch` into
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lucene_1_spark.search.query import (BooleanQuery, Occur, PhraseQuery,
-                                         TermQuery, parse_query)
+from lucene_1_spark.search.query import (BooleanQuery, ConstantScoreQuery,
+                                         FuzzyQuery, MatchAllDocsQuery,
+                                         MatchNoDocsQuery, MultiTermQuery,
+                                         Occur, PhraseQuery, PrefixQuery,
+                                         RegexpQuery, SynonymQuery,
+                                         TermQuery, TermRangeQuery,
+                                         WildcardQuery, parse_query)
 
 
 def _phrase_occurs(pos: dict, terms: tuple, slop: int) -> bool:
     """True iff the phrase matches once in a doc's term->positions map —
     slop=0 consecutive; slop>0 per :class:`PhraseQuery` semantics
-    (2-term: any in-slop pair; n>=3: anchored per-slot displacement)."""
+    (2 distinct terms: any in-slop pair; otherwise anchored per-slot
+    displacement with repeated-term slots forced onto DISTINCT
+    occurrences, mirroring the executor's fix of
+    ``SloppyPhraseMatcher.java:52-90``)."""
     plists = [pos.get(t) for t in terms]
     if any(p is None for p in plists):
         return False
     a0 = np.asarray(plists[0], dtype=np.int64)
+    n_terms = len(terms)
+    repeated = {t for t in terms if terms.count(t) > 1}
     if slop == 0:
         ok = np.ones(len(a0), dtype=bool)
-        for i in range(1, len(terms)):
+        for i in range(1, n_terms):
             ok &= np.isin(a0 + i, np.asarray(plists[i], dtype=np.int64))
         return bool(ok.any())
-    if len(terms) == 2:
+    if n_terms == 2 and not repeated:
         b = np.asarray(plists[1], dtype=np.int64)
         e = b[None, :] - a0[:, None] - 1
         return bool((np.abs(e) <= slop).any())
     ok = np.ones(len(a0), dtype=bool)
-    for i in range(1, len(terms)):
-        pi = np.asarray(plists[i], dtype=np.int64)
-        d = np.abs(pi[None, :] - (a0[:, None] + i))
-        ok &= (d <= slop).any(axis=1)
+    prev: dict = {}
+    if terms[0] in repeated:
+        prev[terms[0]] = a0
+    for i in range(1, n_terms):
+        pi = np.asarray(sorted(plists[i]), dtype=np.int64)
+        target = a0 + i
+        if terms[i] not in repeated:
+            d = np.abs(pi[None, :] - target[:, None])
+            ok &= (d <= slop).any(axis=1)
+            continue
+        p = prev.get(terms[i])
+        lb = target - slop if p is None else np.maximum(target - slop, p + 1)
+        if len(pi) == 0:
+            return False
+        idx = np.searchsorted(pi, lb, side="left")
+        idxc = np.minimum(idx, len(pi) - 1)
+        chosen = pi[idxc]
+        good = (idx < len(pi)) & (chosen <= target + slop)
+        ok &= good
+        prev[terms[i]] = np.where(good, chosen, target)
     return bool(ok.any())
+
+
+# -- pure-Python query evaluation over a doc's term->positions map ----------
+# (the CandidateMatcher stage run on candidates only; the presearcher
+# decides WHICH (doc, query) pairs reach this code)
+
+def _term_matches(q: MultiTermQuery, term: str) -> bool:
+    """Mirror of IndexSearcher._multi_term_predicate for one term."""
+    if isinstance(q, PrefixQuery):
+        return term.startswith(q.prefix)
+    if isinstance(q, WildcardQuery):
+        rx = "".join(".*" if ch == "*" else "." if ch == "?"
+                     else re.escape(ch) for ch in q.pattern)
+        return re.fullmatch(rx, term) is not None
+    if isinstance(q, RegexpQuery):
+        return re.fullmatch(f"(?:{q.regex})", term) is not None
+    if isinstance(q, FuzzyQuery):
+        from lucene_1_spark.search.executor import _levenshtein
+        if abs(len(term) - len(q.term)) > q.max_edits:
+            return False
+        if q.prefix_length > 0 \
+                and not term.startswith(q.term[:q.prefix_length]):
+            return False
+        return _levenshtein(term, q.term) <= q.max_edits
+    if isinstance(q, TermRangeQuery):
+        if q.lower is not None:
+            if term < q.lower or (term == q.lower and not q.include_lower):
+                return False
+        if q.upper is not None:
+            if term > q.upper or (term == q.upper and not q.include_upper):
+                return False
+        return True
+    raise NotImplementedError(f"multi-term query {type(q)}")
+
+
+def _eval_query(q, pos: dict) -> bool:
+    """Does the query tree match a document given its analyzed
+    term -> sorted-positions map?  Supports every content-field query
+    shape the main searcher executes (term / phrase / boolean at any
+    nesting / prefix / wildcard / regexp / fuzzy / range / synonym /
+    constant-score / match-all / match-none)."""
+    if isinstance(q, TermQuery):
+        if q.field != "content":
+            raise NotImplementedError(
+                "Monitor percolates content-field queries")
+        return q.term in pos
+    if isinstance(q, SynonymQuery):
+        return any(t in pos for t in q.terms)
+    if isinstance(q, PhraseQuery):
+        return _phrase_occurs(pos, tuple(q.terms), int(q.slop))
+    if isinstance(q, ConstantScoreQuery):
+        return _eval_query(q.query, pos)
+    if isinstance(q, MatchAllDocsQuery):
+        return True
+    if isinstance(q, MatchNoDocsQuery):
+        return False
+    if isinstance(q, MultiTermQuery):
+        return any(_term_matches(q, t) for t in pos)
+    if isinstance(q, BooleanQuery):
+        n_should = 0
+        should_hit = 0
+        has_req = False
+        for c in q.clauses:
+            if c.occur in (Occur.MUST, Occur.FILTER):
+                has_req = True
+                if not _eval_query(c.query, pos):
+                    return False
+            elif c.occur == Occur.MUST_NOT:
+                if _eval_query(c.query, pos):
+                    return False
+            else:
+                n_should += 1
+                if _eval_query(c.query, pos):
+                    should_hit += 1
+        msm = int(q.minimum_should_match)
+        if msm == 0 and n_should > 0 and not has_req:
+            msm = 1    # pure disjunction needs >= 1 SHOULD hit
+        return should_hit >= msm
+    raise NotImplementedError(f"Monitor cannot percolate {type(q)}")
+
+
+def _required_terms_of(q) -> set[str]:
+    """Exact content terms EVERY match of the query must contain — the
+    conjunctive presearcher key set (TermFilteredPresearcher's term
+    extraction).  Empty = no conjunctive exact-term constraint."""
+    if isinstance(q, TermQuery) and q.field == "content":
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, ConstantScoreQuery):
+        return _required_terms_of(q.query)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            if c.occur in (Occur.MUST, Occur.FILTER):
+                out |= _required_terms_of(c.query)
+        return out
+    return set()
+
+
+def _any_terms_of(q) -> set[str] | None:
+    """Exact content terms such that EVERY match contains at least one
+    of them (the disjunctive presearcher fallback); ``None`` when no
+    such finite set is derivable (-> ANYTOKEN: every doc is a
+    candidate, ``monitor/TermFilteredPresearcher.java`` semantics for
+    un-filterable queries)."""
+    if isinstance(q, TermQuery) and q.field == "content":
+        return {q.term}
+    if isinstance(q, (SynonymQuery, PhraseQuery)):
+        return set(q.terms)
+    if isinstance(q, ConstantScoreQuery):
+        return _any_terms_of(q.query)
+    if isinstance(q, BooleanQuery):
+        req = [c for c in q.clauses
+               if c.occur in (Occur.MUST, Occur.FILTER)]
+        if req:
+            # any ONE required clause's any-set covers all matches
+            for c in req:
+                s = _any_terms_of(c.query)
+                if s:
+                    return s
+            return None
+        out: set[str] = set()
+        for c in q.clauses:
+            if c.occur == Occur.SHOULD:
+                s = _any_terms_of(c.query)
+                if s is None:
+                    return None
+                out |= s
+        return out or None
+    return None
+
+
+class _NotFlat(Exception):
+    """Query shape outside the single-join fast path."""
 
 
 class Monitor:
@@ -70,18 +237,34 @@ class Monitor:
         self._meta: list[tuple] = []   # (query_id, n_must, msm)
         # query_id -> list of (phrase terms, slop, occur_name)
         self._phrase_defs: dict[str, list[tuple[tuple, int, str]]] = {}
+        # query_id -> query_text for ARBITRARY trees, verified by
+        # _eval_query on candidates; parallel _matchall lists complex
+        # ids with no presearchable term set (ANYTOKEN)
+        self._complex: dict[str, str] = {}
+        self._matchall: list[str] = []
 
     def register(self, query_id: str, query_text: str) -> None:
-        """Register a term/boolean/phrase query (MonitorQuery analog).
-        Phrase clauses percolate under EVERY occur: their terms enter
-        the presearcher join (required presence for MUST/FILTER,
-        presence-only for SHOULD/MUST_NOT), and a positions kernel
-        verifies candidates in match_batch — required phrases must ALL
-        occur, each verified SHOULD phrase counts toward
-        minimumShouldMatch, a verified MUST_NOT phrase kills the match
-        (TermFilteredPresearcher -> CandidateMatcher, the reference
-        runs the full query on candidates the same way)."""
+        """Register any parseable query (MonitorQuery analog).
+
+        FLAT term/boolean/phrase trees take the single-join fast path:
+        clause rows enter the presearcher join and the per-(doc, query)
+        aggregation replays the boolean semantics; phrase clauses are
+        verified positionally on candidates.  ANY OTHER tree (nested
+        booleans, prefix/wildcard/regexp/fuzzy/range clauses, ...) is
+        registered as a COMPLEX query: the presearcher extracts its
+        conjunctively-required exact terms (or a some-of set for pure
+        disjunctions), and candidates are verified by evaluating the
+        full tree against the doc's analyzed term->positions map —
+        exactly the reference's TermFilteredPresearcher ->
+        CandidateMatcher split, with un-filterable queries degrading to
+        every-doc candidates (ANYTOKEN)."""
         q = parse_query(query_text, self.analyzer)
+        try:
+            self._register_flat(query_id, q)
+        except _NotFlat:
+            self._register_complex(query_id, query_text, q)
+
+    def _register_flat(self, query_id: str, q) -> None:
         # phrase clause records: (terms, slop, occur_name)
         phrases: list[tuple[tuple, int, str]] = []
         if isinstance(q, PhraseQuery):
@@ -89,6 +272,8 @@ class Monitor:
             clauses = [(t, Occur.MUST) for t in sorted(set(q.terms))]
             msm = 0
         elif isinstance(q, TermQuery):
+            if q.field != "content":
+                raise _NotFlat
             clauses = [(q.term, Occur.SHOULD)]
             msm = 0
         elif isinstance(q, BooleanQuery):
@@ -106,16 +291,14 @@ class Monitor:
                         # doc as a candidate without counting anywhere
                         for t in sorted(set(c.query.terms)):
                             clauses.append((t, "PRESENCE"))
-                elif isinstance(c.query, TermQuery):
+                elif isinstance(c.query, TermQuery) \
+                        and c.query.field == "content":
                     clauses.append((c.query.term, c.occur))
                 else:
-                    raise NotImplementedError(
-                        "Monitor percolates flat term/boolean/phrase "
-                        "queries")
+                    raise _NotFlat
             msm = q.minimum_should_match
         else:
-            raise NotImplementedError(
-                "Monitor percolates flat term/boolean/phrase queries")
+            raise _NotFlat
         n_must = sum(1 for _, o in clauses
                      if o in (Occur.MUST, Occur.FILTER))
         n_should = sum(1 for _, o in clauses if o == Occur.SHOULD)             + sum(1 for _, _, o in phrases if o == "SHOULD")
@@ -128,6 +311,25 @@ class Monitor:
         self._meta.append((query_id, n_must, msm))
         if phrases:
             self._phrase_defs[query_id] = phrases
+
+    def _register_complex(self, query_id: str, query_text: str, q) -> None:
+        req = _required_terms_of(q)
+        if req:
+            rows = [(query_id, t, "MUST") for t in sorted(req)]
+            n_must, msm = len(req), 0
+        else:
+            anyt = _any_terms_of(q)
+            if anyt:
+                rows = [(query_id, t, "SHOULD") for t in sorted(anyt)]
+                n_must, msm = 0, 1
+            else:
+                # ANYTOKEN: no term filter possible — every doc is a
+                # candidate for this query
+                rows, n_must, msm = [], 0, 0
+                self._matchall.append(query_id)
+        self._rows.extend(rows)
+        self._meta.append((query_id, n_must, msm))
+        self._complex[query_id] = query_text
 
     # -- persistence (Monitor's durable query index,
     #    ``monitor/Monitor.java`` with an FSDirectory-backed
@@ -144,6 +346,8 @@ class Monitor:
             "meta": self._meta,
             "phrase_defs": {qid: [[list(t), s, o] for t, s, o in defs]
                             for qid, defs in self._phrase_defs.items()},
+            "complex": self._complex,
+            "matchall": self._matchall,
         }
         tmp = os.path.join(path, "monitor.json.tmp")
         with open(tmp, "w") as fh:
@@ -162,6 +366,8 @@ class Monitor:
         m._phrase_defs = {qid: [(tuple(t), int(s), o)
                                 for t, s, o in defs]
                           for qid, defs in state["phrase_defs"].items()}
+        m._complex = dict(state.get("complex", {}))
+        m._matchall = list(state.get("matchall", []))
         return m
 
     def _tables(self) -> tuple[DataFrame, DataFrame]:
@@ -213,19 +419,36 @@ class Monitor:
         base = (agg.join(F.broadcast(qm), "query_id")
                 .filter((F.col("must_hit") >= F.col("n_must"))
                         & (F.col("mnot_hit") == 0)))
-        if not self._phrase_defs:
-            return (base.filter(F.col("should_hit") >= F.col("msm"))
-                    .select("doc_id", "query_id"))
         phrase_ids = sorted(self._phrase_defs)
-        flat = (base.filter(~F.col("query_id").isin(phrase_ids))
+        complex_ids = sorted(self._complex)
+        defer = set(phrase_ids) | set(complex_ids)
+        flat = (base.filter(~F.col("query_id").isin(sorted(defer)))
                 .filter(F.col("should_hit") >= F.col("msm"))
-                .select("doc_id", "query_id"))
-        # phrase-bearing queries: msm is DEFERRED to verification so a
-        # verified SHOULD phrase can contribute its should-hit
-        cands = (base.filter(F.col("query_id").isin(phrase_ids))
-                 .select("doc_id", "query_id", "should_hit", "msm"))
-        verified = self._verify_phrases(cands, docs, id_col, text_col)
-        return flat.unionByName(verified)
+                .select("doc_id", "query_id")) if defer else \
+            base.filter(F.col("should_hit") >= F.col("msm")) \
+                .select("doc_id", "query_id")
+        out = flat
+        if phrase_ids:
+            # phrase-bearing queries: msm is DEFERRED to verification
+            # so a verified SHOULD phrase can contribute its should-hit
+            cands = (base.filter(F.col("query_id").isin(phrase_ids))
+                     .select("doc_id", "query_id", "should_hit", "msm"))
+            out = out.unionByName(
+                self._verify_phrases(cands, docs, id_col, text_col))
+        if complex_ids:
+            cand_c = (base.filter(F.col("query_id").isin(complex_ids))
+                      .filter(F.col("should_hit") >= F.col("msm"))
+                      .select("doc_id", "query_id"))
+            if self._matchall:
+                # ANYTOKEN queries: every incoming doc is a candidate
+                ids_df = self.spark.createDataFrame(
+                    [(i,) for i in self._matchall], "query_id string")
+                cand_c = cand_c.unionByName(
+                    docs.select(F.col(id_col).alias("doc_id"))
+                    .crossJoin(F.broadcast(ids_df)))
+            out = out.unionByName(
+                self._verify_complex(cand_c, docs, id_col, text_col))
+        return out
 
     def _verify_phrases(self, cands: DataFrame, docs: DataFrame,
                         id_col: str, text_col: str) -> DataFrame:
@@ -276,6 +499,52 @@ class Monitor:
                                 killed = True
                                 break
                         if req_ok and not killed                                 and should_hit + extra_should >= msm:
+                            ids.append(did)
+                            qids.append(qid)
+                yield pd.DataFrame({
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "query_id": pd.array(qids, dtype="string"),
+                })
+
+        return joined.mapInPandas(verify, "doc_id long, query_id string")
+
+    def _verify_complex(self, cands: DataFrame, docs: DataFrame,
+                        id_col: str, text_col: str) -> DataFrame:
+        """CandidateMatcher for ARBITRARY query trees: re-analyze each
+        candidate doc once (term -> sorted positions), then evaluate
+        every candidate query tree with :func:`_eval_query` — the
+        reference runs the real query over its candidate docs the same
+        way (``monitor/CandidateMatcher.java``)."""
+        import pandas as pd
+
+        from lucene_1_spark.analysis import get_analyzer
+        texts = dict(self._complex)
+        an_name = self.analyzer
+        joined = cands.join(
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.coalesce(F.col(text_col), F.lit(""))
+                        .alias("_text")), "doc_id")
+
+        def verify(it):
+            an = get_analyzer(an_name)
+            has_pos = hasattr(an, "tokens_with_positions")
+            qmap: dict = {}
+            for pdf in it:
+                ids, qids = [], []
+                for did, grp in pdf.groupby("doc_id", sort=False):
+                    pos: dict = {}
+                    text = grp["_text"].iloc[0]
+                    if has_pos:
+                        pairs = an.tokens_with_positions(text)
+                    else:
+                        pairs = [(t, p) for p, t
+                                 in enumerate(an.tokens(text))]
+                    for t, p in pairs:
+                        pos.setdefault(t, []).append(p)
+                    for qid in grp["query_id"]:
+                        if qid not in qmap:   # parse once per worker
+                            qmap[qid] = parse_query(texts[qid], an_name)
+                        if _eval_query(qmap[qid], pos):
                             ids.append(did)
                             qids.append(qid)
                 yield pd.DataFrame({

@@ -300,3 +300,44 @@ def test_contamination_overlap_and_repetition(spark):
     assert rep[0]["dup_ngram_ratio"] > 0.5
     assert rep[1]["dup_ngram_ratio"] == 0.0
     assert rep[0]["top_ngram_ratio"] > rep[1]["top_ngram_ratio"]
+
+
+def test_degenerate_cluster_bucket_guards(spark):
+    """One cluster of identical docs/vectors must not go quadratic:
+    the default max_bucket_size caps drop the degenerate bucket (the
+    documented pipeline order collapses exact dups first)."""
+    from lucene_1_spark.pipeline.dedup import simhash_near_dups
+    from lucene_1_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    boiler = [(i, "same boilerplate text repeated everywhere") for i in range(40)]
+    base = " ".join(f"w{j}" for j in range(30))
+    extra = [(100, base + " tail_one"), (101, base + " tail_two")]
+    d = spark.createDataFrame(boiler + extra, "doc_id long, text string")
+    # cap smaller than the cluster: its bucket is dropped entirely,
+    # the small near-dup pair elsewhere survives
+    pairs = simhash_near_dups(d, max_bucket_size=10).collect()
+    ids = {i for r in pairs for i in (r["doc_a"], r["doc_b"])}
+    assert not (ids & set(range(40)))          # degenerate cluster dropped
+    assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # uncapped: the cluster pairs quadratically (sanity of the guard)
+    n_uncapped = simhash_near_dups(d, max_bucket_size=None).count()
+    assert n_uncapped >= 40 * 39 / 2
+
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)] \
+        + [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.999, 0.01, 0.0])]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ep = embedding_near_dup_pairs(e, threshold=0.9, bits=4, dim=4,
+                                  max_bucket_size=10).collect()
+    eids = {i for r in ep for i in (r["id_a"], r["id_b"])}
+    assert not (eids & set(range(40)))
+    assert {(r["id_a"], r["id_b"]) for r in ep} == {(100, 101)}
+
+
+def test_ngram_jaccard_default_cap_on(docs):
+    """Library default for max_shingle_df is now the 10k hot-shingle
+    cap (no behavior change on small corpora)."""
+    import inspect
+    from lucene_1_spark.pipeline.dedup import ngram_jaccard_pairs
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_df"].default == 10_000
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() > 0

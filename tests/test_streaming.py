@@ -125,3 +125,66 @@ def test_monitor_standard_analyzer_path(spark):
     got = {(r["doc_id"], r["query_id"])
            for r in m.match_batch(docs).collect()}
     assert got == {(0, "q")}
+
+
+def test_monitor_complex_trees(spark):
+    """Arbitrary query trees percolate: nested booleans, prefix,
+    wildcard, fuzzy, range — presearched by extracted term sets (or
+    ANYTOKEN) then verified by full tree evaluation."""
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="whitespace")
+    m.register("q_nested", "+spark +(merge || window)")     # nested boolean
+    m.register("q_prefix", "win*")                          # ANYTOKEN path
+    m.register("q_bool_prefix", "+dup +win*")               # required term + prefix
+    m.register("q_fuzzy", "sprak~1")                        # fuzzy, ANYTOKEN
+    m.register("q_range", "[m TO n]")                       # term range
+    m.register("q_not_nested", "spark -(merge window)")     # nested MUST_NOT
+    docs = spark.createDataFrame([
+        (0, "spark merge fast"),
+        (1, "spark window"),
+        (2, "dup window stuff"),
+        (3, "spark alone"),
+        (4, "dup merge"),
+        (5, "sprak typo"),
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m.match_batch(docs).collect()}
+    assert got == {
+        (0, "q_nested"), (1, "q_nested"),
+        (1, "q_prefix"), (2, "q_prefix"),
+        (2, "q_bool_prefix"),
+        (5, "q_fuzzy"),
+        (0, "q_range"), (4, "q_range"),   # 'merge' in [m, n]
+        (3, "q_not_nested"),
+    }
+
+
+def test_monitor_complex_save_load(spark, tmp_root):
+    import os
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="whitespace")
+    m.register("q1", "+spark +(merge || window)")
+    m.register("q2", "win*")
+    p = os.path.join(tmp_root, "mon_complex")
+    m.save(p)
+    m2 = Monitor.load(spark, p)
+    docs = spark.createDataFrame([(0, "spark window"), (1, "plain")],
+                                 "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m2.match_batch(docs).collect()}
+    assert got == {(0, "q1"), (0, "q2")}
+
+
+def test_monitor_phrase_repeated_terms(spark):
+    """Percolated sloppy phrases with repeats need distinct positions
+    (same fix as the executor)."""
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark, analyzer="whitespace")
+    m.register("q_rep", '"a b b"~1')
+    docs = spark.createDataFrame([
+        (0, "a b c"),          # single b -> no match
+        (1, "a b x b"),        # two b's -> match
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m.match_batch(docs).collect()}
+    assert got == {(1, "q_rep")}
