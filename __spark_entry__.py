@@ -774,6 +774,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
     q["ft_intervals_or_containing"] = ft_intervals_or_containing
 
+    def ft_intervals_not_within(s, d):
+        """Intervals.notWithin (Intervals.java:490-494): 'merge'
+        occurrences NOT within 2 positions of any 'sort'."""
+        from lucene_1_spark.search.intervals import (not_within_source,
+                                                     source_interval_counts)
+        se = _searcher(s, d)
+        out = source_interval_counts(se, not_within_source("merge", 2,
+                                                           "sort"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_not_within"] = ft_intervals_not_within
+
+    def ft_intervals_before(s, d):
+        """Intervals.before (Intervals.java:578-581): 'sort'
+        occurrences ending before some 'merge' start."""
+        from lucene_1_spark.search.intervals import (before_source,
+                                                     source_interval_counts)
+        se = _searcher(s, d)
+        out = source_interval_counts(se, before_source("sort", "merge"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (out.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "n_intervals"))
+    q["ft_intervals_before"] = ft_intervals_before
+
     def mon_match_batch(s, d):
         """Monitor/percolator: registered queries vs the documents batch."""
         from lucene_1_spark.streaming.monitor import Monitor
@@ -1397,6 +1424,37 @@ SELECT DISTINCT doc_id, 'q_orph' FROM (
     ON sp.doc_id = mp.doc_id AND mp.ord = sp.ord + 1
   UNION ALL
   SELECT doc_id FROM toks WHERE term = 'window')"""
+
+    _ORD_CTE = """ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL))"""
+
+    # notWithin == nonOverlapping(m, extend(s, 2, 2)): width-1 'merge'
+    # survives iff no 'sort' within |2| positions
+    o["ft_intervals_not_within"] = f"""
+WITH {_ORD_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM (SELECT doc_id, ord FROM ordered WHERE term = 'merge') m
+WHERE NOT EXISTS (
+  SELECT 1 FROM ordered s
+  WHERE s.doc_id = m.doc_id AND s.term = 'sort'
+    AND abs(s.ord - m.ord) <= 2)
+GROUP BY doc_id"""
+
+    # before(src, ref): src interval ends before some ref start
+    o["ft_intervals_before"] = f"""
+WITH {_ORD_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM (SELECT doc_id, ord FROM ordered WHERE term = 'sort') s
+WHERE EXISTS (
+  SELECT 1 FROM ordered m
+  WHERE m.doc_id = s.doc_id AND m.term = 'merge' AND m.ord > s.ord)
+GROUP BY doc_id"""
 
     o["mon_complex_batch"] = f"""WITH {_TOKS}
 SELECT doc_id, 'q_nested' AS query_id FROM (

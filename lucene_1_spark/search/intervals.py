@@ -31,6 +31,14 @@ Scope:
   containment test per doc is two searchsorted + a suffix-min (no
   per-interval loop).  A single term is a width-1 interval source.
 
+- **filter/positioning combinators** — ``before`` / ``after`` /
+  ``extend`` / ``maxwidth`` / ``overlapping`` / ``nonOverlapping`` /
+  ``within`` / ``notWithin`` (``queries/intervals/Intervals.java:
+  376-587``) as additional source-spec kinds over the same spans
+  representation; ``notWithin`` and ``within`` compose exactly as the
+  reference does (extend the subtrahend by ``positions`` on both
+  sides, then (non)overlap).
+
 Execution reuses the phrase machinery shape: candidate docs from the
 cheap docs-only decode, positions decoded only for candidate-bearing
 blocks, one vectorized kernel per doc row."""
@@ -308,7 +316,8 @@ def containment_counts(searcher, outer_terms: list[str],
         # a tuple spec routes through the combinator algebra
         # (Intervals.or / phrase / nested ordered)
         if isinstance(src, tuple) and src and isinstance(src[0], str) \
-                and src[0] in ("term", "ordered", "or", "phrase"):
+                and src[0] in (("term", "ordered", "or", "phrase")
+                               + _UNARY_KINDS + _BINARY_KINDS):
             return source_spans(searcher, src)
         return _ordered_spans(searcher, list(src), gaps)
 
@@ -392,18 +401,90 @@ def phrase_source(*sources):
     return ("phrase", tuple(_norm_source(s) for s in sources))
 
 
+# -- the filter/positioning combinator tail
+#    (``queries/intervals/Intervals.java:376-587``) -----------------------
+
+def extend_source(source, before: int, after: int):
+    """``Intervals.extend``: widen each interval by ``before`` positions
+    at the start (clipped at 0) and ``after`` at the end
+    (``ExtendedIntervalsSource``)."""
+    return ("extend", _norm_source(source), int(before), int(after))
+
+
+def max_width_source(source, width: int):
+    """``Intervals.maxwidth``: keep intervals spanning at most ``width``
+    positions (``FilteredIntervalsSource.maxWidth``)."""
+    return ("maxwidth", _norm_source(source), int(width))
+
+
+def overlapping_source(source, reference):
+    """``Intervals.overlapping``: intervals of ``source`` that overlap
+    >= 1 interval of ``reference`` (``OverlappingIntervalsSource``)."""
+    return ("overlapping", _norm_source(source), _norm_source(reference))
+
+
+def not_overlapping_source(minuend, subtrahend):
+    """``Intervals.nonOverlapping``: intervals of ``minuend`` that
+    overlap NO interval of ``subtrahend``."""
+    return ("not_overlapping", _norm_source(minuend),
+            _norm_source(subtrahend))
+
+
+def before_source(source, reference):
+    """``Intervals.before`` (Intervals.java:578-581): intervals of
+    ``source`` ending before the start of some ``reference`` interval —
+    the reference composes contained_by(src, extend(offset(ref,
+    before), MAX, 0)), which reduces to ``src.end < max(ref.start)``."""
+    return ("before", _norm_source(source), _norm_source(reference))
+
+
+def after_source(source, reference):
+    """``Intervals.after`` (Intervals.java:584-587): intervals of
+    ``source`` starting after the end of some ``reference`` interval
+    (``src.start > min(ref.end)``)."""
+    return ("after", _norm_source(source), _norm_source(reference))
+
+
+def within_source(source, positions: int, reference):
+    """``Intervals.within``: source intervals within ``positions`` of a
+    reference interval — overlapping(src, extend(ref, n, n))."""
+    return overlapping_source(source,
+                              extend_source(reference, positions, positions))
+
+
+def not_within_source(minuend, positions: int, subtrahend):
+    """``Intervals.notWithin`` (Intervals.java:490-494): exactly
+    nonOverlapping(minuend, extend(subtrahend, positions, positions))."""
+    return not_overlapping_source(
+        minuend, extend_source(subtrahend, positions, positions))
+
+
 def _norm_source(s):
     if isinstance(s, str):
         return ("term", s)
     return s
 
 
-def _source_terms(source) -> set[str]:
+_UNARY_KINDS = ("extend", "maxwidth")
+_BINARY_KINDS = ("overlapping", "not_overlapping", "before", "after")
+
+
+def _children_of(source) -> tuple:
     kind = source[0]
     if kind == "term":
+        return ()
+    if kind in _UNARY_KINDS:
+        return (source[1],)
+    if kind in _BINARY_KINDS:
+        return (source[1], source[2])
+    return tuple(source[1])
+
+
+def _source_terms(source) -> set[str]:
+    if source[0] == "term":
         return {source[1]}
     out: set[str] = set()
-    for c in source[1]:
+    for c in _children_of(source):
         out |= _source_terms(c)
     return out
 
@@ -414,14 +495,18 @@ _SPANS_SCHEMA = "doc_id long, starts array<long>, ends array<long>"
 def _required_terms(source) -> set[str]:
     """Leaf terms that EVERY match of the source must contain: all
     children of ordered/phrase (conjunctive), nothing under an 'or'
-    (disjunctive) — the candidate-pruning key set."""
+    (disjunctive); for positive binary filters (overlapping / before /
+    after) both sides are required, for not_overlapping only the
+    minuend — the candidate-pruning key set."""
     kind = source[0]
     if kind == "term":
         return {source[1]}
     if kind == "or":
         return set()
+    if kind == "not_overlapping":
+        return _required_terms(source[1])
     out: set[str] = set()
-    for c in source[1]:
+    for c in _children_of(source):
         out |= _required_terms(c)
     return out
 
@@ -481,6 +566,28 @@ def _source_spans(searcher, source, cand_b) -> DataFrame:
     kind = source[0]
     if kind == "term":
         return _term_spans(searcher, source[1], cand_b)
+    if kind in _UNARY_KINDS:
+        inner = _source_spans(searcher, source[1], cand_b)
+        if kind == "extend":
+            bef, aft = int(source[2]), int(source[3])
+            return inner.select(
+                "doc_id",
+                F.transform(F.col("starts"),
+                            lambda s: F.greatest(s - bef, F.lit(0)))
+                .alias("starts"),
+                F.transform(F.col("ends"), lambda e: e + aft).alias("ends"))
+        w = int(source[2])  # maxwidth
+        keep = F.filter(
+            F.arrays_zip(F.col("starts").alias("s"),
+                         F.col("ends").alias("e")),
+            lambda p: (p["e"] - p["s"] + 1) <= w)
+        return (inner.select(
+                    "doc_id",
+                    F.transform(keep, lambda p: p["s"]).alias("starts"),
+                    F.transform(keep, lambda p: p["e"]).alias("ends"))
+                .filter(F.size("starts") > 0))
+    if kind in _BINARY_KINDS:
+        return _filtered_spans(searcher, kind, source[1], source[2], cand_b)
     children = [_source_spans(searcher, c, cand_b) for c in source[1]]
     n = len(children)
     if n == 1:
@@ -558,6 +665,63 @@ def _source_spans(searcher, source, cand_b) -> DataFrame:
 
     cols = [F.col(f"{p}{i}") for i in range(n) for p in ("s", "e")]
     return (joined.withColumn("_se", combine(*cols))
+            .select("doc_id", F.col("_se")[0].alias("starts"),
+                    F.col("_se")[1].alias("ends"))
+            .filter(F.size("starts") > 0))
+
+
+def _filtered_spans(searcher, kind: str, src, ref, cand_b) -> DataFrame:
+    """Binary filter combinators over two span sources — per doc, one
+    vectorized pass (reference intervals arrive start-sorted with
+    ascending ends, so the overlap test is one searchsorted):
+
+    - ``overlapping``      src intervals overlapping >= 1 ref interval
+    - ``not_overlapping``  src intervals overlapping NO ref interval
+                           (missing ref in a doc keeps ALL src)
+    - ``before``           src.end < max(ref.start)
+    - ``after``            src.start > min(ref.end)
+    """
+    left = _source_spans(searcher, src, cand_b)
+    right = (_source_spans(searcher, ref, cand_b)
+             .select("doc_id", F.col("starts").alias("r_starts"),
+                     F.col("ends").alias("r_ends")))
+    how = "left" if kind == "not_overlapping" else "inner"
+    joined = left.join(right, "doc_id", how)
+    k = kind
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def filt(ss, es, rs, re_):
+        out = []
+        for r in range(len(ss)):
+            s = np.asarray(ss.iloc[r], dtype=np.int64)
+            e = np.asarray(es.iloc[r], dtype=np.int64)
+            rv = rs.iloc[r]
+            if rv is None or len(rv) == 0:
+                if k == "not_overlapping":
+                    out.append([s.tolist(), e.tolist()])
+                else:
+                    out.append([[], []])
+                continue
+            r_s = np.asarray(rv, dtype=np.int64)
+            r_e = np.asarray(re_.iloc[r], dtype=np.int64)
+            if k == "before":
+                keep = e < r_s.max()
+            elif k == "after":
+                keep = s > r_e.min()
+            else:
+                # overlap with some ref [s', e']: s' <= e and e' >= s.
+                # refs are start-sorted with ascending ends, so among
+                # refs with s' <= e the maximal end is r_e[hi-1]
+                hi = np.searchsorted(r_s, e, side="right")
+                has = (hi > 0) & (r_e[np.maximum(hi - 1, 0)] >= s)
+                keep = has if k == "overlapping" else ~has
+            out.append([s[keep].tolist(), e[keep].tolist()])
+        return pd.Series(out)
+
+    return (joined.withColumn(
+                "_se", filt("starts", "ends", "r_starts", "r_ends"))
             .select("doc_id", F.col("_se")[0].alias("starts"),
                     F.col("_se")[1].alias("ends"))
             .filter(F.size("starts") > 0))

@@ -91,3 +91,70 @@ def test_containment_accepts_source_specs(ivs):
     # d0: minimal ordered(a,c) = (0,2); contains x@1 -> 1
     # d3: (0,2)? a@0 -> first c after 0 = 2 -> (0,2) contains b@1 -> 1
     assert got == {0: 1, 3: 1}
+
+
+# -- the filter/positioning combinator tail (Intervals.java:376-587) --------
+# DOCS (positions):  d0 = a(0) x(1) c(2) b(3) c(4)
+#                    d1 = b(0) c(1) a(2)
+#                    d2 = x(0) y(1) z(2)
+#                    d3 = a(0) b(1) c(2) c(3)
+
+def test_before_source(ivs):
+    from lucene_1_spark.search.intervals import before_source
+    # 'a' occurrences before some 'c': d0 a@0 < c@{2,4} yes;
+    # d1 a@2, c@1 -> no c after; d3 a@0 < c@2 yes
+    assert _counts(ivs, before_source("a", "c")) == {0: 1, 3: 1}
+
+
+def test_after_source(ivs):
+    from lucene_1_spark.search.intervals import after_source
+    # 'c' occurrences after some 'b': d0 b@3 -> c@4 only; d1 c@1 > b@0;
+    # d3 c@2,c@3 > b@1
+    assert _counts(ivs, after_source("c", "b")) == {0: 1, 1: 1, 3: 2}
+
+
+def test_extend_and_maxwidth(ivs):
+    from lucene_1_spark.search.intervals import (extend_source,
+                                                 max_width_source,
+                                                 ordered_source)
+    # ordered(a..b) in d0 = [0,3]; extend(1,1) -> [0,4] (start clips at 0)
+    # d3 ordered(a..b) = [0,1] -> extend -> [0,2]
+    src = extend_source(ordered_source("a", "b", max_gaps=100), 1, 1)
+    assert _counts(ivs, src) == {0: 1, 3: 1}
+    # maxwidth 2 keeps only spans of <= 2 positions: d0's [0,3] (w=4)
+    # dropped, d3's [0,1] (w=2) kept
+    mw = max_width_source(ordered_source("a", "b", max_gaps=100), 2)
+    assert _counts(ivs, mw) == {3: 1}
+
+
+def test_overlapping_and_not_overlapping(ivs):
+    from lucene_1_spark.search.intervals import (not_overlapping_source,
+                                                 ordered_source,
+                                                 overlapping_source)
+    # src = ordered(b..c): d0 [3,4]; d1 [0,1]; d3 [1,2] (minimal)
+    src = ordered_source("b", "c", max_gaps=100)
+    # ref = 'a' width-1 intervals: d0 @0; d1 @2; d3 @0
+    assert _counts(ivs, overlapping_source(src, "a")) == {}
+    got = _counts(ivs, not_overlapping_source(src, "a"))
+    assert got == {0: 1, 1: 1, 3: 1}
+    # overlap hit: ordered(a..c) minimal intervals are d0 [0,2],
+    # d3 [0,2]; only d3's contains/overlaps b@1 (d0's b is at 3)
+    src2 = ordered_source("a", "c", max_gaps=100)
+    assert _counts(ivs, overlapping_source(src2, "b")) == {3: 1}
+
+
+def test_not_within(ivs):
+    from lucene_1_spark.search.intervals import not_within_source
+    # 'c' occurrences not within 1 position of 'b':
+    # d0 c@2 (b@3 within 1 -> dropped), c@4 (b@3 within 1 -> dropped)
+    # d1 c@1 (b@0 adjacent -> dropped)
+    # d3 c@2 (b@1 adjacent -> dropped), c@3 (b@1 distance 2 -> kept)
+    assert _counts(ivs, not_within_source("c", 1, "b")) == {3: 1}
+
+
+def test_within(ivs):
+    from lucene_1_spark.search.intervals import within_source
+    # 'a' within 2 of 'z': only d2 has z, no a -> empty;
+    # 'a' within 2 of 'c': d0 a@0 c@2 -> yes; d1 a@2 c@1 -> yes;
+    # d3 a@0 c@2 -> yes
+    assert _counts(ivs, within_source("a", 2, "c")) == {0: 1, 1: 1, 3: 1}
