@@ -1014,12 +1014,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_near_dup_pairs"] = sim_near_dup_pairs
 
     def sim_ann_topk(s, d):  # approximate — rows-only check (no oracle)
+        """Auto recall policy: bits from N (expected bucket ~64),
+        8 tables x multiprobe 2 (see ann_topk docstring); recall@10 is
+        quantified per-round in BENCH (clustered AND random fixtures)."""
         from lucene_1_spark.pipeline.similarity import ann_topk
         e = _emb(s, d).select("vec_id", F.col("embedding")
                               .cast("array<double>").alias("embedding"))
         qv = [float(x) for x in
               e.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return ann_topk(e, qv, k=10, bits=6, multiprobe=2)
+        return ann_topk(e, qv, k=10)
     q["sim_ann_topk"] = sim_ann_topk
 
     def knn_filtered_topk(s, d):

@@ -183,15 +183,20 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         qs[name](spark, sf_dir).collect()
         out[name] = round(time.time() - t0, 3)
 
-    # quantified ANN approximation: recall@10 vs exact cosine, both paths
+    # quantified ANN approximation: recall@10 vs exact cosine.  The LSH
+    # path runs the DEFAULT auto policy (bits from N, 8 tables x
+    # multiprobe 2 — the recall lever) on BOTH the driver's random
+    # vectors (LSH-adversarial worst case) and a clustered fixture
+    # (realistic embeddings with planted neighbors).
     from pyspark.sql import functions as F
 
     from lucene_1_spark.pipeline.similarity import ann_recall_at_k, ivf_fit
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
-    out["ann_recall_at_10"] = round(ann_recall_at_k(
-        emb, query_ids=[0, 1, 2, 3, 4], k=10,
-        bits=6, multiprobe=2, tables=4), 3)
+    out["ann_recall_at_10_random"] = round(ann_recall_at_k(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10), 3)
+    out["ann_recall_at_10_clustered"] = round(ann_recall_at_k(
+        _clustered_embeddings(spark), query_ids=[0, 1, 2, 3, 4], k=10), 3)
     out["ann_recall_eval_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     cents = ivf_fit(emb, n_centroids=16, iters=2)
@@ -199,7 +204,71 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         emb, query_ids=[0, 1, 2, 3, 4], k=10,
         method="ivf", centroids=cents, nprobe=4), 3)
     out["ivf_recall_eval_sec"] = round(time.time() - t0, 3)
+
+    out["quality"] = quality_metrics(spark, sf_dir)
     spark.stop()
+    return out
+
+
+def _clustered_embeddings(spark, n_clusters: int = 40,
+                          per_cluster: int = 25, dim: int = 64):
+    """Deterministic clustered vectors (planted near-neighbors) — the
+    realistic ANN fixture: cluster centers are unit Gaussians, members
+    are center + small noise."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.15 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def quality_metrics(spark, sf_dir: str) -> dict:
+    """TREC-style retrieval quality (QualityStats.java:25-171 metrics)
+    over a deterministic judged fixture: for each single-term query,
+    the judged-relevant set is the docs whose whitespace term frequency
+    is >= 2 (a deterministic pseudo-judgment derivable from the corpus
+    itself).  MAP / MRR / P@N / recall@20 are reported for BOTH wired
+    similarities so a ranking regression in either is visible."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from lucene_1_spark.quality import average, judge_run
+
+    qterms = ["spark", "merge", "window", "batch", "value",
+              "sort", "query", "fast"]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "")).alias("term"))
+    rel_rows = (toks.filter(F.col("term").isin(qterms))
+                .groupBy("doc_id", "term").count()
+                .filter(F.col("count") >= 2).collect())
+    judged: dict[str, set] = {t: set() for t in qterms}
+    for r in rel_rows:
+        judged[r["term"]].add(r["doc_id"])
+
+    out = {}
+    for sim_name, get_searcher in (
+            ("bm25", entrymod._searcher),
+            ("classic", entrymod._classic_searcher)):
+        se = get_searcher(spark, sf_dir)
+        idmap = {r["doc_id"]: int(r["path"])
+                 for r in se.reader.docs().select("doc_id", "path").collect()}
+        stats = []
+        for t in qterms:
+            hits = se.search(t, k=20)
+            ranked = [idmap[h["doc_id"]] for h in hits]
+            stats.append(judge_run(ranked, judged[t]))
+        out[sim_name] = average(stats, p_at=(1, 5, 10))
     return out
 
 

@@ -71,9 +71,11 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
 
 
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             bits: int = 6, multiprobe: int = 1, tables: int = 1,
+             bits: int | None = None, multiprobe: int = 2,
+             tables: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, n: int | None = None,
+             target_bucket: int = 64) -> DataFrame:
     """LSH-bucketed approximate top-k.
 
     ``tables`` independent random-hyperplane tables (the classic L-table
@@ -83,7 +85,29 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     Expected scan fraction ~= tables * (1 + multiprobe) / 2^bits — the
     one-table single-probe case is O(N / 2^bits).  All signatures are
     computed in ONE scan (the per-table bucket columns live in the same
-    projection), so cost is one pass over the candidate filter."""
+    projection), so cost is one pass over the candidate filter.
+
+    RECALL POLICY (defaults): ``bits=None`` auto-scales from the table
+    size so the EXPECTED bucket population is ``target_bucket``
+    (bits = log2(n / target_bucket), clamped to [2, 24]; ``n`` is
+    counted once if not supplied — pass it at scale).  ``tables=None``
+    defaults to 8 with ``multiprobe=2``: per-bit collision probability
+    for true neighbors is 1 - angle/pi, so more independent tables is
+    the recall lever (cost linear in tables); 8 tables measure
+    recall@10 >= 0.7 even on the adversarial random-vector fixture and
+    >= 0.9 on clustered data (BENCH quality section).  For a
+    steady-state SERVING path at 100 TB prefer
+    :func:`ivf_ann_topk` with a pre-assigned ``partitionBy('cluster')``
+    table — each probe is then a partition-pruned read instead of a
+    full-scan signature filter."""
+    if bits is None:
+        if n is None:
+            n = embeddings.count()
+        bits = int(np.clip(int(np.ceil(np.log2(max(n, 2)
+                                               / max(target_bucket, 1)))),
+                           2, 24))
+    if tables is None:
+        tables = 8
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
     cond = None

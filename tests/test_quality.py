@@ -1,0 +1,66 @@
+"""Retrieval-quality harness — QualityStats.java:25-171 semantics on
+hand-computed examples (no Spark)."""
+
+import pytest
+
+from lucene_1_spark.quality import QualityStats, average, judge_run
+
+
+def test_perfect_run():
+    st = judge_run([1, 2, 3], {1, 2, 3})
+    assert st.avp == pytest.approx(1.0)
+    assert st.mrr == 1.0
+    assert st.recall == 1.0
+    assert st.precision_at(1) == 1.0
+    assert st.precision_at(3) == 1.0
+
+
+def test_hand_computed_average_precision():
+    # ranked: R N R N N ; judged relevant = 3 docs (one never retrieved)
+    st = judge_run([10, 11, 12, 13, 14], {10, 12, 99})
+    # precision at relevant ranks: 1/1 at rank1, 2/3 at rank3
+    assert st.avp == pytest.approx((1.0 + 2.0 / 3.0) / 3.0)
+    assert st.recall == pytest.approx(2.0 / 3.0)
+    assert st.precision_at(5) == pytest.approx(2.0 / 5.0)
+    assert st.mrr == 1.0
+
+
+def test_mrr_only_counts_top5():
+    # first relevant at rank 6 -> MRR stays 0 (QualityStats.addResult
+    # guards n <= 5)
+    st = judge_run([1, 2, 3, 4, 5, 6], {6})
+    assert st.mrr == 0.0
+    st2 = judge_run([1, 2, 3, 4, 5], {5})
+    assert st2.mrr == pytest.approx(0.2)
+
+
+def test_precision_extrapolation_beyond_depth():
+    # getPrecisionAt: n > numPoints -> numPoints * pAt[numPoints] / n
+    st = judge_run([1, 2], {1, 2})
+    assert st.precision_at(4) == pytest.approx(2 * 1.0 / 4)
+
+
+def test_empty_and_zero_judged():
+    st = judge_run([], {1})
+    assert st.avp == 0.0 and st.recall == 0.0
+    assert st.precision_at(5) == 0.0
+    st0 = judge_run([1, 2], set())
+    assert st0.avp == 0.0
+
+
+def test_rank_must_be_sequential():
+    st = QualityStats(1.0)
+    st.add_result(1, False)
+    with pytest.raises(ValueError):
+        st.add_result(3, True)
+
+
+def test_average_aggregate():
+    a = judge_run([1, 2], {1})      # avp 1.0, mrr 1, recall 1
+    b = judge_run([1, 2], {2})      # avp 0.5, mrr 0.5, recall 1
+    agg = average([a, b], p_at=(1, 2))
+    assert agg["map"] == pytest.approx(0.75)
+    assert agg["mrr"] == pytest.approx(0.75)
+    assert agg["p_at_1"] == pytest.approx(0.5)
+    assert agg["p_at_2"] == pytest.approx(0.5)
+    assert agg["n_queries"] == 2
