@@ -464,6 +464,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase_topk"] = lambda s, d: _topk(s, d, '"sort merge"')
 
+    def ft_dismax_topk(s, d):
+        """DisjunctionMaxQuery (DisjunctionMaxQuery.java:42-88): score =
+        max(disjunct scores) + tie_breaker * (sum - max).  Disjunct 2 is
+        itself a disjunction — its sub-plan score is the BM25 sum over
+        its members."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 DisjunctionMaxQuery, Occur,
+                                                 TermQuery)
+        se = _searcher(s, d)
+        dm = DisjunctionMaxQuery((
+            TermQuery("spark"),
+            BooleanQuery((Clause(TermQuery("merge"), Occur.SHOULD),
+                          Clause(TermQuery("window"), Occur.SHOULD)))),
+            tie_breaker=0.3)
+        top = se.search_df(dm, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_dismax_topk"] = ft_dismax_topk
+
+    def ft_term_in_set(s, d):
+        """TermInSetQuery (TermInSetQuery.java:63-90): constant-score
+        membership in a term set, clause-count-unlimited, one postings
+        scan.  First 10 matches in doc order + constant score."""
+        from lucene_1_spark.search.query import TermInSetQuery
+        se = _searcher(s, d)
+        res = se.search_df(
+            TermInSetQuery(("vector", "stream", "qqq_no_such_term"),
+                           boost=2.5), k=10)
+        return _orig_id(res, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score")).orderBy("doc_id")
+    q["ft_term_in_set"] = ft_term_in_set
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1135,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries no driver round had checked before round 3's judge ran
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
+        "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1537,6 +1574,39 @@ ORDER BY d.lang ASC, dl.len DESC, d.doc_id ASC LIMIT 10"""
 
     # exact phrase: occurrence count via adjacent-token window, scored
     # as one pseudo-term with weight = sum of member idfs
+    # dismax: per-disjunct BM25 sub-scores folded max + 0.3*(sum-max)
+    o["ft_dismax_topk"] = f"""
+WITH {_BM25_CTES},
+base AS (
+  SELECT tf.doc_id, tf.term, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+),
+d1 AS (SELECT doc_id, sum(s) AS s FROM base WHERE term = 'spark'
+       GROUP BY doc_id),
+d2 AS (SELECT doc_id, sum(s) AS s FROM base WHERE term IN ('merge', 'window')
+       GROUP BY doc_id),
+u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+agg AS (SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM u
+        GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+    o["ft_term_in_set"] = f"""
+WITH {_TOKS}
+SELECT doc_id, 2.5 AS score
+FROM (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('vector', 'stream', 'qqq_no_such_term'))
+ORDER BY doc_id LIMIT 10
+"""
+
     o["ft_phrase_topk"] = f"""
 WITH {_BM25_CTES},
 ordered AS (

@@ -1,8 +1,8 @@
 from lucene_1_spark.search.query import (  # noqa: F401
-    BooleanQuery, Clause, ConstantScoreQuery, DocValuesRangeQuery,
-    FieldExistsQuery, FuzzyQuery,
+    BooleanQuery, Clause, ConstantScoreQuery, DisjunctionMaxQuery,
+    DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
     Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
-    TermQuery, TermRangeQuery, WildcardQuery, parse_query,
+    TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
 )
 from lucene_1_spark.search.executor import IndexSearcher  # noqa: F401

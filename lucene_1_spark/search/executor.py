@@ -43,10 +43,10 @@ from lucene_1_spark.index.builder import FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
-    DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery, MatchAllDocsQuery,
-    MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery, PrefixQuery,
-    Query, RegexpQuery, SynonymQuery, TermQuery, TermRangeQuery,
-    WildcardQuery, parse_query, rewrite_fixpoint,
+    DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
+    MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery,
+    PrefixQuery, Query, RegexpQuery, SynonymQuery, TermInSetQuery, TermQuery,
+    TermRangeQuery, WildcardQuery, parse_query, rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -280,6 +280,20 @@ class IndexSearcher:
             inner = self._resolve_fields(q.query)
             return q if inner is q.query else ConstantScoreQuery(inner,
                                                                  q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            new = tuple(self._resolve_fields(d) for d in q.disjuncts)
+            if all(a is b for a, b in zip(new, q.disjuncts)):
+                return q
+            return DisjunctionMaxQuery(new, q.tie_breaker, q.boost)
+        if isinstance(q, TermInSetQuery) and q.field != "content":
+            if q.field not in self.keyword_fields \
+                    and q.field not in self.text_fields:
+                raise ValueError(
+                    f"field '{q.field}' is not indexed (fields: "
+                    f"{sorted(self.keyword_fields | self.text_fields)})")
+            return TermInSetQuery(
+                tuple(f"{q.field}{FIELD_SEP}{t}" for t in q.terms),
+                "content", q.boost)
         return q
 
     # ------------------------------------------------------------------
@@ -488,6 +502,10 @@ class IndexSearcher:
             return scored.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(query, SynonymQuery):
             return self._synonym_search(query, k, after)
+        if isinstance(query, DisjunctionMaxQuery):
+            return self._dismax_search(query, k, after)
+        if isinstance(query, TermInSetQuery):
+            return self._term_in_set_search(query, k, after)
 
         fl = self._flatten(query)
         must, should, mnot, msm = fl.must, fl.should, fl.mnot, fl.msm
@@ -1015,6 +1033,66 @@ class IndexSearcher:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ------------------------------------------------------------------
+    def _dismax_search(self, q: DisjunctionMaxQuery, k: int | None,
+                       after: tuple[float, int] | None) -> DataFrame:
+        """DisjunctionMaxQuery: every disjunct runs as its own scored
+        sub-plan; one per-doc aggregation folds them with
+        ``max + tie_breaker * (sum - max)``
+        (``search/DisjunctionMaxScorer.java:51-64``).  The sub-plans
+        union into a single (slot, doc_id, score) relation so the fold
+        is one shuffle keyed by doc_id — no driver-side loop over
+        results, and each disjunct keeps its own optimized plan
+        (pruned term scan, phrase join, ...)."""
+        parts = None
+        for i, dq in enumerate(q.disjuncts):
+            sub = self._search_inner(dq, k=None, prune=False).select(
+                F.lit(i).alias("slot"), "doc_id",
+                F.col("score").cast("double").alias("score"))
+            parts = sub if parts is None else parts.unionByName(sub)
+        if parts is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        tb, boost = float(q.tie_breaker), float(q.boost)
+        # a doc matching one disjunct through several union rows is
+        # impossible (each sub-plan emits one row per doc), so max/sum
+        # over the union are exactly the per-disjunct max/sum
+        per = parts.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm"))
+        score_type = "double" if self.double_mode else "float"
+        scored = per.select(
+            "doc_id",
+            ((F.col("mx") + tb * (F.col("sm") - F.col("mx"))) * boost)
+            .cast(score_type).alias("score"))
+        if after is not None:
+            s, d = after
+            scored = scored.filter(
+                (F.col("score") < float(s))
+                | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _term_in_set_search(self, q: TermInSetQuery, k: int | None,
+                            after: tuple[float, int] | None) -> DataFrame:
+        """TermInSetQuery: one postings scan with the whole IN-set
+        pushed into the bucket/term filters (``TermInSetQuery.java``'s
+        seek-per-term TermsEnum loop, relationally).  Constant score;
+        NOT clause-count-limited — a 100k-term set is still a single
+        scan whose term filter prunes row groups."""
+        terms = sorted(set(q.terms))
+        score_type = "double" if self.double_mode else "float"
+        matches = self.docs_for_terms(terms)
+        scored = matches.select(
+            "doc_id",
+            F.lit(float(q.boost)).cast(score_type).alias("score"))
+        if after is not None:
+            s, d = after
+            scored = scored.filter(
+                (F.col("score") < float(s))
+                | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.asc("doc_id")).limit(k)
+
     def _synonym_search(self, q: SynonymQuery, k: int | None,
                         after: tuple[float, int] | None) -> DataFrame:
         """Members merge into one pseudo-term: doc_freq = max over
@@ -1207,6 +1285,11 @@ class IndexSearcher:
         if isinstance(q, ConstantScoreQuery):
             inner = self._expand_tree(q.query)
             return q if inner is q.query else ConstantScoreQuery(inner, q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            new = tuple(self._expand_tree(d) for d in q.disjuncts)
+            if all(a is b for a, b in zip(new, q.disjuncts)):
+                return q
+            return DisjunctionMaxQuery(new, q.tie_breaker, q.boost)
         return q
 
     def expand_terms(self, predicate: F.Column) -> list[str]:

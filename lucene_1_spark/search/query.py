@@ -76,6 +76,55 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """Disjunction scored by the MAXIMUM sub-score instead of the sum
+    (``search/DisjunctionMaxQuery.java:42-88``): for each matching doc,
+    ``score = max(sub) + tie_breaker * (sum(sub) - max(sub))``.  The
+    classic use is multi-field search where a doc matching one field
+    well should beat a doc matching several fields poorly.  Any Query
+    may be a disjunct; each executes as its own scored sub-plan and the
+    max/sum fold is a single relational aggregation."""
+    disjuncts: tuple["Query", ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        kids = [d.rewrite() for d in self.disjuncts]
+        kept = tuple(k for k in kids if not isinstance(k, MatchNoDocsQuery))
+        if not kept:
+            return MatchNoDocsQuery()
+        if len(kept) == 1:
+            # singleton dismax == the disjunct (DisjunctionMaxQuery.java
+            # rewrite); distribute the outer boost
+            inner = kept[0]
+            if self.boost == 1.0:
+                return inner
+            return DisjunctionMaxQuery((inner,), 0.0, self.boost)
+        if kept == self.disjuncts:
+            return self
+        return DisjunctionMaxQuery(kept, self.tie_breaker, self.boost)
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score membership in a (possibly large) term set —
+    ``search/TermInSetQuery.java:63-90``.  Unlike a SHOULD-of-terms
+    BooleanQuery it is NOT subject to the 1024-clause limit and never
+    scores per-term: a doc matches iff it contains >=1 set member, and
+    every match scores ``boost``.  Executed as a single postings scan
+    with the IN-set pushed into the term-dictionary/bucket filters
+    (the relational TermsEnum seek-per-term loop)."""
+    terms: tuple[str, ...]
+    field: str = "content"
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        if not self.terms:
+            return MatchNoDocsQuery()
+        return self
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Phrase query (``PhraseQuery.java:71-143``).
 
