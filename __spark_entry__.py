@@ -500,6 +500,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score")).orderBy("doc_id")
     q["ft_term_in_set"] = ft_term_in_set
 
+    def ft_more_like_this(s, d):
+        """MoreLikeThis (queries/mlt/MoreLikeThis.java:733-800): seed =
+        doc 7's text; interesting terms = tf*classic-idf top-10 over
+        tf>=2, df>=5; the resulting SHOULD-disjunction ranks the corpus
+        (seed excluded) by BM25."""
+        from lucene_1_spark.search.morelikethis import more_like_this_query
+        se = _searcher(s, d)
+        seed = _docs(s, d).filter(F.col("doc_id") == 7) \
+            .select("text").first()["text"]
+        mq = more_like_this_query(se, seed, max_query_terms=10,
+                                  min_term_freq=2, min_doc_freq=5)
+        res = _orig_id(se.search_df(mq, k=None), se) \
+            .filter(F.col("orig_id") != 7)
+        ranked = res.withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("orig_id"))).cast("long"))
+        return ranked.filter(F.col("rank") <= 10).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_more_like_this"] = ft_more_like_this
+
+    def ft_spell_suggest(s, d):
+        """DirectSpellChecker (search/spell/DirectSpellChecker.java):
+        dictionary terms within 2 edits of 'bat', ranked similarity
+        desc, doc_freq desc, term asc."""
+        from lucene_1_spark.search.spell import suggest_similar
+        se = _searcher(s, d)
+        return suggest_similar(se, "bat", num_suggestions=5, max_edits=2,
+                               prefix_length=0)
+    q["ft_spell_suggest"] = ft_spell_suggest
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1172,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
         "ft_dismax_topk", "ft_term_in_set",                # new r4
+        "ft_more_like_this", "ft_spell_suggest",           # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1605,6 +1637,61 @@ SELECT doc_id, 2.5 AS score
 FROM (SELECT DISTINCT doc_id FROM toks
       WHERE term IN ('vector', 'stream', 'qqq_no_such_term'))
 ORDER BY doc_id LIMIT 10
+"""
+
+    # MoreLikeThis: seed doc 7 -> top-10 interesting terms by
+    # tf * (ln((n+1)/(df+1)) + 1) with tf>=2, df>=5, ties term-asc;
+    # then BM25 over the selected set, seed excluded
+    o["ft_more_like_this"] = f"""
+WITH {_BM25_CTES},
+seedtf AS (SELECT term, count(*)::DOUBLE AS f FROM toks
+           WHERE doc_id = 7 GROUP BY 1),
+mlt AS (
+  SELECT seedtf.term,
+         seedtf.f * (ln((st.n + 1) / (df.dfreq + 1)) + 1) AS msc
+  FROM seedtf JOIN df ON seedtf.term = df.term CROSS JOIN st
+  WHERE seedtf.f >= 2 AND df.dfreq >= 5
+),
+sel AS (SELECT term FROM (
+  SELECT term, row_number() OVER (ORDER BY msc DESC, term ASC) AS r
+  FROM mlt) WHERE r <= 10),
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> 7
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # DirectSpellChecker: similarity = 1 - dist/min(len), rounded like
+    # the engine BEFORE ranking; ties doc_freq desc then term asc
+    o["ft_spell_suggest"] = f"""
+WITH {_TOKS},
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+        FROM toks GROUP BY 1),
+cand AS (
+  SELECT term AS suggestion, doc_freq,
+         round(1.0 - levenshtein(term, 'bat')
+               / least(length(term), 3)::DOUBLE, 6) AS similarity
+  FROM dfq
+  WHERE length(term) BETWEEN 1 AND 5
+    AND term <> 'bat'
+    AND levenshtein(term, 'bat') <= 2
+)
+SELECT suggestion, doc_freq, similarity, rank FROM (
+  SELECT suggestion, doc_freq, similarity,
+         row_number() OVER (ORDER BY similarity DESC, doc_freq DESC,
+                            suggestion ASC) AS rank
+  FROM cand
+) WHERE rank <= 5
 """
 
     o["ft_phrase_topk"] = f"""
