@@ -531,6 +531,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                prefix_length=0)
     q["ft_spell_suggest"] = ft_spell_suggest
 
+    # deterministic synthetic coordinates per doc — identical modular
+    # arithmetic on both sides, so geo queries have exact SQL twins
+    def _geo_docs(s, d):
+        return _docs(s, d).select(
+            "doc_id",
+            ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"))
+
+    def geo_distance_topk(s, d):
+        """LatLonPoint.nearest analog: 10 nearest docs to a center by
+        haversine on the GeoUtils mean-radius sphere; km rounded to 3
+        decimals (meter granularity) for cross-engine float stability."""
+        from lucene_1_spark.functions.geo import haversine_meters
+        pts = _geo_docs(s, d)
+        dist = haversine_meters(F.col("lat"), F.col("lon"), 12.34, 56.78)
+        ranked = (pts.withColumn("dist_km", F.round(dist / 1000.0, 3))
+                  .withColumn("rank", F.row_number().over(
+                      W.orderBy(F.asc("dist_km"), F.asc("doc_id")))
+                      .cast("long")))
+        return ranked.filter(F.col("rank") <= 10).select(
+            "doc_id", "dist_km", "rank")
+    q["geo_distance_topk"] = geo_distance_topk
+
+    def geo_bbox_count(s, d):
+        """LatLonPoint.newBoxQuery analog incl. a dateline-crossing box
+        (min_lon > max_lon = union of the two lon ranges)."""
+        from lucene_1_spark.functions.geo import box_predicate
+        pts = _geo_docs(s, d)
+        plain = pts.filter(box_predicate(
+            F.col("lat"), F.col("lon"), -30.0, 30.0, 0.0, 90.0)).count()
+        crossing = pts.filter(box_predicate(
+            F.col("lat"), F.col("lon"), -60.0, 60.0, 150.0, -150.0)).count()
+        return s.createDataFrame([(plain, crossing)],
+                                 "plain_n long, crossing_n long")
+    q["geo_bbox_count"] = geo_bbox_count
+
+    def geo_radius_count(s, d):
+        """LatLonPoint.newDistanceQuery analog: two-phase box-prefilter
+        + exact haversine; count within 3000 km of the center."""
+        from lucene_1_spark.functions.geo import distance_query
+        pts = _geo_docs(s, d)
+        n = distance_query(pts, center_lat=12.34, center_lon=56.78,
+                           radius_m=3_000_000.0).count()
+        return s.createDataFrame([(n,)], "n long")
+    q["geo_radius_count"] = geo_radius_count
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1204,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
+        "geo_distance_topk", "geo_bbox_count",             # new r4
+        "geo_radius_count",                                # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1692,6 +1740,46 @@ SELECT suggestion, doc_freq, similarity, rank FROM (
                             suggestion ASC) AS rank
   FROM cand
 ) WHERE rank <= 5
+"""
+
+    # geo: identical double-precision haversine (GeoUtils mean radius)
+    # over the same derived coordinates, same operand order
+    _GEO = """geo AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)"""
+    _HAV = ("2.0 * 6371008.7714150598::DOUBLE * asin(sqrt("
+            "sin(radians(12.34 - lat) / 2.0) * sin(radians(12.34 - lat) / 2.0)"
+            " + cos(radians(lat)) * cos(radians(12.34))"
+            " * sin(radians(56.78 - lon) / 2.0)"
+            " * sin(radians(56.78 - lon) / 2.0)))")
+
+    o["geo_distance_topk"] = f"""
+WITH {_GEO},
+d AS (SELECT doc_id, round({_HAV} / 1000.0, 3) AS dist_km FROM geo)
+SELECT doc_id, dist_km, rank FROM (
+  SELECT doc_id, dist_km,
+         row_number() OVER (ORDER BY dist_km ASC, doc_id ASC) AS rank
+  FROM d
+) WHERE rank <= 10
+"""
+
+    o["geo_bbox_count"] = f"""
+WITH {_GEO}
+SELECT
+  sum(CASE WHEN lat >= -30.0 AND lat <= 30.0
+            AND lon >= 0.0 AND lon <= 90.0 THEN 1 ELSE 0 END)::BIGINT
+    AS plain_n,
+  sum(CASE WHEN lat >= -60.0 AND lat <= 60.0
+            AND (lon >= 150.0 OR lon <= -150.0) THEN 1 ELSE 0 END)::BIGINT
+    AS crossing_n
+FROM geo
+"""
+
+    o["geo_radius_count"] = f"""
+WITH {_GEO}
+SELECT count(*)::BIGINT AS n FROM geo WHERE {_HAV} <= 3000000.0
 """
 
     o["ft_phrase_topk"] = f"""
