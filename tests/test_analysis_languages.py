@@ -10,7 +10,11 @@ from lucene_1_spark.analysis import get_analyzer
 
 
 @pytest.mark.parametrize("name", ["french", "german", "spanish",
-                                  "italian", "portuguese", "dutch"])
+                                  "italian", "portuguese", "dutch",
+                                  "russian", "swedish", "norwegian",
+                                  "danish", "finnish", "hungarian",
+                                  "czech", "romanian", "indonesian",
+                                  "turkish", "arabic"])
 def test_registry_resolves(name):
     an = get_analyzer(name)
     assert an.tokens("") == []
@@ -28,6 +32,25 @@ GOLDENS = {
     ("italian", "le città e i libri"): ["citt", "libr"],
     ("portuguese", "as nações e os amigos"): ["nac", "amig"],
     ("dutch", "de huizen en de koningen"): ["huiz", "koning"],
+    # round-4 languages: inflected pairs conflate to one stem, stop
+    # words drop, language-specific casing/normalization applies
+    ("russian", "книги и книгами"): ["книг", "книг"],
+    ("russian", "красивый красивая"): ["красив", "красив"],
+    ("swedish", "flickorna och flickor"): ["flick", "flick"],
+    ("norwegian", "husene og huset"): ["hus", "hus"],
+    ("danish", "hunden og hundene"): ["hund", "hund"],
+    ("finnish", "talossa ja talot"): ["talo", "talo"],
+    ("hungarian", "házakban és házak"): ["haz", "haz"],
+    ("czech", "hrady a hradech"): ["hrad", "hrad"],
+    ("romanian", "timpurilor și timpuri"): ["timp", "timp"],
+    ("indonesian", "bukunya dan membaca"): ["buku", "baca"],
+    ("turkish", "kitaplar ve kitapları"): ["kitap", "kitap"],
+    # TurkishLowerCaseFilter semantics: İ→i, I→ı (dotless) before
+    # stemming; the locative strip on ISPARTA is the documented
+    # light-stemmer aggressiveness
+    ("turkish", "İstanbul ISPARTA"): ["istanbul", "ıspar"],
+    # ArabicNormalization (ال strip, ة→ه then suffix strip)
+    ("arabic", "الكتاب والكتب في المدرسة"): ["كتاب", "كتب", "مدرس"],
 }
 
 
@@ -65,3 +88,28 @@ def test_end_to_end_index_with_french_analyzer(spark, tmp_root):
     assert hits == {0, 1}
     hits2 = {r["doc_id"] for r in s.search_df("chevaux", k=None).collect()}
     assert hits2 == {0, 1}
+
+
+def test_end_to_end_index_with_russian_analyzer(spark, tmp_root):
+    import pandas as pd
+
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    pdf = pd.DataFrame([
+        ("r", "d0", "c", "ru", "новая книга"),
+        ("r", "d1", "c", "ru", "старые книги и журналы"),
+        ("r", "d2", "c", "ru", "журнал на столе"),
+    ], columns=["repo", "path", "commit", "lang", "content"])
+    d = os.path.join(tmp_root, "idx_russian")
+    IndexBuilder(spark, d, IndexConfig(analyzer="russian", n_buckets=4,
+                                       n_doc_partitions=2)) \
+        .build(spark.createDataFrame(pdf))
+    s = IndexSearcher(IndexReader(spark, d))
+    # singular and plural query forms stem together -> both docs match
+    hits = {r["doc_id"] for r in s.search_df("книга", k=None).collect()}
+    assert hits == {0, 1}
+    hits2 = {r["doc_id"] for r in s.search_df("книгами", k=None).collect()}
+    assert hits2 == {0, 1}
+    hits3 = {r["doc_id"] for r in s.search_df("журналы", k=None).collect()}
+    assert hits3 == {1, 2}
