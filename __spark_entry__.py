@@ -577,6 +577,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n long")
     q["geo_radius_count"] = geo_radius_count
 
+    # polygon ring shared by the entry and its generated SQL twin
+    _POLY = [(-20.0, -30.0), (30.0, -30.0), (30.0, 30.0),
+             (0.0, 0.0), (-20.0, 30.0)]
+
+    def geo_polygon_count(s, d):
+        """LatLonPoint.newPolygonQuery analog: even-odd ray cast over a
+        concave ring, bbox prefilter pushed to the scan."""
+        from lucene_1_spark.functions.geo import polygon_query
+        pts = _geo_docs(s, d)
+        n = polygon_query(pts, vertices=_POLY).count()
+        return s.createDataFrame([(n,)], "n long")
+    q["geo_polygon_count"] = geo_polygon_count
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1251,7 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
-        "geo_radius_count",                                # new r4
+        "geo_radius_count", "geo_polygon_count",           # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1780,6 +1793,25 @@ FROM geo
     o["geo_radius_count"] = f"""
 WITH {_GEO}
 SELECT count(*)::BIGINT AS n FROM geo WHERE {_HAV} <= 3000000.0
+"""
+
+    # polygon: the same even-odd crossing sum generated edge-by-edge
+    _POLY = [(-20.0, -30.0), (30.0, -30.0), (30.0, 30.0),
+             (0.0, 0.0), (-20.0, 30.0)]
+    _edges = []
+    for _i in range(len(_POLY)):
+        _y1, _x1 = _POLY[_i]
+        _y2, _x2 = _POLY[(_i + 1) % len(_POLY)]
+        if _y1 == _y2:
+            continue
+        _edges.append(
+            f"(CASE WHEN (({_y1} > lat) <> ({_y2} > lat)) AND "
+            f"(lon < ({_x2} - {_x1}) * (lat - {_y1}) / ({_y2} - {_y1})"
+            f" + {_x1}) THEN 1 ELSE 0 END)")
+    o["geo_polygon_count"] = f"""
+WITH {_GEO}
+SELECT count(*)::BIGINT AS n FROM geo
+WHERE ({" + ".join(_edges)}) % 2 = 1
 """
 
     o["ft_phrase_topk"] = f"""

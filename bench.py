@@ -175,7 +175,10 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
               "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
               "pipe_decontamination", "text_repetition",
               "sim_cosine_topk", "sim_near_dup_pairs", "sim_ivf_ann_topk",
-              "text_quality", "text_fingerprint"]
+              "text_quality", "text_fingerprint",
+              # round-4 operators
+              "ft_dismax_topk", "ft_term_in_set", "ft_more_like_this",
+              "ft_spell_suggest", "geo_distance_topk"]
     qs = entrymod.queries()
     out = {}
     for name in subset:

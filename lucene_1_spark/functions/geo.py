@@ -93,6 +93,56 @@ def distance_box(center_lat: float, center_lon: float,
     return min_lat, max_lat, min_lon, max_lon
 
 
+def polygon_predicate(lat_col, lon_col,
+                      vertices: list[tuple[float, float]]) -> Column:
+    """Point-in-polygon membership (``LatLonPoint.newPolygonQuery`` /
+    ``geo/Polygon.java``) by even-odd ray casting: a point is inside
+    iff a ray cast eastward crosses an odd number of edges
+    (``geo/GeoUtils.java`` lineage; the standard crossing-number test).
+
+    ``vertices`` is the (lat, lon) ring, closed implicitly (last joins
+    first); must not cross the dateline (split such polygons into two,
+    as the reference's Polygon docs require).  Boundary points follow
+    the half-open crossing rule (deterministic, may differ from the
+    reference on exact-edge hits — documented).  The whole test
+    compiles to one JVM boolean column (a sum of per-edge CASE terms
+    mod 2), so it runs in whole-stage codegen and survives at scale
+    with zero Python."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lat_col, lon_col = _c(lat_col), _c(lon_col)
+    crossings = None
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses an eastward ray
+        # half-open rule: edge counts when exactly one endpoint is
+        # strictly above the point's latitude
+        straddles = (F.lit(y1) > lat_col) != (F.lit(y2) > lat_col)
+        # lon of the edge at the point's latitude
+        x_at = (x2 - x1) * (lat_col - y1) / (y2 - y1) + x1
+        term = F.when(straddles & (lon_col < x_at), 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    if crossings is None:
+        return F.lit(False)
+    return crossings % 2 == 1
+
+
+def polygon_query(df: DataFrame, lat: str = "lat", lon: str = "lon", *,
+                  vertices: list[tuple[float, float]]) -> DataFrame:
+    """Rows inside the polygon, with the ring's bounding box pushed to
+    the scan before the ray cast (the BKD-reject two-phase shape of
+    ``LatLonPointInPolygonQuery``)."""
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    pre = box_predicate(F.col(lat), F.col(lon),
+                        min(lats), max(lats), min(lons), max(lons))
+    return df.filter(pre).filter(
+        polygon_predicate(F.col(lat), F.col(lon), vertices))
+
+
 def distance_query(df: DataFrame, lat: str = "lat", lon: str = "lon", *,
                    center_lat: float, center_lon: float, radius_m: float,
                    distance_col: str | None = None) -> DataFrame:

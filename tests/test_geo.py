@@ -119,3 +119,38 @@ def test_box_prefilter_is_pushed_down(points):
     # the box ranges must appear as pushable filters on lat/lon, not
     # only inside the haversine expression
     assert "lat" in plan and "lon" in plan
+
+
+def _pip_np(lat, lon, verts):
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        straddle = (y1 > lat) != (y2 > lat)
+        x_at = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= straddle & (lon < x_at)
+    return inside
+
+
+@pytest.mark.parametrize("verts", [
+    [(0.0, 0.0), (40.0, 10.0), (10.0, 50.0)],                  # triangle
+    [(-20.0, -30.0), (30.0, -30.0), (30.0, 30.0),
+     (0.0, 0.0), (-20.0, 30.0)],                               # concave
+    [(50.0, -10.0), (70.0, 0.0), (50.0, 10.0), (60.0, 0.0)],   # arrow
+])
+def test_polygon_query_matches_numpy_raycast(points, verts):
+    from lucene_1_spark.functions.geo import polygon_query
+    df, pdf = points
+    got = {r["doc_id"] for r in polygon_query(df, vertices=verts).collect()}
+    want = set(pdf.doc_id.values[
+        _pip_np(pdf.lat.values, pdf.lon.values, verts)])
+    assert got == want and len(want) > 0
+
+
+def test_polygon_guards():
+    from lucene_1_spark.functions.geo import polygon_predicate
+    with pytest.raises(ValueError):
+        polygon_predicate(F.col("a"), F.col("b"), [(0, 0), (1, 1)])
