@@ -1490,6 +1490,29 @@ class IndexSearcher:
                     "description": f"sum of ({type(query).__name__})",
                     "details": details}
 
+        if isinstance(query, DisjunctionMaxQuery):
+            # Lucene's "max plus <tie> times others of:" explanation
+            # (DisjunctionMaxQuery.java disjunctExplanations)
+            details = []
+            vals = []
+            for dq in query.disjuncts:
+                v = self._subplan_value(dq, doc_id)
+                if v is not None:
+                    vals.append(v)
+                    details.append({"value": v, "occur": "DISJUNCT",
+                                    "description": f"disjunct {dq}"})
+            if not vals:
+                return {"match": False, "value": 0.0,
+                        "description": "no match", "details": details}
+            mx, sm = max(vals), sum(vals)
+            total = (mx + query.tie_breaker * (sm - mx)) * query.boost
+            if not self.double_mode:
+                total = float(np.float32(total))
+            return {"match": True, "value": total,
+                    "description":
+                        f"max plus {query.tie_breaker} times others of:",
+                    "details": details}
+
         # phrase / synonym / constant-score / match-all leaves: value
         # from the node's own sub-plan (same arithmetic as search_df)
         v = self._subplan_value(query, doc_id)

@@ -151,3 +151,15 @@ def test_term_in_set_keyword_field(searcher):
 def test_term_in_set_empty_rewrites_to_none(searcher):
     got = searcher.search_df(TermInSetQuery(()), k=None)
     assert got.count() == 0
+
+
+def test_dismax_explain_matches_search_score(searcher):
+    q = DisjunctionMaxQuery((TermQuery("tok0"), TermQuery("def")), 0.3)
+    hits = searcher.search_df(q, k=3).collect()
+    for h in hits:
+        ex = searcher.explain(q, h["doc_id"])
+        assert ex["match"] is True
+        assert math.isclose(ex["value"], h["score"], rel_tol=1e-6)
+        assert ex["description"].startswith("max plus")
+        assert len(ex["details"]) >= 1
+    assert searcher.explain(q, 10_000_000)["match"] is False
