@@ -590,6 +590,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n long")
     q["geo_polygon_count"] = geo_polygon_count
 
+    def ft_multifield_dismax(s, d):
+        """MultiFieldQueryParser shape (queryparser/classic/
+        MultiFieldQueryParser.java:62-89): one user term searched
+        across fields (content + the analyzed 'head' field), per-field
+        scores combined DisMax with tie_breaker=0.1 — a doc matching
+        one field well beats a doc matching both weakly."""
+        from lucene_1_spark.search.query import (DisjunctionMaxQuery,
+                                                 TermQuery)
+        se = _searcher(s, d)
+        dm = DisjunctionMaxQuery(
+            (TermQuery("spark"), TermQuery("spark", field="head")),
+            tie_breaker=0.1)
+        top = se.search_df(dm, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_multifield_dismax"] = ft_multifield_dismax
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1265,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
         "geo_radius_count", "geo_polygon_count",           # new r4
+        "ft_multifield_dismax",                            # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1855,6 +1876,36 @@ htf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq
 hdl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM htoks GROUP BY 1),
 hst AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM hdl),
 hdf AS (SELECT term, count(*)::DOUBLE AS dfreq FROM htf GROUP BY 1)"""
+
+    # multi-field dismax: content-field and head-field BM25 for the
+    # same term, folded max + 0.1*(sum-max)
+    o["ft_multifield_dismax"] = f"""
+WITH {_BM25_CTES},
+{_HEAD_CTES},
+s1 AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = 'spark'),
+s2 AS (
+  SELECT htf.doc_id,
+         ln(1 + (hst.n - hdf.dfreq + 0.5) / (hdf.dfreq + 0.5)) * htf.freq
+         / (htf.freq + {K1} * (1 - {B} + {B} * hdl.len / (hst.tot / hst.n)))
+           AS s
+  FROM htf JOIN hdl ON htf.doc_id = hdl.doc_id
+  JOIN hdf ON htf.term = hdf.term CROSS JOIN hst
+  WHERE htf.term = 'spark'),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+agg AS (SELECT doc_id, max(s) + 0.1 * (sum(s) - max(s)) AS s FROM u
+        GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
 
     # analyzed text field: BM25 entirely over the head field's stats
     o["ft_textfield_topk"] = f"""
