@@ -5,7 +5,8 @@ synonym injection (the reference's ``analysis/shingle/ShingleFilter.java``,
 base analyzer's token stream).
 
 Shingle/NGram analyzers are resolvable from a NAME SPEC
-(``shingle:<base>:<min>:<max>``, ``ngram:<base>:<min>:<max>``) so index
+(``shingle:<base>:<min>:<max>``, ``ngram:<base>:<min>:<max>``,
+``edge_ngram:<base>:<min>:<max>``) so index
 kernels running in Python workers can reconstruct them from the
 manifest's analyzer string alone.  SynonymAnalyzer carries an arbitrary
 map, so it is built programmatically (driver-side pipelines, query
@@ -70,6 +71,35 @@ class NGramAnalyzer:
 
 
 @dataclass(frozen=True)
+class EdgeNGramAnalyzer:
+    """Leading-edge n-grams per base token
+    (``analysis/ngram/EdgeNGramTokenFilter.java``) — the classic
+    search-as-you-type index shape: 'spark' with 2..4 grams emits
+    sp/spa/spar, each at the source token's position.
+    ``keep_original`` mirrors preserveOriginal (the full token is
+    emitted too, so exact matches still hit)."""
+
+    base: str = "standard"
+    min_n: int = 2
+    max_n: int = 4
+    keep_original: bool = True
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t, _ in self.tokens_with_positions(text)]
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        out = []
+        for t, p in _base_analyzer(self.base).tokens_with_positions(text):
+            for n in range(self.min_n, min(self.max_n, len(t)) + 1):
+                out.append((t[:n], p))
+            if self.keep_original and len(t) > self.max_n:
+                out.append((t, p))
+            elif self.keep_original and len(t) < self.min_n:
+                out.append((t, p))  # shorter than min_n: original only
+        return out
+
+
+@dataclass(frozen=True)
 class SynonymAnalyzer:
     """Map-based synonym injection: each mapped term additionally emits
     its synonyms AT THE SAME POSITION (posInc=0, the SynonymGraphFilter
@@ -102,4 +132,6 @@ def resolve_spec(name: str):
         return ShingleAnalyzer(parts[1], int(parts[2]), int(parts[3]))
     if parts[0] == "ngram" and len(parts) == 4:
         return NGramAnalyzer(parts[1], int(parts[2]), int(parts[3]))
+    if parts[0] == "edge_ngram" and len(parts) == 4:
+        return EdgeNGramAnalyzer(parts[1], int(parts[2]), int(parts[3]))
     return None

@@ -86,6 +86,20 @@ def test_shingle_and_ngram_filters():
     assert ng.tokens("spark") == ["spa", "par", "ark"]
 
 
+def test_edge_ngram_filter():
+    from lucene_1_spark.analysis import get_analyzer
+    eg = get_analyzer("edge_ngram:whitespace:2:4")
+    # spark -> sp spa spar + original (longer than max_n)
+    assert eg.tokens("spark") == ["sp", "spa", "spar", "spark"]
+    # token exactly max_n long: full token IS the last gram, no dup
+    assert eg.tokens("park") == ["pa", "par", "park"]
+    # shorter than min_n: original only
+    assert eg.tokens("a") == ["a"]
+    # grams share the source token's position
+    got = eg.tokens_with_positions("go spark")
+    assert ("go", 0) in got and ("sp", 1) in got and ("spark", 1) in got
+
+
 def test_synonym_analyzer_same_position():
     from lucene_1_spark.analysis.filters import SynonymAnalyzer
     an = SynonymAnalyzer("whitespace", (("fast", ("quick", "rapid")),))
