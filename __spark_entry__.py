@@ -610,6 +610,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"), "rank")
     q["ft_multifield_dismax"] = ft_multifield_dismax
 
+    def classify_naive_bayes(s, d):
+        """SimpleNaiveBayesClassifier (classification/
+        SimpleNaiveBayesClassifier.java:44-250): multinomial NB with
+        add-one smoothing, trained on the whole documents table
+        (label = lang), classifying docs 0..49; absent-(term,class)
+        smoothing folds into the per-class closed form so the join
+        only touches existing counts."""
+        from lucene_1_spark.pipeline.classify import (naive_bayes_classify,
+                                                      naive_bayes_train)
+        docs = _docs(s, d).select("doc_id", "text", "lang")
+        model = naive_bayes_train(docs, text_col="text", label_col="lang")
+        return naive_bayes_classify(
+            model, docs.filter(F.col("doc_id") < 50), text_col="text")
+    q["classify_naive_bayes"] = classify_naive_bayes
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1285,7 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
         "geo_radius_count", "geo_polygon_count",           # new r4
-        "ft_multifield_dismax",                            # new r4
+        "ft_multifield_dismax", "classify_naive_bayes",    # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1905,6 +1920,40 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM agg
 ) WHERE rank <= 10
+"""
+
+    # Naive Bayes: same closed-form smoothing arithmetic in SQL
+    o["classify_naive_bayes"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY 1, 2),
+labels AS (SELECT doc_id, lang AS label FROM documents),
+tl AS (SELECT tf.doc_id, tf.term, tf.tf, labels.label
+       FROM tf JOIN labels ON tf.doc_id = labels.doc_id),
+cs AS (SELECT label, count(DISTINCT doc_id)::DOUBLE AS n_docs,
+              sum(tf) AS n_tokens FROM tl GROUP BY 1),
+tc AS (SELECT term, label, sum(tf) AS cnt FROM tl GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS vs FROM tf),
+nt AS (SELECT sum(n_docs) AS ntot FROM cs),
+tfq AS (SELECT * FROM tf WHERE doc_id < 50),
+dl AS (SELECT doc_id, sum(tf) AS len FROM tfq GROUP BY 1),
+base AS (
+  SELECT dl.doc_id, cs.label,
+         ln(cs.n_docs / nt.ntot) - dl.len * ln(cs.n_tokens + v.vs) AS b
+  FROM dl CROSS JOIN cs CROSS JOIN nt CROSS JOIN v),
+hits AS (
+  SELECT tfq.doc_id, tc.label, sum(tfq.tf * ln(tc.cnt + 1.0)) AS hs
+  FROM tfq JOIN tc ON tfq.term = tc.term GROUP BY 1, 2),
+scored AS (
+  SELECT base.doc_id, base.label, base.b + coalesce(hits.hs, 0) AS s
+  FROM base LEFT JOIN hits
+    ON base.doc_id = hits.doc_id AND base.label = hits.label)
+SELECT doc_id, label, round(s, 6) AS log_score FROM (
+  SELECT doc_id, label, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, label ASC) AS rn
+  FROM scored
+) WHERE rn = 1
 """
 
     # analyzed text field: BM25 entirely over the head field's stats
