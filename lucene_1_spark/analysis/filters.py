@@ -99,6 +99,38 @@ class EdgeNGramAnalyzer:
         return out
 
 
+_NO_DECOMP = {"ø": "o", "Ø": "o", "ß": "ss", "æ": "ae", "Æ": "ae",
+              "œ": "oe", "Œ": "oe", "đ": "d", "Đ": "d", "ł": "l",
+              "Ł": "l", "þ": "th", "Þ": "th", "ð": "d", "Ð": "d",
+              "ħ": "h", "ı": "i"}
+
+
+def ascii_fold(t: str) -> str:
+    """ASCIIFoldingFilter analog (``analysis/miscellaneous/
+    ASCIIFoldingFilter.java``): NFD-decompose and drop combining marks
+    (covers the accent table), plus the handful of Latin letters with
+    no decomposition (ø ß æ œ đ ł þ ð ...)."""
+    import unicodedata
+    t = "".join(_NO_DECOMP.get(c, c) for c in t)
+    return "".join(c for c in unicodedata.normalize("NFD", t)
+                   if not unicodedata.combining(c))
+
+
+@dataclass(frozen=True)
+class FoldingAnalyzer:
+    """Base chain + ASCII folding on every emitted token — the
+    ``folded:<base>`` name spec."""
+
+    base: str = "standard"
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t, _ in self.tokens_with_positions(text)]
+
+    def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
+        return [(ascii_fold(t), p) for t, p
+                in _base_analyzer(self.base).tokens_with_positions(text)]
+
+
 @dataclass(frozen=True)
 class SynonymAnalyzer:
     """Map-based synonym injection: each mapped term additionally emits
@@ -134,4 +166,6 @@ def resolve_spec(name: str):
         return NGramAnalyzer(parts[1], int(parts[2]), int(parts[3]))
     if parts[0] == "edge_ngram" and len(parts) == 4:
         return EdgeNGramAnalyzer(parts[1], int(parts[2]), int(parts[3]))
+    if parts[0] == "folded" and len(parts) == 2:
+        return FoldingAnalyzer(parts[1])
     return None

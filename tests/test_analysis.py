@@ -151,3 +151,13 @@ def test_offsets_attribute_whitespace():
     text = " Spark  SQL "
     assert an.tokens_with_offsets(text) == [("spark", 0, 1, 6),
                                             ("sql", 1, 8, 11)]
+
+
+def test_ascii_folding_analyzer():
+    from lucene_1_spark.analysis import get_analyzer
+    fa = get_analyzer("folded:whitespace")
+    assert fa.tokens("café naïve øre straße æsir łódź") == \
+        ["cafe", "naive", "ore", "strasse", "aesir", "lodz"]
+    # positions preserved through the fold
+    assert fa.tokens_with_positions("crème brûlée") == \
+        [("creme", 0), ("brulee", 1)]

@@ -129,6 +129,37 @@ def main() -> int:
     ok &= audit("knn_prefilter_semi_join", p, ["LeftSemi"])
     ok &= audit("knn_topk_take_ordered", p, ["TakeOrderedAndProject"])
 
+    # 9. dismax: final fold is one hash aggregate + TakeOrdered (no
+    # global sort, no cartesian)
+    from lucene_1_spark.search.query import DisjunctionMaxQuery
+    dm = DisjunctionMaxQuery((TermQuery("tok1"), TermQuery("tok2")), 0.3)
+    p = plan_of(searcher.search_df(dm, k=10))
+    ok &= audit("dismax_take_ordered", p, ["TakeOrderedAndProject"],
+                must_not=["CartesianProduct"])
+
+    # 10. term-in-set: single scan with the IN-set pushed to bucket
+    # partition pruning + term predicate
+    from lucene_1_spark.search.query import TermInSetQuery
+    p = plan_of(searcher.search_df(
+        TermInSetQuery(("tok1", "tok2", "tok3")), k=None))
+    ok &= audit("term_in_set_pushdown", p,
+                ["PartitionFilters: [bucket", "PushedFilters: [In(term"])
+
+    # 11. geo distance: box ranges reach the scan as pushable filters
+    from lucene_1_spark.functions.geo import distance_query
+    pts_dir = os.path.join(tempfile.gettempdir(), "l1s_audit_geo")
+    if not os.path.exists(os.path.join(pts_dir, "_SUCCESS")):
+        spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((F.col("id") * 104729 % 36000) / 100.0 - 180.0).alias("lon")) \
+            .write.mode("overwrite").parquet(pts_dir)
+    pts = spark.read.parquet(pts_dir)
+    p = plan_of(distance_query(pts, center_lat=12.3, center_lon=45.6,
+                               radius_m=1e6))
+    ok &= audit("geo_box_pushdown", p,
+                ["GreaterThanOrEqual(lat", "LessThanOrEqual(lon"])
+
     print("ALL PASS" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
