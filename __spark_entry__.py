@@ -625,6 +625,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             model, docs.filter(F.col("doc_id") < 50), text_col="text")
     q["classify_naive_bayes"] = classify_naive_bayes
 
+    def dv_update_range_count(s, d):
+        """In-place doc-values update (IndexWriter.updateNumericDocValue):
+        bootstrap an index over documents, set the stored token-count
+        field ``length`` to 99999 for every doc containing 'window'
+        WITHOUT re-indexing postings, then count through
+        DocValuesRangeQuery — the updated docs appear in the high range
+        and have left the low range (scoring norms untouched)."""
+        import shutil
+
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.search.query import DocValuesRangeQuery
+        from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+        key = os.path.abspath(d)
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), "l1s_driver_dv_v1",
+            hashlib.md5(key.encode()).hexdigest()[:12])
+        marker = os.path.join(idx_dir, "DV_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"))
+            cfg = IndexConfig(analyzer="whitespace",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            w = IncrementalIndexWriter(s, idx_dir, cfg)
+            w.append(corpus)
+            w.update_numeric_doc_value("window", "length", 99999)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        se = IndexSearcher(IndexReader(s, idx_dir))
+        hi = se.search_df(DocValuesRangeQuery("length", 99999, None),
+                          k=None).count()
+        lo = se.search_df(DocValuesRangeQuery("length", None, 50),
+                          k=None).count()
+        return s.createDataFrame([(hi, lo)], "updated_n long, small_n long")
+    q["dv_update_range_count"] = dv_update_range_count
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1301,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk", "geo_bbox_count",             # new r4
         "geo_radius_count", "geo_polygon_count",           # new r4
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
+        "dv_update_range_count",                           # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1920,6 +1965,19 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM agg
 ) WHERE rank <= 10
+"""
+
+    # DV update: updated docs enter the high length range, leave the
+    # low one; engine length == whitespace token count
+    o["dv_update_range_count"] = f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+win AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT
+  (SELECT count(*) FROM win)::BIGINT AS updated_n,
+  (SELECT count(*) FROM dl
+   WHERE len <= 50
+     AND doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
 """
 
     # Naive Bayes: same closed-form smoothing arithmetic in SQL

@@ -61,6 +61,43 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
 
+def fold_doc_values(spark: SparkSession, index_dir: str,
+                    drop_old: bool = True) -> int:
+    """Materialize pending doc-values updates into a new docs-table
+    generation and clear the delta — the merge-time fold of Lucene's
+    per-segment doc-values update files (``index/ReadersAndUpdates.java``
+    writeFieldUpdates).  Atomic: the new generation is fully written
+    before the manifest swap; a crash in between leaves the previous
+    snapshot (base + delta overlay) intact.  Returns the number of
+    fields folded (0 = nothing pending)."""
+    m = _manifest(index_dir)
+    dvf = m.get("dv_fields")
+    if not dvf:
+        return 0
+    reader = IndexReader(spark, index_dir)
+    # fold over the FULL physical schema (docs() drops term_freqs)
+    full = spark.read.parquet(reader.table_path("docs"))
+    folded = reader._overlay_doc_values(full)
+    gen = int(m.get("generation", 0)) + 1
+    docs_name = f"docs_gen{gen}"
+    folded.write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, docs_name))
+    old_docs = m.get("docs_path", "docs")
+    m["docs_path"] = docs_name
+    m["generation"] = gen
+    m.pop("dv_fields", None)
+    m.pop("dv_generation", None)
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)
+    shutil.rmtree(os.path.join(index_dir, "dv_updates"),
+                  ignore_errors=True)
+    if drop_old and old_docs != docs_name:
+        full_old = os.path.join(index_dir, old_docs)
+        if os.path.exists(full_old):
+            shutil.rmtree(full_old, ignore_errors=True)
+    return len(dvf)
+
+
 def append_tombstones(spark: SparkSession, index_dir: str,
                       doc_ids: DataFrame) -> int:
     """Record deletions (doc_id rows).  Returns the number appended.

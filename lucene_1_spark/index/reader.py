@@ -57,8 +57,52 @@ class IndexReader:
         return self.spark.read.parquet(self.table_path("term_stats"))
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.table_path("docs")) \
-            .drop("term_freqs")
+        return self._overlay_doc_values(
+            self.spark.read.parquet(self.table_path("docs"))
+            .drop("term_freqs"))
+
+    def _overlay_doc_values(self, base: DataFrame) -> DataFrame:
+        """Apply pending doc-values updates — the read-side of
+        ``IndexWriter.updateNumericDocValue`` /
+        ``updateBinaryDocValue`` (``index/IndexWriter.java``: updates
+        live in per-segment .dvu "update files" folded in at merge;
+        here a ``dv_updates`` delta table keyed (doc_id, field, gen),
+        latest generation wins).  Zero-cost when no updates are
+        pending (no manifest marker -> the base scan unchanged);
+        :func:`lucene_1_spark.index.maintenance.fold_doc_values`
+        materializes the overlay and clears the delta."""
+        dvf = self.manifest.get("dv_fields")
+        if not dvf:
+            return base
+        from pyspark.sql import Window as W, types as T
+        upd = self.spark.read.parquet(
+            os.path.join(self.dir, "dv_updates"))
+        latest = (upd.withColumn("_rn", F.row_number().over(
+            W.partitionBy("doc_id", "field").orderBy(F.desc("gen"))))
+            .filter(F.col("_rn") == 1))
+        dtypes = {f.name: f.dataType for f in base.schema.fields}
+        for f in dvf:
+            fl = latest.filter(F.col("field") == f)
+            dt = dtypes.get(f)
+            if isinstance(dt, T.StringType):
+                newc = fl.select("doc_id", F.col("value_str")
+                                 .alias(f"_dv_{f}"))
+                cast_to = "string"
+            else:
+                newc = fl.select("doc_id", F.col("value_num")
+                                 .alias(f"_dv_{f}"))
+                cast_to = dt.simpleString() if dt is not None else "double"
+            # no forced broadcast: an update keyed on a hot term can
+            # touch millions of docs — let AQE pick the join strategy
+            base = base.join(newc, "doc_id", "left")
+            if f in dtypes:
+                base = base.withColumn(
+                    f, F.coalesce(F.col(f"_dv_{f}").cast(cast_to),
+                                  F.col(f)))
+            else:  # a field that never existed: appears where updated
+                base = base.withColumn(f, F.col(f"_dv_{f}").cast(cast_to))
+            base = base.drop(f"_dv_{f}")
+        return base
 
     # -- live docs (deletes) ------------------------------------------------
     @property

@@ -325,6 +325,58 @@ class IncrementalIndexWriter:
         s = IndexSearcher(IndexReader(self.spark, self.dir))
         return self.delete_docs(s.docs_for_terms([term]))
 
+    def update_numeric_doc_value(self, term: str, field: str,
+                                 value: float) -> int:
+        """``IndexWriter.updateNumericDocValue(term, field, value)``:
+        set a stored numeric field for EVERY live doc containing the
+        term WITHOUT re-indexing postings (in-place doc-values update).
+        Writes one generation of a ``dv_updates`` delta table; readers
+        overlay latest-generation-wins (``IndexReader.docs``), and
+        ``fold_doc_values`` / ``compact`` materialize it.  Returns the
+        number of docs updated."""
+        return self._update_doc_value(term, field, num=float(value),
+                                      s=None)
+
+    def update_binary_doc_value(self, term: str, field: str,
+                                value: str) -> int:
+        """``IndexWriter.updateBinaryDocValue`` analog for string
+        stored fields."""
+        return self._update_doc_value(term, field, num=None,
+                                      s=str(value))
+
+    def _update_doc_value(self, term: str, field: str,
+                          num: float | None, s: str | None) -> int:
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from lucene_1_spark.index.maintenance import _write_manifest
+        from lucene_1_spark.index.reader import IndexReader
+        from lucene_1_spark.search.executor import IndexSearcher
+
+        reader = IndexReader(self.spark, self.dir)
+        se = IndexSearcher(reader)
+        victims = se.docs_for_terms([term])
+        if reader.has_deletes:
+            victims = victims.join(reader.tombstones(), "doc_id",
+                                   "left_anti")
+        manifest = self._read_manifest()
+        gen = int(manifest.get("dv_generation", 0)) + 1
+        rows = victims.select(
+            "doc_id", F.lit(field).alias("field"),
+            F.lit(num).cast("double").alias("value_num"),
+            F.lit(s).cast("string").alias("value_str"),
+            F.lit(gen).cast("long").alias("gen"))
+        out = os.path.join(self.dir, "dv_updates", f"gen={gen}")
+        rows.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        fields = sorted(set(manifest.get("dv_fields", [])) | {field})
+        manifest["dv_fields"] = fields
+        manifest["dv_generation"] = gen
+        manifest["committed_at"] = _time.time()
+        _write_manifest(self.dir, manifest)
+        return n
+
     def update_documents(self, docs_df: DataFrame,
                          batch_id: int | None = None) -> None:
         """updateDocument: atomically-ordered delete-by-key + append of
@@ -333,8 +385,13 @@ class IncrementalIndexWriter:
         self.append(docs_df, batch_id=batch_id)
 
     def compact(self) -> dict:
-        """Reclaim tombstones + defragment block runs (SegmentMerger)."""
-        return compact_index(self.spark, self.dir)
+        """Reclaim tombstones + defragment block runs (SegmentMerger);
+        pending doc-values updates fold into the new docs generation
+        (the merge-time writeFieldUpdates fold)."""
+        out = compact_index(self.spark, self.dir)
+        from lucene_1_spark.index.maintenance import fold_doc_values
+        fold_doc_values(self.spark, self.dir)
+        return out
 
     def maybe_compact(self, max_segments: int = 10) -> dict | None:
         """TieredMergePolicy-style trigger (~10 segments/tier,
