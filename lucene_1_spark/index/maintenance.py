@@ -61,6 +61,64 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
 
+def snapshot_index(index_dir: str) -> str:
+    """Retain the current commit point — ``SnapshotDeletionPolicy.
+    snapshot()`` (``index/SnapshotDeletionPolicy.java:40-90``): copies
+    the manifest into ``snapshots/`` and returns a snapshot id.  While
+    any snapshot exists, compaction/folding keep every data directory
+    a retained manifest references (plus tombstones / dv deltas), so
+    the snapshot stays readable — the Iceberg-snapshot-retention
+    analog.  Open one with ``IndexReader(spark, dir, snapshot=id)``
+    (``DirectoryReader.open(IndexCommit)``)."""
+    snap_dir = os.path.join(index_dir, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    existing = [f for f in os.listdir(snap_dir) if f.endswith(".json")]
+    snap_id = f"snap_{len(existing):04d}_{int(time.time())}"
+    shutil.copyfile(os.path.join(index_dir, "manifest.json"),
+                    os.path.join(snap_dir, f"{snap_id}.json"))
+    return snap_id
+
+
+def release_snapshot(index_dir: str, snapshot_id: str) -> bool:
+    """``SnapshotDeletionPolicy.release``: drop the retained commit.
+    Data dirs it referenced become eligible for cleanup at the NEXT
+    compaction/fold (deletion policies are lazy in the reference
+    too)."""
+    p = os.path.join(index_dir, "snapshots", f"{snapshot_id}.json")
+    if os.path.exists(p):
+        os.remove(p)
+        return True
+    return False
+
+
+def list_snapshots(index_dir: str) -> list[str]:
+    snap_dir = os.path.join(index_dir, "snapshots")
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(f[:-5] for f in os.listdir(snap_dir)
+                  if f.endswith(".json"))
+
+
+def _snapshot_protected(index_dir: str) -> set[str]:
+    """Relative data paths some retained snapshot still references."""
+    out: set[str] = set()
+    snap_dir = os.path.join(index_dir, "snapshots")
+    if not os.path.isdir(snap_dir):
+        return out
+    for f in os.listdir(snap_dir):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(snap_dir, f)) as fh:
+            m = json.load(fh)
+        for name in ("postings", "docs", "term_stats"):
+            out.add(m.get(f"{name}_path", name))
+        if m.get("has_deletes"):
+            out.add("tombstones")
+        if m.get("dv_fields"):
+            out.add("dv_updates")
+    return out
+
+
 def fold_doc_values(spark: SparkSession, index_dir: str,
                     drop_old: bool = True) -> int:
     """Materialize pending doc-values updates into a new docs-table
@@ -86,12 +144,18 @@ def fold_doc_values(spark: SparkSession, index_dir: str,
     m["docs_path"] = docs_name
     m["generation"] = gen
     m.pop("dv_fields", None)
-    m.pop("dv_generation", None)
+    # dv_generation stays monotonic across folds; dv_folded_gen marks
+    # the materialized floor so the overlay filter and retained
+    # snapshots (which read the delta dir at THEIR generation window)
+    # never double-apply or lose updates
+    m["dv_folded_gen"] = int(m.get("dv_generation", 0))
     m["committed_at"] = time.time()
     _write_manifest(index_dir, m)
-    shutil.rmtree(os.path.join(index_dir, "dv_updates"),
-                  ignore_errors=True)
-    if drop_old and old_docs != docs_name:
+    protected = _snapshot_protected(index_dir)
+    if "dv_updates" not in protected:
+        shutil.rmtree(os.path.join(index_dir, "dv_updates"),
+                      ignore_errors=True)
+    if drop_old and old_docs != docs_name and old_docs not in protected:
         full_old = os.path.join(index_dir, old_docs)
         if os.path.exists(full_old):
             shutil.rmtree(full_old, ignore_errors=True)
@@ -107,10 +171,13 @@ def append_tombstones(spark: SparkSession, index_dir: str,
     n = rows.count()
     if n == 0:
         return 0
-    rows.coalesce(1).write.mode("append") \
-        .parquet(os.path.join(index_dir, "tombstones"))
     m = _manifest(index_dir)
+    gen = int(m.get("tombstone_gen", 0)) + 1
+    rows.withColumn("gen", F.lit(gen).cast("long")).coalesce(1) \
+        .write.mode("append") \
+        .parquet(os.path.join(index_dir, "tombstones"))
     m["has_deletes"] = True
+    m["tombstone_gen"] = gen
     m["committed_at"] = time.time()
     _write_manifest(index_dir, m)
     return n
@@ -281,13 +348,17 @@ def compact_index(spark: SparkSession, index_dir: str,
     m["committed_at"] = time.time()
     _write_manifest(index_dir, m)  # the atomic snapshot swap
 
-    # post-commit cleanup (crash-safe: manifest no longer references these)
-    if os.path.exists(tomb_path):
+    # post-commit cleanup (crash-safe: manifest no longer references
+    # these; anything a retained snapshot references stays — the
+    # SnapshotDeletionPolicy keep-set)
+    protected = _snapshot_protected(index_dir)
+    if os.path.exists(tomb_path) and "tombstones" not in protected:
         shutil.rmtree(tomb_path, ignore_errors=True)
     if drop_old:
         for name, path in old.items():
             full = os.path.join(index_dir, path)
-            if path != m[f"{name}_path"] and os.path.exists(full):
+            if path != m[f"{name}_path"] and path not in protected \
+                    and os.path.exists(full):
                 shutil.rmtree(full, ignore_errors=True)
     # keep the builder's stage stats coherent for later appends/resumes
     with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:

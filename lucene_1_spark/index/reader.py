@@ -12,10 +12,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 snapshot: str | None = None):
+        """``snapshot`` opens a RETAINED commit point instead of the
+        current one — ``DirectoryReader.open(IndexCommit)`` over a
+        ``SnapshotDeletionPolicy`` snapshot (see
+        ``maintenance.snapshot_index``).  Deletes and doc-values
+        updates made after the snapshot are invisible: both deltas are
+        generation-stamped and the reader filters to the snapshot
+        manifest's generation window."""
         self.spark = spark
         self.dir = index_dir
-        with open(os.path.join(index_dir, "manifest.json")) as fh:
+        path = os.path.join(index_dir, "manifest.json") \
+            if snapshot is None \
+            else os.path.join(index_dir, "snapshots", f"{snapshot}.json")
+        with open(path) as fh:
             self.manifest = json.load(fh)
         self.cfg = self.manifest["config"]
         self.stats = self.manifest["collection_stats"]
@@ -77,6 +88,11 @@ class IndexReader:
         from pyspark.sql import Window as W, types as T
         upd = self.spark.read.parquet(
             os.path.join(self.dir, "dv_updates"))
+        # generation window: above the materialized floor, at or below
+        # this manifest's last update (snapshot readers stop early)
+        floor = int(self.manifest.get("dv_folded_gen", 0))
+        ceil = int(self.manifest.get("dv_generation", 0))
+        upd = upd.filter((F.col("gen") > floor) & (F.col("gen") <= ceil))
         latest = (upd.withColumn("_rn", F.row_number().over(
             W.partitionBy("doc_id", "field").orderBy(F.desc("gen"))))
             .filter(F.col("_rn") == 1))
@@ -117,8 +133,14 @@ class IndexReader:
         anti-joins against this — ``IndexSearcher.java:826`` liveDocs;
         collection/term stats stay stale until compaction, exactly
         Lucene's deleted-docs-still-count-in-df semantics."""
-        return self.spark.read.parquet(os.path.join(self.dir, "tombstones")) \
-            .select("doc_id").distinct()
+        t = self.spark.read.parquet(os.path.join(self.dir, "tombstones"))
+        # generation window: a snapshot reader must not see deletes
+        # appended after its commit point (rows from pre-gen-stamp
+        # files have gen null = always visible)
+        if "gen" in t.columns:
+            tg = int(self.manifest.get("tombstone_gen", 0))
+            t = t.filter(F.col("gen").isNull() | (F.col("gen") <= tg))
+        return t.select("doc_id").distinct()
 
     def n_live_docs(self) -> int:
         if not self.has_deletes:
