@@ -669,6 +669,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(hi, lo)], "updated_n long, small_n long")
     q["dv_update_range_count"] = dv_update_range_count
 
+    def snap_point_in_time(s, d):
+        """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit):
+        snapshot the commit, delete every doc containing 'window', then
+        count 'spark' docs through BOTH readers — the snapshot still
+        sees the pre-delete corpus."""
+        import shutil
+
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.index.maintenance import snapshot_index
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+        key = os.path.abspath(d)
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), "l1s_driver_snap_v1",
+            hashlib.md5(key.encode()).hexdigest()[:12])
+        marker = os.path.join(idx_dir, "SNAP_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"))
+            cfg = IndexConfig(analyzer="whitespace",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            w = IncrementalIndexWriter(s, idx_dir, cfg)
+            w.append(corpus)
+            snap = snapshot_index(idx_dir)
+            with open(os.path.join(idx_dir, "SNAP_ID"), "w") as fh:
+                fh.write(snap)
+            w.delete_by_term("window")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        with open(os.path.join(idx_dir, "SNAP_ID")) as fh:
+            snap = fh.read().strip()
+        cur = IndexSearcher(IndexReader(s, idx_dir)).count("spark")
+        old = IndexSearcher(IndexReader(s, idx_dir,
+                                        snapshot=snap)).count("spark")
+        return s.createDataFrame([(cur, old)],
+                                 "current_n long, snapshot_n long")
+    q["snap_point_in_time"] = snap_point_in_time
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1345,7 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk", "geo_bbox_count",             # new r4
         "geo_radius_count", "geo_polygon_count",           # new r4
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
-        "dv_update_range_count",                           # new r4
+        "dv_update_range_count", "snap_point_in_time",     # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1978,6 +2024,18 @@ SELECT
   (SELECT count(*) FROM dl
    WHERE len <= 50
      AND doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
+"""
+
+    # snapshot: current reader = spark-docs minus window-docs; the
+    # retained snapshot still counts every spark doc
+    o["snap_point_in_time"] = f"""
+WITH {_TOKS},
+sp AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+win AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT
+  (SELECT count(*) FROM sp
+   WHERE doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS current_n,
+  (SELECT count(*) FROM sp)::BIGINT AS snapshot_n
 """
 
     # Naive Bayes: same closed-form smoothing arithmetic in SQL
