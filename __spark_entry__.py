@@ -715,6 +715,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "current_n long, snapshot_n long")
     q["snap_point_in_time"] = snap_point_in_time
 
+    def ft_join_query(s, d):
+        """JoinUtil.createJoinQuery (join/JoinUtil.java:60-120) with
+        ScoreMode.Total: docs matching 'window' aggregate their BM25
+        scores per lang; every doc of a matching lang scores that
+        total."""
+        from lucene_1_spark.search.query import JoinQuery, TermQuery
+        se = _searcher(s, d)
+        q_ = JoinQuery(TermQuery("window"), "lang", "lang",
+                       score_mode="total")
+        top = se.search_df(q_, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_join_query"] = ft_join_query
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1392,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_count", "geo_polygon_count",           # new r4
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
         "dv_update_range_count", "snap_point_in_time",     # new r4
+        "ft_join_query",                                   # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2024,6 +2042,28 @@ SELECT
   (SELECT count(*) FROM dl
    WHERE len <= 50
      AND doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
+"""
+
+    # query-time join: window-doc BM25 totals per lang, assigned to
+    # every doc of that lang
+    o["ft_join_query"] = f"""
+WITH {_BM25_CTES},
+ws AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = 'window'),
+wl AS (SELECT d.lang, sum(ws.s) AS js
+       FROM ws JOIN documents d ON ws.doc_id = d.doc_id GROUP BY 1),
+outj AS (SELECT d.doc_id, wl.js FROM documents d
+         JOIN wl ON d.lang = wl.lang)
+SELECT doc_id, round(js, 4) AS score, rank FROM (
+  SELECT doc_id, js,
+         row_number() OVER (ORDER BY js DESC, doc_id ASC) AS rank
+  FROM outj
+) WHERE rank <= 10
 """
 
     # snapshot: current reader = spark-docs minus window-docs; the

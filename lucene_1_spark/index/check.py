@@ -157,4 +157,53 @@ def check_index(reader: IndexReader, source: DataFrame | None = None) -> dict:
             s == "postings" for s in stages)
     out["checkpoints"] = (bool(cp_ok), "docs/postings/stats checkpoints present")
     out["lineage"] = (bool(lm_ok), "lineage_metrics table present")
+
+    # 7. doc-values delta consistency (when updates are pending):
+    # every generation in the manifest window exists, fields match the
+    # manifest's pending list, values typed per kind
+    dvf = reader.manifest.get("dv_fields")
+    if dvf:
+        dv_path = os.path.join(reader.dir, "dv_updates")
+        if not os.path.exists(dv_path):
+            out["dv_updates"] = (False, "manifest lists dv_fields but "
+                                        "dv_updates table is missing")
+        else:
+            upd = spark.read.parquet(dv_path)
+            floor = int(reader.manifest.get("dv_folded_gen", 0))
+            ceil = int(reader.manifest.get("dv_generation", 0))
+            win = upd.filter((F.col("gen") > floor)
+                             & (F.col("gen") <= ceil))
+            stray = win.filter(~F.col("field").isin(list(dvf))).count()
+            untyped = win.filter(F.col("value_num").isNull()
+                                 & F.col("value_str").isNull()).count()
+            ok = stray == 0 and untyped == 0
+            out["dv_updates"] = (
+                ok, f"{stray} rows with unlisted fields, "
+                    f"{untyped} rows with no value")
+
+    # 8. retained snapshots: manifests parse and every data dir they
+    # reference still exists (the SnapshotDeletionPolicy keep-set held)
+    snap_dir = os.path.join(reader.dir, "snapshots")
+    if os.path.isdir(snap_dir):
+        import json as _json
+        missing = []
+        for f in sorted(os.listdir(snap_dir)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(snap_dir, f)) as fh:
+                    sm = _json.load(fh)
+            except ValueError:
+                missing.append(f"{f}: unparseable")
+                continue
+            for name in ("postings", "docs", "term_stats"):
+                rel = sm.get(f"{name}_path", name)
+                if not os.path.exists(os.path.join(reader.dir, rel)):
+                    missing.append(f"{f}:{rel}")
+            if sm.get("has_deletes") and not os.path.exists(
+                    os.path.join(reader.dir, "tombstones")):
+                missing.append(f"{f}:tombstones")
+        out["snapshots"] = (not missing,
+                            f"{len(missing)} dangling refs: "
+                            f"{missing[:5]}")
     return out

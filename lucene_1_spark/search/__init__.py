@@ -1,7 +1,7 @@
 from lucene_1_spark.search.query import (  # noqa: F401
     BooleanQuery, Clause, ConstantScoreQuery, DisjunctionMaxQuery,
     DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
-    KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
+    JoinQuery, KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
     Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
 )

@@ -44,9 +44,10 @@ from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
-    MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur, PhraseQuery,
-    PrefixQuery, Query, RegexpQuery, SynonymQuery, TermInSetQuery, TermQuery,
-    TermRangeQuery, WildcardQuery, parse_query, rewrite_fixpoint,
+    JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur,
+    PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
+    TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
+    rewrite_fixpoint,
 )
 
 DECODED_SCHEMA = T.StructType([
@@ -506,6 +507,8 @@ class IndexSearcher:
             return self._dismax_search(query, k, after)
         if isinstance(query, TermInSetQuery):
             return self._term_in_set_search(query, k, after)
+        if isinstance(query, JoinQuery):
+            return self._join_search(query, k, after)
 
         fl = self._flatten(query)
         must, should, mnot, msm = fl.must, fl.should, fl.mnot, fl.msm
@@ -1067,6 +1070,55 @@ class IndexSearcher:
             scored = scored.filter(
                 (F.col("score") < float(s))
                 | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _join_search(self, q: JoinQuery, k: int | None,
+                     after: tuple[float, int] | None) -> DataFrame:
+        """JoinUtil.createJoinQuery execution: from-side matches join
+        the docs table to read their join values, aggregate per value
+        under the ScoreMode, then one equi-join back onto the docs
+        table's to_field.  Both join keys are stored columns, so at
+        scale this is the classic dim->fact semi-join Catalyst already
+        optimizes (broadcast when the from side is small)."""
+        docs = self.reader.docs()
+        for f in (q.from_field, q.to_field):
+            if f not in docs.columns:
+                raise ValueError(f"join field '{f}' is not a stored "
+                                 f"doc column")
+        from_hits = self._search_inner(q.from_query, k=None, prune=False)
+        vals = (from_hits
+                .join(docs.select("doc_id",
+                                  F.col(q.from_field).alias("_jv")),
+                      "doc_id")
+                .filter(F.col("_jv").isNotNull()))
+        if q.score_mode == "none":
+            agg = vals.select("_jv").distinct()                 .withColumn("_jscore", F.lit(float(q.boost)))
+        elif q.score_mode == "max":
+            agg = vals.groupBy("_jv").agg(
+                (F.max("score") * q.boost).alias("_jscore"))
+        elif q.score_mode == "total":
+            agg = vals.groupBy("_jv").agg(
+                (F.sum("score") * q.boost).alias("_jscore"))
+        elif q.score_mode == "avg":
+            agg = vals.groupBy("_jv").agg(
+                (F.avg("score") * q.boost).alias("_jscore"))
+        else:
+            raise ValueError(f"unknown score_mode {q.score_mode!r}")
+        score_type = "double" if self.double_mode else "float"
+        scored = (docs.select("doc_id",
+                              F.col(q.to_field).alias("_jv"))
+                  .join(agg, "_jv")
+                  .select("doc_id",
+                          F.col("_jscore").cast(score_type)
+                          .alias("score")))
+        if after is not None:
+            sa, da = after
+            scored = scored.filter(
+                (F.col("score") < float(sa))
+                | ((F.col("score") == float(sa))
+                   & (F.col("doc_id") > int(da))))
         if k is None:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -244,6 +244,33 @@ class KnnVectorQuery(Query):
 
 
 @dataclass(frozen=True)
+class JoinQuery(Query):
+    """Query-time join (``join/JoinUtil.createJoinQuery``,
+    ``join/JoinUtil.java:60-120``): matches every doc whose
+    ``to_field`` stored value appears among the ``from_field`` values
+    of docs matching ``from_query``.  ``score_mode`` follows the
+    reference's ScoreMode: 'none' (constant ``boost``), 'max', 'total',
+    or 'avg' of the from-side scores per join value
+    (``join/ScoreMode.java``).  Relationally: the from-side match set
+    aggregates per join value, then one equi-join against the docs
+    table — no global-ordinal build needed."""
+    from_query: "Query"
+    from_field: str
+    to_field: str
+    score_mode: str = "none"
+    boost: float = 1.0
+
+    def rewrite(self) -> "Query":
+        inner = self.from_query.rewrite()
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if inner is self.from_query:
+            return self
+        return JoinQuery(inner, self.from_field, self.to_field,
+                         self.score_mode, self.boost)
+
+
+@dataclass(frozen=True)
 class DocValuesRangeQuery(Query):
     """Numeric range over a STORED doc column — the
     ``SortedNumericDocValuesField.newSlowRangeQuery`` /
