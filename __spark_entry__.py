@@ -732,6 +732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"), "rank")
     q["ft_join_query"] = ft_join_query
 
+    def ft_term_vector(s, d):
+        """TermVectors.get(doc) (index/TermVectors.java): doc 7's
+        (term, freq) pairs reconstructed from block-range-pruned
+        postings — no stored per-doc vector."""
+        se = _searcher(s, d)
+        return se.term_vector(7).select(
+            "term", F.col("freq").cast("long").alias("freq"))
+    q["ft_term_vector"] = ft_term_vector
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1409,7 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_count", "geo_polygon_count",           # new r4
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
         "dv_update_range_count", "snap_point_in_time",     # new r4
-        "ft_join_query",                                   # new r4
+        "ft_join_query", "ft_term_vector",                 # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2042,6 +2051,12 @@ SELECT
   (SELECT count(*) FROM dl
    WHERE len <= 50
      AND doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
+"""
+
+    o["ft_term_vector"] = f"""
+WITH {_TOKS}
+SELECT term, count(*)::BIGINT AS freq FROM toks
+WHERE doc_id = 7 GROUP BY term
 """
 
     # query-time join: window-doc BM25 totals per lang, assigned to

@@ -1074,6 +1074,53 @@ class IndexSearcher:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def term_vector(self, doc_id: int, field: str = "content") -> DataFrame:
+        """One document's (term, freq) pairs — ``TermVectors.get(doc)``
+        (``index/TermVectors.java``, ``codecs/TermVectorsReader``),
+        WITHOUT a stored per-doc vector: the postings blocks whose
+        [first_doc, last_doc] range covers the doc are the only ones
+        decoded (parquet min/max pruning on the block-range columns —
+        the skip-list hop in reverse).  ``field`` selects the content
+        field or an extra keyword/text field."""
+        blocks = (self.reader.postings()
+                  .filter((F.col("first_doc") <= int(doc_id))
+                          & (F.col("last_doc") >= int(doc_id))))
+        target = int(doc_id)
+        want_field = field
+
+        TV_SCHEMA = T.StructType([
+            T.StructField("term", T.StringType()),
+            T.StructField("freq", T.LongType()),
+        ])
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                terms, freqs = [], []
+                for row in pdf.itertuples(index=False):
+                    raw = row.term
+                    if want_field == "content":
+                        if FIELD_SEP in raw:
+                            continue
+                        t = raw
+                    else:
+                        if not raw.startswith(want_field + FIELD_SEP):
+                            continue
+                        t = raw.split(FIELD_SEP, 1)[1]
+                    n = int(row.num_docs)
+                    dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                                 int(row.first_doc), n)
+                    hit = np.searchsorted(dids, target)
+                    if hit >= n or dids[hit] != target:
+                        continue
+                    fr = codecs.decode_freqs(bytes(row.freqs), n)
+                    terms.append(t)
+                    freqs.append(int(fr[hit]))
+                yield pd.DataFrame({"term": terms,
+                                    "freq": pd.array(freqs,
+                                                     dtype="int64")})
+
+        return blocks.mapInPandas(decode, TV_SCHEMA)
+
     def _join_search(self, q: JoinQuery, k: int | None,
                      after: tuple[float, int] | None) -> DataFrame:
         """JoinUtil.createJoinQuery execution: from-side matches join

@@ -82,3 +82,19 @@ def test_join_guards_and_rewrite(ctx):
     with pytest.raises(ValueError):
         se.search_df(JoinQuery(TermQuery("tok1"), "lang", "lang",
                                score_mode="bogus"), k=None).collect()
+
+
+def test_term_vector_matches_analyzer_recount(ctx):
+    """TermVectors.get(doc) reconstruction from block-range-pruned
+    postings equals a direct re-analysis of the source doc."""
+    from collections import Counter
+
+    from lucene_1_spark.analysis import get_analyzer
+    se, _ = ctx
+    doc = se.reader.docs().filter("doc_id = 5") \
+        .select("repo", "path", "commit").collect()[0]
+    pdf = corpus_mod.t_small()
+    row = pdf[(pdf.repo == doc["repo"]) & (pdf.path == doc["path"])]
+    want = Counter(get_analyzer("standard").tokens(row.iloc[0]["content"]))
+    got = {r["term"]: r["freq"] for r in se.term_vector(5).collect()}
+    assert got == dict(want)
