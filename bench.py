@@ -178,7 +178,8 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
               "text_quality", "text_fingerprint",
               # round-4 operators
               "ft_dismax_topk", "ft_term_in_set", "ft_more_like_this",
-              "ft_spell_suggest", "geo_distance_topk"]
+              "ft_spell_suggest", "geo_distance_topk", "ft_join_query",
+              "ft_term_vector", "classify_naive_bayes"]
     qs = entrymod.queries()
     out = {}
     for name in subset:
