@@ -741,6 +741,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", F.col("freq").cast("long").alias("freq"))
     q["ft_term_vector"] = ft_term_vector
 
+    def mon_object_batch(s, d):
+        """Monitor with register-by-Query-OBJECT (serialized complex
+        registrations): a dismax and a term-in-set — shapes the classic
+        parser cannot express — percolate the documents stream."""
+        from lucene_1_spark.search.query import (DisjunctionMaxQuery,
+                                                 PhraseQuery,
+                                                 TermInSetQuery, TermQuery)
+        from lucene_1_spark.streaming.monitor import Monitor
+        m = Monitor(s)
+        m.register("q_dm", DisjunctionMaxQuery(
+            (TermQuery("spark"), PhraseQuery(("sort", "merge"))), 0.5))
+        m.register("q_tis", TermInSetQuery(("vector", "stream")))
+        docs = _docs(s, d).select("doc_id", "text").filter(
+            F.col("doc_id") < 200)
+        out = m.match_batch(docs)
+        return (out.groupBy("query_id")
+                .agg(F.count("*").cast("long").alias("n_matches"),
+                     F.sum("doc_id").cast("long").alias("sum_doc_ids"))
+                .orderBy("query_id"))
+    q["mon_object_batch"] = mon_object_batch
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1419,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
         "dv_update_range_count", "snap_point_in_time",     # new r4
         "ft_join_query", "ft_term_vector",                 # new r4
+        "mon_object_batch",                                # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2057,6 +2079,36 @@ SELECT
 WITH {_TOKS}
 SELECT term, count(*)::BIGINT AS freq FROM toks
 WHERE doc_id = 7 GROUP BY term
+"""
+
+    # object-registered monitor: dismax = spark-docs UNION exact
+    # "sort merge" adjacency docs; term-in-set = any-of member docs
+    o["mon_object_batch"] = f"""
+WITH {_TOKS},
+sub AS (SELECT doc_id, term FROM toks WHERE doc_id < 200),
+ordered AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL AND doc_id < 200)),
+ph AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+  FROM ordered) WHERE tok = 'sort' AND nxt = 'merge'),
+dm AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM sub WHERE term = 'spark'
+  UNION ALL SELECT doc_id FROM ph)),
+tis AS (SELECT DISTINCT doc_id FROM sub
+        WHERE term IN ('vector', 'stream'))
+SELECT * FROM (
+  SELECT 'q_dm' AS query_id, count(*)::BIGINT AS n_matches,
+         sum(doc_id)::BIGINT AS sum_doc_ids FROM dm
+  UNION ALL
+  SELECT 'q_tis', count(*)::BIGINT, sum(doc_id)::BIGINT FROM tis
+) ORDER BY query_id
 """
 
     # query-time join: window-doc BM25 totals per lang, assigned to

@@ -662,3 +662,63 @@ def parse_query(text: str, analyzer: str = "standard",
     return _parse_clauses(_Scanner(text), get_analyzer(analyzer),
                           frozenset(keyword_fields),
                           frozenset(text_fields))
+
+
+# ---------------------------------------------------------------------------
+# Query-tree serialization — the role of the Monitor's durable
+# MonitorQuery representation (``monitor/MonitorQuerySerializer.java``):
+# every Query node is a frozen dataclass of primitives / Queries /
+# tuples, so a generic encoder round-trips the whole surface (used by
+# the Monitor to persist and worker-ship non-parser-expressible
+# queries; also a plain public utility).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+_SERIALIZABLE = (TermQuery, BooleanQuery, Clause, MatchAllDocsQuery,
+                 MatchNoDocsQuery, ConstantScoreQuery, SynonymQuery,
+                 DisjunctionMaxQuery, TermInSetQuery, PhraseQuery,
+                 PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
+                 TermRangeQuery, KnnVectorQuery, DocValuesRangeQuery,
+                 FieldExistsQuery, JoinQuery)
+_TYPE_BY_NAME = {c.__name__: c for c in _SERIALIZABLE}
+
+
+def _enc(v):
+    if isinstance(v, Occur):
+        return {"__t__": "Occur", "value": v.value}
+    if isinstance(v, _SERIALIZABLE):
+        return query_to_dict(v)
+    if isinstance(v, tuple):
+        return [_enc(x) for x in v]
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if v.get("__t__") == "Occur":
+            return Occur(v["value"])
+        return query_from_dict(v)
+    if isinstance(v, list):
+        return tuple(_dec(x) for x in v)
+    return v
+
+
+def query_to_dict(q: "Query | Clause") -> dict:
+    """JSON-safe dict for any query tree (round-trips via
+    :func:`query_from_dict`)."""
+    if type(q).__name__ not in _TYPE_BY_NAME:
+        raise TypeError(f"not a serializable query node: {type(q)}")
+    d = {"__t__": type(q).__name__}
+    for f in _dc.fields(q):
+        d[f.name] = _enc(getattr(q, f.name))
+    return d
+
+
+def query_from_dict(d: dict) -> "Query | Clause":
+    cls = _TYPE_BY_NAME.get(d.get("__t__", ""))
+    if cls is None:
+        raise ValueError(f"unknown query type {d.get('__t__')!r}")
+    kwargs = {f.name: _dec(d[f.name]) for f in _dc.fields(cls)
+              if f.name in d}
+    return cls(**kwargs)

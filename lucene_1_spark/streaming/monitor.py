@@ -40,12 +40,28 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_1_spark.search.query import (BooleanQuery, ConstantScoreQuery,
-                                         FuzzyQuery, MatchAllDocsQuery,
+                                         DisjunctionMaxQuery, FuzzyQuery,
+                                         MatchAllDocsQuery,
                                          MatchNoDocsQuery, MultiTermQuery,
                                          Occur, PhraseQuery, PrefixQuery,
-                                         RegexpQuery, SynonymQuery,
-                                         TermQuery, TermRangeQuery,
-                                         WildcardQuery, parse_query)
+                                         Query, RegexpQuery, SynonymQuery,
+                                         TermInSetQuery, TermQuery,
+                                         TermRangeQuery, WildcardQuery,
+                                         parse_query, query_from_dict,
+                                         query_to_dict)
+
+# marker prefix for serialized (non-parser-expressible) registrations;
+# \x00 cannot appear in user query text
+_JSON_MARK = "\x00json:"
+
+
+def _parse_registered(stored: str, analyzer: str):
+    """A registered query back to its tree: either parser text or the
+    serialized form of a register-by-Query-object call."""
+    if stored.startswith(_JSON_MARK):
+        import json as _json
+        return query_from_dict(_json.loads(stored[len(_JSON_MARK):]))
+    return parse_query(stored, analyzer)
 
 
 def _phrase_occurs(pos: dict, terms: tuple, slop: int) -> bool:
@@ -150,6 +166,13 @@ def _eval_query(q, pos: dict) -> bool:
         return False
     if isinstance(q, MultiTermQuery):
         return any(_term_matches(q, t) for t in pos)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_eval_query(d, pos) for d in q.disjuncts)
+    if isinstance(q, TermInSetQuery):
+        if q.field != "content":
+            raise NotImplementedError(
+                "Monitor percolates content-field queries")
+        return any(t in pos for t in q.terms)
     if isinstance(q, BooleanQuery):
         n_should = 0
         should_hit = 0
@@ -189,6 +212,17 @@ def _required_terms_of(q) -> set[str]:
             if c.occur in (Occur.MUST, Occur.FILTER):
                 out |= _required_terms_of(c.query)
         return out
+    if isinstance(q, DisjunctionMaxQuery) and q.disjuncts:
+        # every match satisfies >=1 disjunct, so only terms required by
+        # ALL disjuncts are required by the dismax
+        sets = [_required_terms_of(d) for d in q.disjuncts]
+        out = sets[0]
+        for s_ in sets[1:]:
+            out = out & s_
+        return out
+    if isinstance(q, TermInSetQuery) and q.field == "content" \
+            and len(q.terms) == 1:
+        return set(q.terms)
     return set()
 
 
@@ -222,6 +256,16 @@ def _any_terms_of(q) -> set[str] | None:
                     return None
                 out |= s
         return out or None
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            s = _any_terms_of(d)
+            if s is None:
+                return None
+            out |= s
+        return out or None
+    if isinstance(q, TermInSetQuery) and q.field == "content":
+        return set(q.terms) or None
     return None
 
 
@@ -243,8 +287,11 @@ class Monitor:
         self._complex: dict[str, str] = {}
         self._matchall: list[str] = []
 
-    def register(self, query_id: str, query_text: str) -> None:
-        """Register any parseable query (MonitorQuery analog).
+    def register(self, query_id: str, query_text: "str | Query") -> None:
+        """Register any parseable query — or any Query OBJECT, incl.
+        shapes the classic parser cannot express (DisjunctionMax,
+        TermInSet, ...), persisted via the query-tree serializer
+        (MonitorQuerySerializer analog).
 
         FLAT term/boolean/phrase trees take the single-join fast path:
         clause rows enter the presearcher join and the per-(doc, query)
@@ -258,11 +305,17 @@ class Monitor:
         exactly the reference's TermFilteredPresearcher ->
         CandidateMatcher split, with un-filterable queries degrading to
         every-doc candidates (ANYTOKEN)."""
-        q = parse_query(query_text, self.analyzer)
+        if isinstance(query_text, Query):
+            import json as _json
+            q = query_text
+            stored = _JSON_MARK + _json.dumps(query_to_dict(q))
+        else:
+            q = parse_query(query_text, self.analyzer)
+            stored = query_text
         try:
             self._register_flat(query_id, q)
         except _NotFlat:
-            self._register_complex(query_id, query_text, q)
+            self._register_complex(query_id, stored, q)
 
     def _register_flat(self, query_id: str, q) -> None:
         # phrase clause records: (terms, slop, occur_name)
@@ -543,7 +596,7 @@ class Monitor:
                         pos.setdefault(t, []).append(p)
                     for qid in grp["query_id"]:
                         if qid not in qmap:   # parse once per worker
-                            qmap[qid] = parse_query(texts[qid], an_name)
+                            qmap[qid] = _parse_registered(texts[qid], an_name)
                         if _eval_query(qmap[qid], pos):
                             ids.append(did)
                             qids.append(qid)

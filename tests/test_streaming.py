@@ -188,3 +188,34 @@ def test_monitor_phrase_repeated_terms(spark):
     got = {(r["doc_id"], r["query_id"])
            for r in m.match_batch(docs).collect()}
     assert got == {(1, "q_rep")}
+
+
+def test_monitor_register_query_objects(spark):
+    """Register-by-Query-object: dismax and term-in-set (not
+    parser-expressible) percolate through the serialized complex path,
+    and survive save/load."""
+    import os
+    import tempfile
+
+    from lucene_1_spark.search.query import (DisjunctionMaxQuery,
+                                             PhraseQuery, TermInSetQuery,
+                                             TermQuery)
+    from lucene_1_spark.streaming.monitor import Monitor
+    m = Monitor(spark)
+    m.register("dm", DisjunctionMaxQuery(
+        (TermQuery("alpha"), PhraseQuery(("big", "data"))), 0.5))
+    m.register("tis", TermInSetQuery(("beta", "gamma")))
+    docs = spark.createDataFrame(
+        [(0, "alpha zeta"), (1, "big data lake"), (2, "gamma rays"),
+         (3, "nothing relevant"), (4, "data big")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["query_id"])
+           for r in m.match_batch(docs).collect()}
+    assert got == {(0, "dm"), (1, "dm"), (2, "tis")}
+    # persistence round-trip keeps the serialized registrations
+    p = os.path.join(tempfile.mkdtemp(), "monitor_state.json")
+    m.save(p)
+    m2 = Monitor.load(spark, p)
+    got2 = {(r["doc_id"], r["query_id"])
+            for r in m2.match_batch(docs).collect()}
+    assert got2 == got
