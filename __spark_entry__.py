@@ -762,6 +762,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("query_id"))
     q["mon_object_batch"] = mon_object_batch
 
+    def text_perplexity(s, d):
+        """CCNet-style LM quality filter (documented simplification:
+        add-one bigram LM instead of a KenLM 5-gram), trained on the
+        whole corpus, scoring docs 0..29."""
+        from lucene_1_spark.pipeline.textstats import lm_perplexity
+        docs = _docs(s, d).select("doc_id", "text")
+        return lm_perplexity(docs.filter(F.col("doc_id") < 30),
+                             lm_docs=docs)
+    q["text_perplexity"] = text_perplexity
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1440,7 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multifield_dismax", "classify_naive_bayes",    # new r4
         "dv_update_range_count", "snap_point_in_time",     # new r4
         "ft_join_query", "ft_term_vector",                 # new r4
-        "mon_object_batch",                                # new r4
+        "mon_object_batch", "text_perplexity",             # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2079,6 +2089,37 @@ SELECT
 WITH {_TOKS}
 SELECT term, count(*)::BIGINT AS freq FROM toks
 WHERE doc_id = 7 GROUP BY term
+"""
+
+    # bigram LM perplexity: identical add-one arithmetic in SQL
+    o["text_perplexity"] = """
+WITH ordered AS (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+big AS (
+  SELECT doc_id, tok, nxt FROM (
+    SELECT doc_id, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM ordered) WHERE nxt IS NOT NULL),
+uni AS (SELECT tok, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+bi AS (SELECT tok, nxt, count(*)::DOUBLE AS c2 FROM big GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok)::DOUBLE AS vs FROM big),
+sc AS (
+  SELECT b.doc_id,
+         ln((coalesce(bi.c2, 0) + 1.0) / (coalesce(uni.c1, 0) + v.vs))
+           AS lp
+  FROM big b
+  LEFT JOIN bi ON b.tok = bi.tok AND b.nxt = bi.nxt
+  LEFT JOIN uni ON b.tok = uni.tok
+  CROSS JOIN v
+  WHERE b.doc_id < 30)
+SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+FROM sc GROUP BY doc_id
 """
 
     # object-registered monitor: dismax = spark-docs UNION exact

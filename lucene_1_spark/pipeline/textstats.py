@@ -127,3 +127,49 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                  .alias("dup_ngram_ratio"),
                  F.round(F.max("c") / F.greatest(F.sum("c"), F.lit(1)), 6)
                  .alias("top_ngram_ratio")))
+
+
+def lm_perplexity(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  lm_docs: DataFrame | None = None) -> DataFrame:
+    """Per-doc bigram language-model perplexity — the CCNet-style
+    LM-quality filter (Wenzek et al. 2020 score documents with a KenLM
+    5-gram; this is the same pipeline shape with a DOCUMENTED
+    SIMPLIFICATION to an add-one-smoothed bigram model trained
+    relationally on ``lm_docs``, default: the corpus itself).
+
+    ``P(t2|t1) = (c(t1,t2) + 1) / (c(t1) + V)``;
+    ``ppl(doc) = exp(-mean ln P)`` over the doc's bigrams (docs with
+    < 2 tokens get NULL).  Low perplexity = looks like the training
+    distribution; the filter drops the high tail.
+
+    Spark shape: train = two aggregations over exploded bigrams
+    (shuffles keyed by the n-gram — the scalable shape); score = one
+    bigram join + per-doc mean.  All JVM arithmetic, exactly
+    reproducible in SQL."""
+    from pyspark.sql import Window as W
+
+    lm = lm_docs if lm_docs is not None else docs
+
+    def bigrams(df):
+        toks = _tokens(text_col)
+        return (df
+                .select(F.col(id_col), F.posexplode(toks)
+                        .alias("ord", "tok"))
+                .withColumn("nxt", F.lead("tok").over(
+                    W.partitionBy(id_col).orderBy("ord")))
+                .filter(F.col("nxt").isNotNull()))
+    big_lm = bigrams(lm)
+    uni = big_lm.groupBy("tok").agg(F.count("*").alias("c1"))
+    bi = big_lm.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
+    v = big_lm.select("tok").distinct().count()
+    big_doc = bigrams(docs)
+    scored = (big_doc
+              .join(bi, ["tok", "nxt"], "left")
+              .join(uni, ["tok"], "left")
+              .select(F.col(id_col),
+                      (F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                             / (F.coalesce(F.col("c1"), F.lit(0))
+                                + float(v))).alias("lp"))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.exp(-F.avg("lp")), 4).alias("perplexity")))

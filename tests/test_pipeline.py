@@ -341,3 +341,30 @@ def test_ngram_jaccard_default_cap_on(docs):
     sig = inspect.signature(ngram_jaccard_pairs)
     assert sig.parameters["max_shingle_df"].default == 10_000
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() > 0
+
+
+def test_lm_perplexity_brute_force(spark):
+    """CCNet-style bigram LM perplexity == a pure-Python recount;
+    repetitive text scores LOWER perplexity than diverse text."""
+    import math
+    from collections import Counter
+
+    from lucene_1_spark.pipeline.textstats import lm_perplexity
+    rows = [(0, "a b a b a b"), (1, "a b c d e f"), (2, "z z z"), (3, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["perplexity"] for r in lm_perplexity(df).collect()}
+    big, uni = Counter(), Counter()
+    toks = {i: t.split() for i, t in rows}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+            uni[a] += 1
+    v = len(uni)
+    for i, ts in toks.items():
+        bs = list(zip(ts, ts[1:]))
+        if not bs:
+            assert i not in got
+            continue
+        lps = [math.log((big[(a, b)] + 1) / (uni[a] + v)) for a, b in bs]
+        assert abs(got[i] - round(math.exp(-sum(lps) / len(lps)), 4)) < 1e-9
+    assert got[0] < got[1]  # repetition -> lower perplexity
