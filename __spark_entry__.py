@@ -772,6 +772,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              lm_docs=docs)
     q["text_perplexity"] = text_perplexity
 
+    _EDGE_SEARCHERS: dict = {}
+
+    def ft_edge_autocomplete_count(s, d):
+        """Search-as-you-type END TO END: the documents table indexed
+        with edge_ngram:whitespace:2:4 (EdgeNGramTokenFilter.java), a
+        typed prefix is ONE TermQuery against the gram postings.  The
+        gram 'spar' exists exactly for tokens of length >= 4 starting
+        with it, 'st' for tokens of length >= 2 — both reproduced in
+        SQL."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _EDGE_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_edge_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"))
+            cfg = IndexConfig(analyzer="edge_ngram:whitespace:2:4",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _EDGE_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        from lucene_1_spark.search.query import TermQuery
+        se = _EDGE_SEARCHERS[key]
+        # the typed prefix is a RAW term against the gram postings
+        # (query side is not re-analyzed — SearchAsYouType convention)
+        n_spar = se.count(TermQuery("spar"))
+        n_st = se.count(TermQuery("st"))
+        return s.createDataFrame([(n_spar, n_st)],
+                                 "n_spar long, n_st long")
+    q["ft_edge_autocomplete_count"] = ft_edge_autocomplete_count
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1451,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update_range_count", "snap_point_in_time",     # new r4
         "ft_join_query", "ft_term_vector",                 # new r4
         "mon_object_batch", "text_perplexity",             # new r4
+        "ft_edge_autocomplete_count",                      # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2089,6 +2129,17 @@ SELECT
 WITH {_TOKS}
 SELECT term, count(*)::BIGINT AS freq FROM toks
 WHERE doc_id = 7 GROUP BY term
+"""
+
+    # edge-ngram autocomplete: gram 'spar' <=> a token with that
+    # 4-char prefix; gram 'st' <=> a token starting 'st'
+    o["ft_edge_autocomplete_count"] = f"""
+WITH {_TOKS}
+SELECT
+  (SELECT count(DISTINCT doc_id) FROM toks
+   WHERE term LIKE 'spar%')::BIGINT AS n_spar,
+  (SELECT count(DISTINCT doc_id) FROM toks
+   WHERE term LIKE 'st%')::BIGINT AS n_st
 """
 
     # bigram LM perplexity: identical add-one arithmetic in SQL
