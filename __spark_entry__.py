@@ -365,6 +365,13 @@ _HAN26 = "".join(chr(0x4E00 + i) for i in range(26))
 
 _CJK_SEARCHERS: dict[str, object] = {}
 
+# deterministic Cyrillic-ified corpus: a-z maps 1:1 onto 26 Russian
+# letters so the russian analyzer chain (stop filter + light stemmer)
+# has an exact DuckDB twin (stop list inlined, stemmer generated as a
+# longest-suffix CASE chain)
+_RU26 = "абвгдежзиклмнопрстуфхцчшыю"
+_RU_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _RU26)
+
 
 def _cjk_searcher(spark: SparkSession, sf_dir: str):
     """Index the CJK-ified documents with the ``cjk`` bigram analyzer
@@ -810,6 +817,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n_spar, n_st)],
                                  "n_spar long, n_st long")
     q["ft_edge_autocomplete_count"] = ft_edge_autocomplete_count
+
+    _RU_SEARCHERS: dict = {}
+
+    def ft_ru_stem_topk(s, d):
+        """Russian analyzer chain END TO END with an exact SQL twin
+        (the CJK-entry pattern): lowercase a-z maps 1:1 onto 26
+        Cyrillic letters, the index runs the ``russian`` chain
+        (stop filter + light stemmer), and the oracle reproduces the
+        stemmer as a generated longest-suffix CASE chain.  Query =
+        the mapped form of 'scan' (ends in a strippable suffix, so
+        stemming is genuinely exercised)."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _RU_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_ru_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            ru = F.translate(
+                F.regexp_replace(
+                    F.lower(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, 120)),
+                    "[^a-z ]", " "),
+                "abcdefghijklmnopqrstuvwxyz", _RU26)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                ru.alias("content"))
+            cfg = IndexConfig(analyzer="russian",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _RU_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _RU_SEARCHERS[key]
+        qtext = "scan".translate(_RU_TRANS)
+        top = se.search_df(qtext, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_ru_stem_topk"] = ft_ru_stem_topk
 
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
@@ -1490,7 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update_range_count", "snap_point_in_time",     # new r4
         "ft_join_query", "ft_term_vector",                 # new r4
         "mon_object_batch", "text_perplexity",             # new r4
-        "ft_edge_autocomplete_count",                      # new r4
+        "ft_edge_autocomplete_count", "ft_ru_stem_topk",   # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2140,6 +2195,47 @@ SELECT
    WHERE term LIKE 'spar%')::BIGINT AS n_spar,
   (SELECT count(DISTINCT doc_id) FROM toks
    WHERE term LIKE 'st%')::BIGINT AS n_st
+"""
+
+    # russian chain: stop filter inlined, light stemmer generated as a
+    # longest-suffix CASE chain, BM25 over the stems
+    from lucene_1_spark.analysis.languages import (RUSSIAN_STOP, _RU_SUF,
+                                                   russian_stem)
+    _ru_stem_case = "CASE " + " ".join(
+        f"WHEN ends_with(term, '{suf}') AND length(term) - {len(suf)} >= 3"
+        f" THEN substr(term, 1, length(term) - {len(suf)})"
+        for suf in _RU_SUF) + " ELSE term END"
+    _ru_stops = ", ".join(f"'{w}'" for w in sorted(RUSSIAN_STOP))
+    _ru_qstem = russian_stem("scan".translate(_RU_TRANS))
+    o["ft_ru_stem_topk"] = f"""
+WITH rudocs AS (
+  SELECT doc_id,
+         translate(regexp_replace(lower(substr(coalesce(text,''),1,120)),
+                                  '[^a-z ]', ' ', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{_RU26}') AS ru
+  FROM documents),
+toks0 AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(ru, ' +')) AS t FROM rudocs
+  ) WHERE t <> '' AND t NOT IN ({_ru_stops})),
+stems AS (SELECT doc_id, {_ru_stem_case} AS term FROM toks0),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM stems
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM stems GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '{_ru_qstem}')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
 """
 
     # bigram LM perplexity: identical add-one arithmetic in SQL
