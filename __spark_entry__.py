@@ -866,6 +866,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_ru_stem_topk"] = ft_ru_stem_topk
 
+    _FOLD_SEARCHERS: dict = {}
+
+    def ft_folded_topk(s, d):
+        """ASCIIFoldingFilter end to end: the corpus's vowels become
+        accented (a->á, e->é, ...), the index runs folded:whitespace,
+        and the fold restores the original terms EXACTLY — so the
+        accented index answers the plain-text BM25 oracle for 'spark'
+        rank- and score-identically."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _FOLD_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_fold_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            acc = F.translate(F.coalesce(F.col("text"), F.lit("")),
+                              "aeiou", "áéíóú")
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                acc.alias("content"))
+            cfg = IndexConfig(analyzer="folded:whitespace",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _FOLD_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _FOLD_SEARCHERS[key]
+        top = se.search_df("spark", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_folded_topk"] = ft_folded_topk
+
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
         se = _searcher(s, d)
@@ -1546,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_join_query", "ft_term_vector",                 # new r4
         "mon_object_batch", "text_perplexity",             # new r4
         "ft_edge_autocomplete_count", "ft_ru_stem_topk",   # new r4
+        "ft_folded_topk",                                  # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -1563,6 +1605,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["ft_term_topk"] = _bm25_sql(["spark"])
+    # folding round-trip: the accented index answers the PLAIN oracle
+    o["ft_folded_topk"] = _bm25_sql(["spark"])
     o["ft_rare_term_topk"] = _bm25_sql(["dup"])
     o["ft_or_topk"] = _bm25_sql(["spark", "merge", "window"])
     o["ft_and_topk"] = _bm25_sql(["spark", "merge"],
