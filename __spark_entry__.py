@@ -372,6 +372,12 @@ _CJK_SEARCHERS: dict[str, object] = {}
 _RU26 = "абвгдежзиклмнопрстуфхцчшыю"
 _RU_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _RU26)
 
+# deterministic Arabic-ified corpus: the mapping is chosen so real
+# chain stages fire (w->و = the conjunction prefix, "…an"->…ان a
+# strippable suffix, y->ة exercising ta-marbuta normalization)
+_AR26 = "ابتدحفغخيزكلمنعصقرسطذضوشةج"
+_AR_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _AR26)
+
 
 def _cjk_searcher(spark: SparkSession, sf_dir: str):
     """Index the CJK-ified documents with the ``cjk`` bigram analyzer
@@ -906,6 +912,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_folded_topk"] = ft_folded_topk
+
+    _AR_SEARCHERS: dict = {}
+
+    def ft_ar_stem_topk(s, d):
+        """Arabic chain END TO END (normalization + light10-family
+        prefix/suffix stemming) with an exact SQL twin: a-z maps onto
+        26 Arabic letters such that the w->و conjunction prefix, the
+        ...ان suffix, and ta-marbuta normalization all genuinely fire;
+        query = mapped 'window' (loses its و prefix both sides)."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _AR_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_ar_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            ar = F.translate(
+                F.regexp_replace(
+                    F.lower(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, 120)),
+                    "[^a-z ]", " "),
+                "abcdefghijklmnopqrstuvwxyz", _AR26)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                ar.alias("content"))
+            cfg = IndexConfig(analyzer="arabic",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _AR_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _AR_SEARCHERS[key]
+        qtext = "window".translate(_AR_TRANS)
+        top = se.search_df(qtext, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_ar_stem_topk"] = ft_ar_stem_topk
 
     def ft_synonym_topk(s, d):
         from lucene_1_spark.search.query import SynonymQuery
@@ -1587,7 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_join_query", "ft_term_vector",                 # new r4
         "mon_object_batch", "text_perplexity",             # new r4
         "ft_edge_autocomplete_count", "ft_ru_stem_topk",   # new r4
-        "ft_folded_topk",                                  # new r4
+        "ft_folded_topk", "ft_ar_stem_topk",               # new r4
         "ft_cjk_term_topk", "ft_cjk_unigram_count",        # new r4
         "mon_complex_batch",                               # new r4
         "ft_intervals_not_within", "ft_intervals_before",  # new r4
@@ -2275,6 +2327,57 @@ sc AS (
   JOIN df ON tf.term = df.term
   CROSS JOIN st
   WHERE tf.term = '{_ru_qstem}')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # arabic chain: normalize (translate) then prefix CASE then suffix
+    # CASE, each generated from the analyzer's own rule tables
+    from lucene_1_spark.analysis.languages import (ARABIC_STOP, _AR_PREF,
+                                                   _AR_SUF, arabic_stem)
+    _ar_pref_case = "CASE " + " ".join(
+        f"WHEN starts_with(term, '{p}') AND length(term) - {len(p)} >= 2"
+        f" THEN substr(term, {len(p) + 1})"
+        for p in _AR_PREF) + " ELSE term END"
+    _seen = set()
+    _ar_sufs = [x for x in _AR_SUF
+                if not (x in _seen or _seen.add(x))]
+    _ar_suf_case = "CASE " + " ".join(
+        f"WHEN ends_with(term, '{suf}') AND length(term) - {len(suf)} >= 2"
+        f" THEN substr(term, 1, length(term) - {len(suf)})"
+        for suf in _ar_sufs) + " ELSE term END"
+    _ar_stops = ", ".join(f"'{w}'" for w in sorted(ARABIC_STOP))
+    _ar_qstem = arabic_stem("window".translate(_AR_TRANS))
+    o["ft_ar_stem_topk"] = f"""
+WITH ardocs AS (
+  SELECT doc_id,
+         translate(regexp_replace(lower(substr(coalesce(text,''),1,120)),
+                                  '[^a-z ]', ' ', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{_AR26}') AS ar
+  FROM documents),
+toks0 AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(ar, ' +')) AS t FROM ardocs
+  ) WHERE t <> '' AND t NOT IN ({_ar_stops})),
+norm AS (SELECT doc_id,
+                translate(term, 'أإآىة', 'ااايه') AS term FROM toks0),
+pref AS (SELECT doc_id, {_ar_pref_case} AS term FROM norm),
+stems AS (SELECT doc_id, {_ar_suf_case} AS term FROM pref),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM stems
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM stems GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '{_ar_qstem}')
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
