@@ -172,5 +172,9 @@ def nearest(df: DataFrame, lat: str = "lat", lon: str = "lon", *,
     caller orders them — the returned frame is sorted (distance asc)
     and limited to k."""
     dist = haversine_meters(F.col(lat), F.col(lon), center_lat, center_lon)
-    return (df.withColumn(distance_col, dist)
+    # only docs with indexed points participate (LatLonPoint.nearest):
+    # ascending sort is NULLS FIRST in Spark, so null lat/lon rows
+    # would otherwise fill the top-k ahead of every real neighbor
+    return (df.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+            .withColumn(distance_col, dist)
             .orderBy(F.asc(distance_col)).limit(k))

@@ -72,10 +72,18 @@ def snapshot_index(index_dir: str) -> str:
     (``DirectoryReader.open(IndexCommit)``)."""
     snap_dir = os.path.join(index_dir, "snapshots")
     os.makedirs(snap_dir, exist_ok=True)
-    existing = [f for f in os.listdir(snap_dir) if f.endswith(".json")]
-    snap_id = f"snap_{len(existing):04d}_{int(time.time())}"
-    shutil.copyfile(os.path.join(index_dir, "manifest.json"),
-                    os.path.join(snap_dir, f"{snap_id}.json"))
+    # monotonic id persisted in the manifest: a count-of-files scheme
+    # can reuse an index after release_snapshot and silently overwrite
+    # an earlier retained commit taken in the same epoch second
+    m = _manifest(index_dir)
+    counter = int(m.get("snapshot_counter", 0)) + 1
+    m["snapshot_counter"] = counter
+    _write_manifest(index_dir, m)
+    snap_id = f"snap_{counter:06d}"
+    dst = os.path.join(snap_dir, f"{snap_id}.json")
+    if os.path.exists(dst):
+        raise FileExistsError(f"snapshot {snap_id} already exists")
+    shutil.copyfile(os.path.join(index_dir, "manifest.json"), dst)
     return snap_id
 
 
@@ -144,6 +152,7 @@ def fold_doc_values(spark: SparkSession, index_dir: str,
     m["docs_path"] = docs_name
     m["generation"] = gen
     m.pop("dv_fields", None)
+    m.pop("dv_field_kinds", None)
     # dv_generation stays monotonic across folds; dv_folded_gen marks
     # the materialized floor so the overlay filter and retained
     # snapshots (which read the delta dir at THEIR generation window)

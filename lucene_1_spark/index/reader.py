@@ -97,10 +97,16 @@ class IndexReader:
             W.partitionBy("doc_id", "field").orderBy(F.desc("gen"))))
             .filter(F.col("_rn") == 1))
         dtypes = {f.name: f.dataType for f in base.schema.fields}
+        kinds = self.manifest.get("dv_field_kinds", {})
         for f in dvf:
             fl = latest.filter(F.col("field") == f)
             dt = dtypes.get(f)
-            if isinstance(dt, T.StringType):
+            # brand-new fields (absent from the docs schema) take their
+            # value kind from the manifest — a binary update to a new
+            # field reads value_str, not an all-null value_num
+            is_str = (isinstance(dt, T.StringType) if dt is not None
+                      else kinds.get(f) == "str")
+            if is_str:
                 newc = fl.select("doc_id", F.col("value_str")
                                  .alias(f"_dv_{f}"))
                 cast_to = "string"

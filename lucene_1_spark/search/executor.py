@@ -1135,6 +1135,12 @@ class IndexSearcher:
                 raise ValueError(f"join field '{f}' is not a stored "
                                  f"doc column")
         from_hits = self._search_inner(q.from_query, k=None, prune=False)
+        if self.reader.has_deletes:
+            # JoinUtil respects liveDocs on the from side: a deleted
+            # from-doc must not project its join value into the
+            # per-value score aggregation (ghost-doc matches)
+            from_hits = from_hits.join(self.reader.tombstones(),
+                                       "doc_id", "left_anti")
         vals = (from_hits
                 .join(docs.select("doc_id",
                                   F.col(q.from_field).alias("_jv")),

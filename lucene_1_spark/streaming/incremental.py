@@ -76,6 +76,17 @@ from lucene_1_spark.index.maintenance import (_write_manifest,
                                               append_tombstones,
                                               compact_index)
 
+# Internal docs-table columns doc-values updates must never touch:
+# norms / collection stats / doc identity are derived from them
+# (compact_index recomputes avgdl as sum(length)), so an update would
+# silently corrupt scoring after the next fold.  Lucene likewise
+# rejects doc-values updates to fields not indexed as doc values
+# (``index/IndexWriter.java`` updateNumericDocValue -> IllegalArgument).
+RESERVED_DOC_COLS = frozenset(
+    {"doc_id", "length", "norm_byte", "content_sha256",
+     "build_partition", "field_lengths", "term_freqs", "term_positions",
+     *DOC_KEY_COLS})
+
 
 class IncrementalIndexWriter:
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -349,12 +360,44 @@ class IncrementalIndexWriter:
         import time as _time
 
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from lucene_1_spark.index.maintenance import _write_manifest
         from lucene_1_spark.index.reader import IndexReader
         from lucene_1_spark.search.executor import IndexSearcher
 
+        kind = "str" if s is not None else "num"
+        if field in RESERVED_DOC_COLS:
+            raise ValueError(
+                f"'{field}' is an internal index column, not a doc-values "
+                f"field — updates would corrupt derived state (norms / "
+                f"collection stats); Lucene likewise rejects doc-values "
+                f"updates to non-dv fields")
         reader = IndexReader(self.spark, self.dir)
+        dt = {f.name: f.dataType for f in
+              self.spark.read.parquet(reader.table_path("docs"))
+              .schema.fields}.get(field)
+        if dt is not None:
+            is_str_col = isinstance(dt, T.StringType)
+            if is_str_col and kind == "num":
+                raise ValueError(
+                    f"numeric doc-values update on string field "
+                    f"'{field}' — use update_binary_doc_value")
+            if not is_str_col and kind == "str":
+                raise ValueError(
+                    f"binary doc-values update on {dt.simpleString()} "
+                    f"field '{field}' — use update_numeric_doc_value")
+        # value kind (num/str) per field so the reader overlay picks the
+        # right value column even for brand-new fields absent from the
+        # docs schema (a string update to a new field must NOT silently
+        # materialize an all-null numeric column)
+        kinds = dict(self._read_manifest().get("dv_field_kinds", {}))
+        prev = kinds.get(field)
+        if prev is not None and prev != kind:
+            raise ValueError(
+                f"pending doc-values updates for new field '{field}' mix "
+                f"numeric and binary kinds")
+        kinds[field] = kind
         se = IndexSearcher(reader)
         victims = se.docs_for_terms([term])
         if reader.has_deletes:
@@ -372,6 +415,7 @@ class IncrementalIndexWriter:
         n = self.spark.read.parquet(out).count()
         fields = sorted(set(manifest.get("dv_fields", [])) | {field})
         manifest["dv_fields"] = fields
+        manifest["dv_field_kinds"] = kinds
         manifest["dv_generation"] = gen
         manifest["committed_at"] = _time.time()
         _write_manifest(self.dir, manifest)

@@ -1,7 +1,10 @@
 """In-place doc-values updates
 (``IndexWriter.updateNumericDocValue`` / ``updateBinaryDocValue``;
 fold = ``ReadersAndUpdates.writeFieldUpdates``): delta-table overlay
-with latest-generation-wins, scoring untouched, fold materializes."""
+with latest-generation-wins, scoring untouched, fold materializes.
+Internal columns (norms / stats inputs like ``length``) are rejected —
+the Lucene analog of updateNumericDocValue's non-dv-field
+IllegalArgumentException."""
 
 import os
 
@@ -29,103 +32,122 @@ def idx(spark, tmp_root, request):
     return d
 
 
-def _lengths(spark, d):
+def _col(spark, d, col):
     r = IndexReader(spark, d)
-    return {x["doc_id"]: x["length"] for x in
-            r.docs().select("doc_id", "length").collect()}
+    return {x["doc_id"]: x[col] for x in
+            r.docs().select("doc_id", col).collect()}
+
+
+def _writer(spark, d):
+    return IncrementalIndexWriter(spark, d, IndexConfig(n_buckets=4,
+                                                        n_doc_partitions=2))
 
 
 def test_numeric_update_overlays_and_scoring_unchanged(spark, idx):
     before_scores = IndexSearcher(IndexReader(spark, idx)) \
         .search_df("beta", k=None).collect()
-    base = _lengths(spark, idx)
-    w = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                       n_doc_partitions=2))
-    n = w.update_numeric_doc_value("alpha", "length", 999)
+    w = _writer(spark, idx)
+    n = w.update_numeric_doc_value("alpha", "stars", 999)
     assert n == 2  # d0, d1 contain alpha
-    got = _lengths(spark, idx)
+    got = _col(spark, idx, "stars")
     se = IndexSearcher(IndexReader(spark, idx))
     alpha_ids = {r["doc_id"] for r in
                  se.search_df("alpha", k=None).collect()}
-    for d_id, ln in got.items():
-        assert ln == (999 if d_id in alpha_ids else base[d_id]), d_id
+    for d_id, v in got.items():
+        assert (v == 999) if d_id in alpha_ids else (v is None), d_id
     # postings/norms untouched: identical scores
     after_scores = se.search_df("beta", k=None).collect()
     assert sorted((r["doc_id"], r["score"]) for r in before_scores) == \
         sorted((r["doc_id"], r["score"]) for r in after_scores)
+    # DocValuesRangeQuery sees the new field through docs()
+    from lucene_1_spark.search.query import DocValuesRangeQuery
+    hits = {r["doc_id"] for r in
+            se.search_df(DocValuesRangeQuery("stars", 1.0, 9999.0),
+                         k=None).collect()}
+    assert hits == alpha_ids
 
 
 def test_latest_generation_wins_and_string_update(spark, idx):
-    w = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                       n_doc_partitions=2))
-    w.update_numeric_doc_value("alpha", "length", 111)
-    w.update_numeric_doc_value("alpha", "length", 222)
-    got = _lengths(spark, idx)
+    w = _writer(spark, idx)
+    w.update_numeric_doc_value("alpha", "stars", 111)
+    w.update_numeric_doc_value("alpha", "stars", 222)
+    got = _col(spark, idx, "stars")
     se = IndexSearcher(IndexReader(spark, idx))
     alpha_ids = {r["doc_id"] for r in se.search_df("alpha", k=None).collect()}
     assert all(got[i] == 222 for i in alpha_ids)
-    # binary (string) update on a different field
+    # binary (string) update on an existing string field
     w.update_binary_doc_value("zeta", "lang", "zz")
-    langs = {r["doc_id"]: r["lang"] for r in
-             IndexReader(spark, idx).docs().select("doc_id", "lang").collect()}
+    langs = _col(spark, idx, "lang")
     zeta_ids = {r["doc_id"] for r in se.search_df("zeta", k=None).collect()}
     for d_id, lg in langs.items():
         assert lg == ("zz" if d_id in zeta_ids else "x"), d_id
 
 
-def test_new_field_appears_only_on_updated_docs(spark, idx):
-    w = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                       n_doc_partitions=2))
-    w.update_numeric_doc_value("gamma", "stars", 5.0)
-    rows = {r["doc_id"]: r["stars"] for r in
-            IndexReader(spark, idx).docs().select("doc_id", "stars").collect()}
+def test_binary_update_creates_string_field(spark, idx):
+    """ADVICE r4: a binary update to a BRAND-NEW field must materialize
+    value_str, not an all-null numeric column."""
+    w = _writer(spark, idx)
+    n = w.update_binary_doc_value("gamma", "tag", "hot")
+    assert n == 2  # d0, d3 contain gamma
+    got = _col(spark, idx, "tag")
     se = IndexSearcher(IndexReader(spark, idx))
     gamma_ids = {r["doc_id"] for r in se.search_df("gamma", k=None).collect()}
-    for d_id, v in rows.items():
-        assert (v == 5.0) if d_id in gamma_ids else (v is None), d_id
-    # DocValuesRangeQuery sees the new field through docs()
-    from lucene_1_spark.search.query import DocValuesRangeQuery
-    hits = {r["doc_id"] for r in
-            se.search_df(DocValuesRangeQuery("stars", 1.0, 9.0),
-                         k=None).collect()}
-    assert hits == gamma_ids
+    for d_id, v in got.items():
+        assert (v == "hot") if d_id in gamma_ids else (v is None), d_id
+    # survives the fold as a string column
+    assert fold_doc_values(spark, idx) == 1
+    assert _col(spark, idx, "tag") == got
+
+
+def test_reserved_and_mismatched_fields_rejected(spark, idx):
+    w = _writer(spark, idx)
+    for f in ("length", "doc_id", "content_sha256", "repo", "norm_byte"):
+        with pytest.raises(ValueError, match="internal index column"):
+            w.update_numeric_doc_value("alpha", f, 1.0)
+    with pytest.raises(ValueError, match="string field"):
+        w.update_numeric_doc_value("alpha", "lang", 3.0)
+    w.update_binary_doc_value("alpha", "tag", "x")
+    with pytest.raises(ValueError, match="mix"):
+        w.update_numeric_doc_value("beta", "tag", 1.0)
+    # after the fold the field has a concrete string type: numeric
+    # updates still rejected, now by the schema check
+    fold_doc_values(spark, idx)
+    with pytest.raises(ValueError, match="string field"):
+        w.update_numeric_doc_value("beta", "tag", 1.0)
 
 
 def test_fold_materializes_and_clears_delta(spark, idx):
-    w = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                       n_doc_partitions=2))
-    w.update_numeric_doc_value("alpha", "length", 777)
-    before = _lengths(spark, idx)
+    w = _writer(spark, idx)
+    w.update_numeric_doc_value("alpha", "stars", 777)
+    before = _col(spark, idx, "stars")
     n_fields = fold_doc_values(spark, idx)
     assert n_fields == 1
     r = IndexReader(spark, idx)
     assert "dv_fields" not in r.manifest
+    assert "dv_field_kinds" not in r.manifest
     assert not os.path.exists(os.path.join(idx, "dv_updates"))
-    assert _lengths(spark, idx) == before
-    # a later update starts a fresh delta over the folded generation
-    w2 = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                        n_doc_partitions=2))
-    w2.update_numeric_doc_value("zeta", "length", 5)
-    got = _lengths(spark, idx)
+    assert _col(spark, idx, "stars") == before
+    # a later update overlays the NOW-EXISTING materialized column
+    w2 = _writer(spark, idx)
+    w2.update_numeric_doc_value("zeta", "stars", 5)
+    got = _col(spark, idx, "stars")
     se = IndexSearcher(IndexReader(spark, idx))
     zeta_ids = {x["doc_id"] for x in se.search_df("zeta", k=None).collect()}
-    for d_id, ln in got.items():
-        assert ln == (5 if d_id in zeta_ids else before[d_id]), d_id
+    for d_id, v in got.items():
+        assert v == (5 if d_id in zeta_ids else before[d_id]), d_id
     assert fold_doc_values(spark, idx) == 1
     assert fold_doc_values(spark, idx) == 0  # nothing pending
 
 
 def test_compact_folds_updates(spark, idx):
-    w = IncrementalIndexWriter(spark, idx, IndexConfig(n_buckets=4,
-                                                       n_doc_partitions=2))
-    w.update_numeric_doc_value("alpha", "length", 321)
-    before = _lengths(spark, idx)
+    w = _writer(spark, idx)
+    w.update_numeric_doc_value("alpha", "stars", 321)
+    before = _col(spark, idx, "stars")
     w.delete_by_term("epsilon")
     w.compact()
     r = IndexReader(spark, idx)
     assert "dv_fields" not in r.manifest
-    got = _lengths(spark, idx)
+    got = _col(spark, idx, "stars")
     # deleted docs gone; surviving docs keep the updated values
     assert all(v == before[k] for k, v in got.items())
     assert len(got) < len(before)
-    assert 321 in got.values()

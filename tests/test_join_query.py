@@ -98,3 +98,34 @@ def test_term_vector_matches_analyzer_recount(ctx):
     want = Counter(get_analyzer("standard").tokens(row.iloc[0]["content"]))
     got = {r["term"]: r["freq"] for r in se.term_vector(5).collect()}
     assert got == dict(want)
+
+
+def test_join_from_side_respects_deletes(spark, tmp_root):
+    """ADVICE r4: JoinUtil respects liveDocs on the from side — a
+    tombstoned from-doc must not project its join value (ghost docs
+    matching the to side, or skewing max/total/avg)."""
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+    rows = [("r", "d0", "c", "aa", "needle alpha"),
+            ("r", "d1", "c", "bb", "needle beta"),
+            ("r", "d2", "c", "aa", "other text"),
+            ("r", "d3", "c", "bb", "plain words")]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    d = os.path.join(tmp_root, "idx_join_del")
+    IndexBuilder(spark, d, IndexConfig(n_buckets=4,
+                                       n_doc_partitions=2)).build(src)
+    se = IndexSearcher(IndexReader(spark, d))
+    q = JoinQuery(TermQuery("needle"), "lang", "lang", "none")
+    before = {r["doc_id"] for r in se.search_df(q, k=None).collect()}
+    assert len(before) == 4  # both langs matched via d0/d1
+    # delete the only 'bb' from-doc: lang=bb must stop matching
+    w = IncrementalIndexWriter(spark, d, IndexConfig(n_buckets=4,
+                                                     n_doc_partitions=2))
+    w.delete_by_term("beta")
+    se2 = IndexSearcher(IndexReader(spark, d))
+    langs = {r["doc_id"]: r["lang"] for r in
+             se2.reader.docs().select("doc_id", "lang").collect()}
+    got = {r["doc_id"] for r in se2.search_df(q, k=None).collect()}
+    assert got == {i for i, lg in langs.items() if lg == "aa"}

@@ -51,15 +51,14 @@ def test_snapshot_is_point_in_time_for_deletes(spark, idx):
 def test_snapshot_is_point_in_time_for_dv_updates(spark, idx):
     snap = snapshot_index(idx)
     w = IncrementalIndexWriter(spark, idx, IndexConfig(**CFG))
-    w.update_numeric_doc_value("alpha", "length", 999)
-    cur = {r["doc_id"]: r["length"] for r in
+    w.update_numeric_doc_value("alpha", "stars", 999)
+    cur = {r["doc_id"]: r["stars"] for r in
            IndexReader(spark, idx).docs().select("doc_id",
-                                                 "length").collect()}
-    old = {r["doc_id"]: r["length"] for r in
-           IndexReader(spark, idx, snapshot=snap).docs()
-           .select("doc_id", "length").collect()}
+                                                 "stars").collect()}
     assert 999 in cur.values()
-    assert 999 not in old.values()
+    # the pre-update snapshot never saw the dv field at all
+    old_docs = IndexReader(spark, idx, snapshot=snap).docs()
+    assert "stars" not in old_docs.columns
 
 
 def test_snapshot_survives_compaction_and_release_frees(spark, idx):
@@ -83,17 +82,17 @@ def test_dv_generation_window_after_fold(spark, idx):
     """Updates after a fold don't leak into a snapshot taken before
     them, even though the delta dir is shared."""
     w = IncrementalIndexWriter(spark, idx, IndexConfig(**CFG))
-    w.update_numeric_doc_value("alpha", "length", 111)
+    w.update_numeric_doc_value("alpha", "stars", 111)
     snap = snapshot_index(idx)
     from lucene_1_spark.index.maintenance import fold_doc_values
     fold_doc_values(spark, idx)
     w2 = IncrementalIndexWriter(spark, idx, IndexConfig(**CFG))
-    w2.update_numeric_doc_value("delta", "length", 222)
-    cur = {r["doc_id"]: r["length"] for r in
+    w2.update_numeric_doc_value("delta", "stars", 222)
+    cur = {r["doc_id"]: r["stars"] for r in
            IndexReader(spark, idx).docs().select("doc_id",
-                                                 "length").collect()}
-    old = {r["doc_id"]: r["length"] for r in
+                                                 "stars").collect()}
+    old = {r["doc_id"]: r["stars"] for r in
            IndexReader(spark, idx, snapshot=snap).docs()
-           .select("doc_id", "length").collect()}
+           .select("doc_id", "stars").collect()}
     assert 222 in cur.values() and 111 in cur.values()
     assert 111 in old.values() and 222 not in old.values()
