@@ -1033,6 +1033,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            PhraseQuery(("sort", "merge", "query"), slop=3))
     q["ft_sloppy_phrase3_topk"] = ft_sloppy_phrase3_topk
 
+    def ft_multiphrase_topk(s, d):
+        """MultiPhraseQuery (MultiPhraseQuery.java:53-120): each slot
+        accepts ANY member term — positional union per slot
+        (UnionPostingsEnum), then exact adjacency; weight = sum of idf
+        over all present member terms."""
+        from lucene_1_spark.search.query import MultiPhraseQuery
+        return _topk_query(s, d, MultiPhraseQuery(
+            (("sort", "hash"), ("merge", "join"))))
+    q["ft_multiphrase_topk"] = ft_multiphrase_topk
+
+    def ft_multiphrase_sloppy_topk(s, d):
+        """Sloppy (slop=2) two-slot MultiPhraseQuery: in-slop union
+        position pairs weighted 1/(1+|displacement|)."""
+        from lucene_1_spark.search.query import MultiPhraseQuery
+        return _topk_query(s, d, MultiPhraseQuery(
+            (("sort", "hash"), ("merge", "join")), slop=2))
+    q["ft_multiphrase_sloppy_topk"] = ft_multiphrase_sloppy_topk
+
     # ---- multi-field: keyword field postings (IndexingChain.java:561) ----
     def ft_textfield_topk(s, d):
         """Second ANALYZED text field ('head' = first 80 chars): BM25
@@ -1630,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries no driver round had checked before round 3's judge ran
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
+        "ft_multiphrase_topk", "ft_multiphrase_sloppy_topk",  # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -1704,6 +1723,72 @@ pf AS (SELECT doc_id, sum(1.0 / (1 + abs(e))) AS pfreq
 w AS (
   SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
   FROM df CROSS JOIN st WHERE df.term IN ('sort', 'merge')),
+sc AS (
+  SELECT pf.doc_id,
+         w.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # MultiPhraseQuery: slot unions (sort|hash) -> (merge|join);
+    # exact: pf = count of anchor positions with a slot-1 member at +1;
+    # weight = sum of idf over ALL member terms
+    o["ft_multiphrase_topk"] = f"""
+WITH {_BM25_CTES},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+s0 AS (SELECT DISTINCT doc_id, ord FROM ordered
+       WHERE term IN ('sort', 'hash')),
+s1 AS (SELECT DISTINCT doc_id, ord FROM ordered
+       WHERE term IN ('merge', 'join')),
+pf AS (SELECT s0.doc_id, count(*)::DOUBLE AS pfreq
+       FROM s0 JOIN s1 ON s1.doc_id = s0.doc_id AND s1.ord = s0.ord + 1
+       GROUP BY s0.doc_id),
+w AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'hash', 'merge', 'join')),
+sc AS (
+  SELECT pf.doc_id,
+         w.wt * pf.pfreq
+         / (pf.pfreq + {K1} * (1 - {B} + {B} * dl.len / (st.tot / st.n))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN w)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # sloppy (slop=2) two-slot multiphrase: all in-slop union-position
+    # pairs, each weighted 1/(1+|displacement|)
+    o["ft_multiphrase_sloppy_topk"] = f"""
+WITH {_BM25_CTES},
+ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+s0 AS (SELECT DISTINCT doc_id, ord FROM ordered
+       WHERE term IN ('sort', 'hash')),
+s1 AS (SELECT DISTINCT doc_id, ord FROM ordered
+       WHERE term IN ('merge', 'join')),
+pairs AS (
+  SELECT s0.doc_id, (s1.ord - s0.ord - 1) AS e
+  FROM s0 JOIN s1 ON s1.doc_id = s0.doc_id
+  WHERE abs(s1.ord - s0.ord - 1) <= 2),
+pf AS (SELECT doc_id, sum(1.0 / (1 + abs(e))) AS pfreq
+       FROM pairs GROUP BY doc_id),
+w AS (
+  SELECT sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5))) AS wt
+  FROM df CROSS JOIN st WHERE df.term IN ('sort', 'hash', 'merge', 'join')),
 sc AS (
   SELECT pf.doc_id,
          w.wt * pf.pfreq

@@ -128,6 +128,92 @@ def search_oracle_phrase(idx: OracleIndex, terms: list[str], k: int = 10,
     return out[:k]
 
 
+def search_oracle_multiphrase(idx: OracleIndex, slots, k: int = 10,
+                              boost: float = 1.0, slop: int = 0,
+                              offsets=None) -> list[tuple[int, str, float]]:
+    """MultiPhraseQuery brute force (``MultiPhraseQuery.java:53-120``):
+    per-slot positional UNION of member terms, then the engine's
+    documented exact/sloppy semantics — written as plain per-doc loops
+    (an independent second implementation of the vectorized kernel).
+    Member terms with docFreq 0 are skipped; a slot with no present
+    member never matches.  Weight = boost * f32-accumulated sum of
+    member idfs."""
+    avgdl = bm25.avg_field_length(idx.sum_total_term_freq, idx.doc_count)
+    cache = bm25.norm_inverse_cache(avgdl, np.float32(idx.k1),
+                                    np.float32(idx.b))
+    pos = idx.positions or {}
+    slots = tuple(tuple(t for t in s if t in pos) for s in slots)
+    if not slots or any(not s for s in slots):
+        return []
+    n = len(slots)
+    offs = tuple(offsets) if offsets is not None else tuple(range(n))
+    deltas = [o - offs[0] for o in offs]
+    acc = 0.0
+    for s in slots:
+        for t in s:
+            acc += float(bm25.idf(len(idx.postings[t]), idx.doc_count))
+    weight = np.float32(np.float32(boost) * np.float32(acc))
+    repeated = {s for s in slots if slots.count(s) > 1}
+
+    def slot_positions(did, s):
+        u = set()
+        for t in s:
+            u.update(pos[t].get(did, []))
+        return sorted(u)
+
+    cands = set()
+    for did in pos[slots[0][0]] if len(slots[0]) == 1 else {
+            d for t in slots[0] for d in pos[t]}:
+        if all(slot_positions(did, s) for s in slots):
+            cands.add(did)
+    out = []
+    for did in cands:
+        P = [slot_positions(did, s) for s in slots]
+        pf = 0.0
+        if slop == 0:
+            for p in P[0]:
+                if all((p + deltas[i]) in P[i] for i in range(1, n)):
+                    pf += 1.0
+        elif n == 2 and not repeated:
+            for p0 in P[0]:
+                for p1 in P[1]:
+                    e = p1 - (p0 + deltas[1])
+                    if abs(e) <= slop:
+                        pf += 1.0 / (1.0 + abs(e))
+        else:
+            for p in P[0]:
+                disp, ok = 0.0, True
+                prev = {slots[0]: p} if slots[0] in repeated else {}
+                for i in range(1, n):
+                    sk, target = slots[i], p + deltas[i]
+                    window = [x for x in P[i]
+                              if abs(x - target) <= slop]
+                    if sk not in repeated:
+                        if not window:
+                            ok = False
+                            break
+                        disp += min(abs(x - target) for x in window)
+                        continue
+                    lb = target - slop if sk not in prev else prev[sk] + 1
+                    feas = [x for x in P[i]
+                            if lb <= x <= target + slop]
+                    if not feas:
+                        ok = False
+                        break
+                    pick = feas[0]
+                    disp += abs(pick - target)
+                    prev[sk] = pick
+                if ok:
+                    pf += 1.0 / (1.0 + disp)
+        if pf <= 0:
+            continue
+        s = bm25.score_term(np.array([pf]), idx.norm_bytes[did:did + 1],
+                            weight, cache)
+        out.append((did, idx.doc_keys[did], float(s[0])))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
 def search_oracle(idx: OracleIndex, query: str, k: int = 10,
                   analyzer: str = "standard") -> list[tuple[int, str, float]]:
     """Top-k as [(doc_id, doc_key, score_float32)] in rank order."""

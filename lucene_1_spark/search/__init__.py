@@ -1,7 +1,8 @@
 from lucene_1_spark.search.query import (  # noqa: F401
     BooleanQuery, Clause, ConstantScoreQuery, DisjunctionMaxQuery,
     DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
-    JoinQuery, KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery,
+    JoinQuery, KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery,
+    MultiPhraseQuery, MultiTermQuery,
     Occur, PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
 )

@@ -44,7 +44,8 @@ from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
-    JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiTermQuery, Occur,
+    JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
+    MultiTermQuery, Occur,
     PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
     rewrite_fixpoint,
@@ -271,6 +272,15 @@ class IndexSearcher:
             return PhraseQuery(
                 tuple(f"{q.field}{FIELD_SEP}{t}" for t in q.terms),
                 q.boost, q.slop)
+        if isinstance(q, MultiPhraseQuery) and q.field != "content":
+            if q.field not in self.text_fields:
+                raise ValueError(
+                    f"field '{q.field}' is not an analyzed text field "
+                    f"(text_fields={sorted(self.text_fields)})")
+            return MultiPhraseQuery(
+                tuple(tuple(f"{q.field}{FIELD_SEP}{t}" for t in s)
+                      for s in q.slots),
+                q.boost, q.slop, positions=q.positions)
         if isinstance(q, BooleanQuery):
             new = tuple(Clause(self._resolve_fields(c.query), c.occur)
                         for c in q.clauses)
@@ -492,6 +502,8 @@ class IndexSearcher:
             return scored.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(query, PhraseQuery):
             return self._phrase_search(query, k, after)
+        if isinstance(query, MultiPhraseQuery):
+            return self._multiphrase_search(query, k, after)
         if isinstance(query, ConstantScoreQuery):
             matches = self._search_inner(query.query, k=None, prune=False)
             scored = matches.select(
@@ -820,93 +832,168 @@ class IndexSearcher:
 
     def _phrase_search(self, q: PhraseQuery, k: int | None,
                        after: tuple[float, int] | None) -> DataFrame:
-        """Phrase execution, scale-shaped like the reference's positional
-        leapfrog (``search/ExactPhraseMatcher.java:109-153``):
+        """Phrase execution — delegates to :meth:`_phrase_exec` with one
+        single-term slot per phrase position.  See PhraseQuery
+        (``search/PhraseQuery.java:71-143``) for the slop semantics and
+        documented deviations."""
+        return self._phrase_exec(tuple((t,) for t in q.terms),
+                                 int(q.slop), float(q.boost), None, k,
+                                 after)
+
+    def _multiphrase_search(self, q, k: int | None,
+                            after: tuple[float, int] | None) -> DataFrame:
+        """MultiPhraseQuery (``search/MultiPhraseQuery.java:53-120``):
+        a phrase whose slots accept ANY of several terms (wildcard /
+        synonym expansion inside a phrase).  Each slot's postings are
+        the positional UNION of its members (UnionPostingsEnum,
+        ``MultiPhraseQuery.java:350-420``); the ordinary exact/sloppy
+        adjacency kernel then runs over the slot streams.  Weight =
+        boost * sum of idf over every PRESENT member term
+        (MultiPhraseWeight collects per-term TermStatistics; docFreq-0
+        terms are skipped)."""
+        return self._phrase_exec(q.slots, int(q.slop), float(q.boost),
+                                 q.positions, k, after)
+
+    def _phrase_exec(self, slots, slop: int, boost: float, offsets,
+                     k: int | None,
+                     after: tuple[float, int] | None) -> DataFrame:
+        """Positional phrase kernel over term-union SLOTS, scale-shaped
+        like the reference's positional leapfrog
+        (``search/ExactPhraseMatcher.java:109-153``):
 
         1. **candidate intersection first** — a cheap docs-only decode
            (doc gaps only, no freqs/norms/positions) finds docs holding
-           ALL phrase terms;
+           at least one member term of EVERY slot;
         2. **pruned positions decode** — position blocks are decoded
            only where the block's [first_doc, last_doc] range contains a
            candidate (the skip-list hop), then rows are semi-joined to
-           the exact candidate set;
+           the exact candidate set; a multi-term slot takes the sorted
+           positional union of its members (UnionPostingsEnum);
         3. **vectorized occurrence count** — all rows' position lists
            are flattened into one (row, pos)-keyed array; adjacency is
            one ``np.isin`` per phrase slot (no per-row Python loop).
 
-        slop>0 (two distinct terms): freq = sum over in-slop pairs of
-        1/(1+|displacement|); slop>0 with n>=3 terms (or any repeated
-        term): each occurrence of the FIRST term anchors one candidate
-        match — every other slot i must have some position within
-        ``slop`` of (anchor + i), and the match weighs 1/(1 + sum of
-        per-slot |displacement|s).  Slots sharing a REPEATED term are
-        assigned DISTINCT occurrences (Lucene's
+        slop>0 (two distinct slots): freq = sum over in-slop position
+        pairs of 1/(1+|displacement|); slop>0 with n>=3 slots (or any
+        repeated slot): each position of the FIRST slot anchors one
+        candidate match — every other slot i must have some position
+        within ``slop`` of (anchor + delta_i), and the match weighs
+        1/(1 + sum of per-slot |displacement|s).  Slots with IDENTICAL
+        member sets are assigned DISTINCT positions (Lucene's
         ``search/SloppyPhraseMatcher.java:52-90`` forbids two repeat
         slots matching the same position) via a leftmost-feasible
-        greedy in slot order; the anchor occurrence is consumed when
-        term0 itself repeats.  These are documented deviations from
+        greedy in slot order; the anchor position is consumed when slot
+        0 itself repeats.  These are documented deviations from
         SloppyPhraseMatcher's greedy repositioning walk (same
         1/(1+matchLength) weighting idea), chosen because they are
-        exactly reproducible in set-based SQL for the oracle."""
+        exactly reproducible in set-based SQL for the oracle.
+
+        ``offsets``: optional explicit per-slot positions
+        (``MultiPhraseQuery.Builder.add(Term[], int)`` — gaps between
+        slots); default consecutive 0..n-1."""
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if self.reader.cfg.get("positions") is not True:
             raise ValueError("index was built without positions "
                              "(IndexConfig.positions=True required)")
-        uniq_terms = sorted(set(q.terms))
-        stats = self.reader.term_statistics(uniq_terms)
-        if any(t not in stats for t in q.terms):
+        slots = tuple(tuple(s) for s in slots)
+        n_slots = len(slots)
+        if n_slots == 0:
             return empty
+        offs = (tuple(int(o) for o in offsets) if offsets is not None
+                else tuple(range(n_slots)))
+        if len(offs) != n_slots or list(offs) != sorted(offs):
+            raise ValueError("slot positions must be one ascending "
+                             "offset per slot")
+        all_terms = [t for s in slots for t in s]
+        stats = self.reader.term_statistics(sorted(set(all_terms)))
+        # docFreq-0 members contribute neither postings nor idf
+        # (MultiPhraseWeight skips them); a slot with NO present member
+        # can never match
+        slots = tuple(tuple(t for t in s if t in stats) for s in slots)
+        if any(not s for s in slots):
+            return empty
+        present = sorted({t for s in slots for t in s})
         # per-field stats: a fielded phrase (composite terms) scores
         # with ITS field's docCount/avgdl and per-field norms
-        fdc, _ = self._field_params(q.terms[0])
+        anchor_term = slots[0][0]
+        fdc, _ = self._field_params(anchor_term)
+        ordered_terms = [t for s in slots for t in s]
         if self.classic:
-            weight = q.boost * sum(
-                bm25.idf_classic(stats[t][0], fdc) for t in q.terms) ** 2
+            weight = boost * sum(
+                bm25.idf_classic(stats[t][0], fdc)
+                for t in ordered_terms) ** 2
         elif self.double_mode:
-            weight = q.boost * sum(
-                bm25.idf_double(stats[t][0], fdc) for t in q.terms)
+            weight = boost * sum(
+                bm25.idf_double(stats[t][0], fdc) for t in ordered_terms)
         else:
             acc = 0.0
-            for t in q.terms:
+            for t in ordered_terms:
                 acc += float(bm25.idf(stats[t][0], fdc))
-            weight = float(np.float32(np.float32(q.boost) * np.float32(acc)))
+            weight = float(np.float32(np.float32(boost) * np.float32(acc)))
 
-        # 1. candidate docs containing every phrase term (docs-only decode)
-        blocks_all = self._blocks_for(uniq_terms)
+        # 1. candidate docs covering every slot (docs-only decode)
+        blocks_all = self._blocks_for(present)
         docs_only = blocks_all.mapInPandas(
             self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
-        cand = (docs_only.groupBy("doc_id")
-                .agg(F.count_distinct("term").alias("_nt"))
-                .filter(F.col("_nt") == len(uniq_terms))
-                .select("doc_id"))
+        if all(len(s) == 1 for s in slots):
+            cand = (docs_only.groupBy("doc_id")
+                    .agg(F.count_distinct("term").alias("_nt"))
+                    .filter(F.col("_nt") == len(present))
+                    .select("doc_id"))
+        else:
+            # term -> slot membership is a tiny driver-side relation;
+            # broadcast it and demand distinct-slot coverage == n_slots
+            tmap = self.spark.createDataFrame(
+                [(t, i) for i, s in enumerate(slots) for t in s],
+                "term string, slot int")
+            cand = (docs_only.join(F.broadcast(tmap), "term")
+                    .groupBy("doc_id")
+                    .agg(F.count_distinct("slot").alias("_ns"))
+                    .filter(F.col("_ns") == n_slots)
+                    .select("doc_id"))
         cand_b = F.broadcast(cand)
 
         # 2. positions decode only for candidate-bearing blocks
-        joined = None
-        for i, t in enumerate(q.terms):
+        def decode_positions(t: str) -> DataFrame:
             blocks_t = blocks_all.filter(F.col("term") == t)
             pruned_t = blocks_t.join(
                 cand_b, (F.col("doc_id") >= F.col("first_doc"))
                 & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-            dec = (pruned_t.mapInPandas(self._decode_positions_kernel(),
-                                        POSITIONS_SCHEMA)
-                   .join(cand_b, "doc_id", "left_semi")
-                   .select("doc_id", *(["norm_val"] if i == 0 else []),
-                           F.col("positions").alias(f"p{i}")))
+            return (pruned_t.mapInPandas(self._decode_positions_kernel(),
+                                         POSITIONS_SCHEMA)
+                    .join(cand_b, "doc_id", "left_semi"))
+
+        joined = None
+        for i, s in enumerate(slots):
+            keep_norm = ["norm_val"] if i == 0 else []
+            if len(s) == 1:
+                dec = decode_positions(s[0]).select(
+                    "doc_id", *keep_norm,
+                    F.col("positions").alias(f"p{i}"))
+            else:
+                un = decode_positions(s[0])
+                for t in s[1:]:
+                    un = un.unionByName(decode_positions(t))
+                aggs = [F.sort_array(F.array_distinct(F.flatten(
+                    F.collect_list("positions")))).alias(f"p{i}")]
+                if i == 0:
+                    # the norm is a per-doc field property, identical
+                    # across a slot's member terms
+                    aggs.insert(0, F.first("norm_val").alias("norm_val"))
+                dec = un.groupBy("doc_id").agg(*aggs)
             joined = dec if joined is None else joined.join(dec, "doc_id")
 
-        f_caches, f_avgdls = self._per_term_field_maps({q.terms[0]: 1.0})
-        cache = f_caches.get(q.terms[0], self.cache)
+        f_caches, f_avgdls = self._per_term_field_maps({anchor_term: 1.0})
+        cache = f_caches.get(anchor_term, self.cache)
         k1, b = float(self.k1), float(self.b)
-        avgdl = f_avgdls.get(q.terms[0], float(self.avgdl))
+        avgdl = f_avgdls.get(anchor_term, float(self.avgdl))
         double_mode = self.double_mode
-        n_terms = len(q.terms)
-        slop = int(q.slop)
-        qterms = tuple(q.terms)
-        has_repeats = len(set(qterms)) != n_terms
-        # slots sharing a term need DISTINCT occurrences
+        slot_keys = slots
+        has_repeats = len(set(slot_keys)) != n_slots
+        # slots with identical member sets need DISTINCT positions
         # (SloppyPhraseMatcher.java:52-90 repeat handling)
-        repeated = {t for t in qterms if qterms.count(t) > 1}
+        repeated = {s for s in slot_keys if slot_keys.count(s) > 1}
+        deltas = tuple(o - offs[0] for o in offs)
 
         from pyspark.sql.functions import pandas_udf
 
@@ -930,46 +1017,47 @@ class IndexSearcher:
             k0, rows0 = keyed(plists[0])
             if slop == 0:
                 mask = np.ones(len(k0), dtype=bool)
-                for i in range(1, n_terms):
+                for i in range(1, n_slots):
                     ki, _ = keyed(plists[i])
-                    mask &= np.isin(k0 + i, ki)
+                    mask &= np.isin(k0 + deltas[i], ki)
                 pf = np.bincount(rows0[mask],
                                  minlength=nrows).astype(np.float64)
-            elif n_terms == 2 and not has_repeats:
+            elif n_slots == 2 and not has_repeats:
                 k1s, _ = keyed(plists[1])
                 pf = np.zeros(nrows, dtype=np.float64)
                 for e in range(-slop, slop + 1):
-                    m = np.isin(k0 + 1 + e, k1s)
+                    m = np.isin(k0 + deltas[1] + e, k1s)
                     if m.any():
                         pf += (np.bincount(rows0[m], minlength=nrows)
                                / (1.0 + abs(e)))
             else:
-                # anchor on term0 (n>=3, or any n with repeated terms).
+                # anchor on slot 0 (n>=3, or any n with repeated slots).
                 # Non-repeated slots pick the minimal in-slop
                 # |displacement| independently (one np.isin per offset).
-                # Slots of a REPEATED term are assigned DISTINCT
-                # occurrences (Lucene's SloppyPhraseMatcher.java:52-90
+                # Slots with a REPEATED member set are assigned DISTINCT
+                # positions (Lucene's SloppyPhraseMatcher.java:52-90
                 # forces repeats onto different positions): a
-                # leftmost-feasible greedy in slot order — keys of the
-                # term must be strictly increasing across its slots,
-                # which is WLOG since any crossing assignment can be
-                # uncrossed within the per-slot windows.  The anchor
-                # occurrence is consumed when term0 itself repeats.
+                # leftmost-feasible greedy in slot order — positions of
+                # the repeat group must be strictly increasing across
+                # its slots, which is WLOG since any crossing assignment
+                # can be uncrossed within the per-slot windows.  The
+                # anchor position is consumed when slot 0 itself
+                # repeats.
                 nk = len(k0)
                 disp_total = np.zeros(nk, dtype=np.float64)
                 valid = np.ones(nk, dtype=bool)
                 offsets_by_abs = sorted(range(-slop, slop + 1), key=abs)
                 keyed_memo: dict[int, np.ndarray] = {}
-                prev: dict[str, np.ndarray] = {}
-                if qterms[0] in repeated:
-                    prev[qterms[0]] = k0
-                for i in range(1, n_terms):
-                    t = qterms[i]
+                prev: dict[tuple, np.ndarray] = {}
+                if slot_keys[0] in repeated:
+                    prev[slot_keys[0]] = k0
+                for i in range(1, n_slots):
+                    sk = slot_keys[i]
                     if i not in keyed_memo:
                         keyed_memo[i] = keyed(plists[i])[0]
                     ki = keyed_memo[i]
-                    target = k0 + i
-                    if t not in repeated:
+                    target = k0 + deltas[i]
+                    if sk not in repeated:
                         best = np.full(nk, np.inf)
                         for e in offsets_by_abs:
                             undecided = ~np.isfinite(best)
@@ -981,7 +1069,7 @@ class IndexSearcher:
                         valid &= slot_ok
                         disp_total += np.where(slot_ok, best, 0.0)
                         continue
-                    p = prev.get(t)
+                    p = prev.get(sk)
                     lb = target - slop if p is None \
                         else np.maximum(target - slop, p + 1)
                     if len(ki) == 0:
@@ -995,14 +1083,14 @@ class IndexSearcher:
                     ok = (idx < len(ki)) & (pos <= target + slop)
                     valid &= ok
                     disp_total += np.where(ok, np.abs(pos - target), 0.0)
-                    prev[t] = np.where(ok, pos, target)
+                    prev[sk] = np.where(ok, pos, target)
                 w = np.where(valid, 1.0 / (1.0 + disp_total), 0.0)
                 pf = np.bincount(rows0, weights=w, minlength=nrows)
             return pd.Series(pf)
 
         with_pf = (joined
                    .withColumn("pf", phrase_freq(
-                       *[F.col(f"p{i}") for i in range(n_terms)]))
+                       *[F.col(f"p{i}") for i in range(n_slots)]))
                    .filter(F.col("pf") > 0.0))
         if double_mode:
             ln = F.col("norm_val").cast("double")

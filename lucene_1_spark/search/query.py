@@ -159,6 +159,46 @@ class PhraseQuery(Query):
     field: str = "content"  # phrases match WITHIN one field's positions
 
 
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase whose slots each accept ANY of several terms
+    (``search/MultiPhraseQuery.java:53-120``) — the bridge between
+    PhraseQuery and SynonymQuery used for wildcard/synonym expansion
+    inside a phrase.  Slot i matches at position p when any member term
+    occurs there (UnionPostingsEnum, ``MultiPhraseQuery.java:350-420``);
+    exact/sloppy adjacency then runs over the unioned slot streams with
+    PhraseQuery's slop semantics (and the same documented deviations).
+    Scored as one pseudo-term: weight = boost * sum of member idfs over
+    every present term in every slot (MultiPhraseWeight collects all
+    member TermStatistics; docFreq-0 members are skipped).
+
+    ``positions``: optional explicit per-slot positions — ascending,
+    one per slot (``MultiPhraseQuery.Builder.add(Term[], int)`` allows
+    gaps, e.g. stop-word holes).  Default consecutive 0..n-1."""
+    slots: tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+    slop: int = 0
+    field: str = "content"
+    positions: tuple[int, ...] | None = None
+
+    def rewrite(self) -> "Query":
+        if not self.slots or any(not s for s in self.slots):
+            return MatchNoDocsQuery()
+        if len(self.slots) == 1:
+            # Lucene's one-position optimization
+            # (``MultiPhraseQuery.java`` rewrite): a single slot is a
+            # SHOULD-disjunction of its member TermQueries
+            if len(self.slots[0]) == 1:
+                return TermQuery(self.slots[0][0], self.boost, self.field)
+            return BooleanQuery(tuple(
+                Clause(TermQuery(t, self.boost, self.field), Occur.SHOULD)
+                for t in self.slots[0]))
+        if all(len(s) == 1 for s in self.slots) and self.positions is None:
+            return PhraseQuery(tuple(s[0] for s in self.slots),
+                               self.boost, self.slop, self.field)
+        return self
+
+
 class MultiTermQuery(Query):
     """Marker base for term-dictionary-expanded queries
     (``search/MultiTermQuery.java:86-119``).  The executor rewrites a
@@ -396,6 +436,9 @@ def _apply_boost(q: Query, b: float) -> Query:
         return TermQuery(q.term, q.boost * b, q.field)
     if isinstance(q, PhraseQuery):
         return PhraseQuery(q.terms, q.boost * b, q.slop, q.field)
+    if isinstance(q, MultiPhraseQuery):
+        return MultiPhraseQuery(q.slots, q.boost * b, q.slop, q.field,
+                                q.positions)
     if isinstance(q, SynonymQuery):
         return SynonymQuery(q.terms, q.boost * b)
     if isinstance(q, ConstantScoreQuery):
@@ -678,6 +721,7 @@ import dataclasses as _dc
 _SERIALIZABLE = (TermQuery, BooleanQuery, Clause, MatchAllDocsQuery,
                  MatchNoDocsQuery, ConstantScoreQuery, SynonymQuery,
                  DisjunctionMaxQuery, TermInSetQuery, PhraseQuery,
+                 MultiPhraseQuery,
                  PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
                  TermRangeQuery, KnnVectorQuery, DocValuesRangeQuery,
                  FieldExistsQuery, JoinQuery)
