@@ -233,13 +233,18 @@ def _clustered_embeddings(spark, n_clusters: int = 40,
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def quality_metrics(spark, sf_dir: str) -> dict:
+def quality_metrics(spark, sf_dir: str, tf_min: int = 6) -> dict:
     """TREC-style retrieval quality (QualityStats.java:25-171 metrics)
     over a deterministic judged fixture: for each single-term query,
     the judged-relevant set is the docs whose whitespace term frequency
-    is >= 2 (a deterministic pseudo-judgment derivable from the corpus
-    itself).  MAP / MRR / P@N / recall@20 are reported for BOTH wired
-    similarities so a ranking regression in either is visible."""
+    is >= ``tf_min`` — RARE judgments (~0.2% of the corpus at sf0.1),
+    so rankings that don't surface high-tf docs early lose MAP.  Each
+    query retrieves to 2x its judged-set size (min 10), so recall and
+    precision both live strictly inside (0, 1) and the two wired
+    similarities produce MEASURABLY different MAP — the harness
+    discriminates ranking regressions instead of pinning P@N at 1.0
+    (the round-4 fixture retrieved 20 from thousands of judged docs,
+    making every metric degenerate)."""
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
 
@@ -255,7 +260,7 @@ def quality_metrics(spark, sf_dir: str) -> dict:
             lambda t: t != "")).alias("term"))
     rel_rows = (toks.filter(F.col("term").isin(qterms))
                 .groupBy("doc_id", "term").count()
-                .filter(F.col("count") >= 2).collect())
+                .filter(F.col("count") >= int(tf_min)).collect())
     judged: dict[str, set] = {t: set() for t in qterms}
     for r in rel_rows:
         judged[r["term"]].add(r["doc_id"])
@@ -269,10 +274,13 @@ def quality_metrics(spark, sf_dir: str) -> dict:
                  for r in se.reader.docs().select("doc_id", "path").collect()}
         stats = []
         for t in qterms:
-            hits = se.search(t, k=20)
+            depth = max(10, 2 * len(judged[t]))
+            hits = se.search(t, k=depth)
             ranked = [idmap[h["doc_id"]] for h in hits]
             stats.append(judge_run(ranked, judged[t]))
         out[sim_name] = average(stats, p_at=(1, 5, 10))
+    out["map_spread_bm25_vs_classic"] = round(
+        abs(out["bm25"]["map"] - out["classic"]["map"]), 4)
     return out
 
 

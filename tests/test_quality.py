@@ -64,3 +64,16 @@ def test_average_aggregate():
     assert agg["p_at_1"] == pytest.approx(0.5)
     assert agg["p_at_2"] == pytest.approx(0.5)
     assert agg["n_queries"] == 2
+
+
+def test_quality_harness_discriminates(spark):
+    """The judged fixture must have teeth (VERDICT r4 item 2): rare
+    judgments (tf>=6) + retrieval to 2x judged depth make MAP live
+    strictly inside (0,1) and DIFFER between bm25 and classic — a
+    ranking regression in either similarity is now visible."""
+    import bench as bench_mod
+    q = bench_mod.quality_metrics(spark, "/root/testdata/sf0.01")
+    for sim in ("bm25", "classic"):
+        assert 0.0 < q[sim]["map"] < 1.0, q
+        assert 0.0 < q[sim]["recall"] < 1.0, q
+    assert q["map_spread_bm25_vs_classic"] > 0.0, q
