@@ -21,11 +21,13 @@ Semantics implemented (citations into /root/reference):
   UAX#29): Han ideographs and Hiragana emit one token per codepoint
   (IDEOGRAPHIC / HIRAGANA types); Katakana and Hangul emit runs
   (KATAKANA / HANGUL); everything else tokenizes with the engine's
-  UAX#29-for-ASCII word rules.  Deviation (documented): Lucene's
-  StandardTokenizer types a MIXED Hangul+Latin run like ``한국abc`` as
-  <ALPHANUM> and passes it through un-bigrammed
-  (``cjk/CJKBigramFilter.java:44-49``); this scanner splits it into a
-  Hangul run + a Latin token instead.
+  UAX#29-for-ASCII word rules.  Hangul syllables are WB:ALetter, so a
+  MIXED Hangul+Latin/digit run like ``한국abc`` joins into ONE word
+  token typed <ALPHANUM> and passes through un-bigrammed
+  (``cjk/CJKBigramFilter.java:44-49`` doTokenTypes;
+  ``standard/StandardTokenizerImpl.jflex:219-221`` marks the HANGUL
+  rule "subset of the below for typing purposes only") — a run types
+  <HANGUL> (and bigrams) only when it is entirely Hangul.
 - **Bigramming** (``cjk/CJKBigramFilter.java:154-236``): adjacent CJK
   codepoints (across tokens, when offsets are contiguous —
   ``lastEndOffset`` check at ``CJKBigramFilter.java:189``) form
@@ -66,8 +68,19 @@ _KATA = "ァ-ヺー-ヾㇰ-ㇿ"
 _HANG = "가-힣ᄀ-ᇿꥠ-꥿ힰ-퟿"
 _CJK_ALL = _HAN + _HIRA + _KATA + _HANG + "゙゚"
 
-# non-CJK word char: the standard analyzer's \w minus every CJK class
-_W = rf"(?:(?![{_CJK_ALL}])\w)"
+# non-CJK word char: the standard analyzer's \w minus every CJK class.
+# Hangul is NOT excluded: Hangul syllables are WB:ALetter, so a mixed
+# run like 한국abc matches the LONGER UAX#29 word rule and types
+# <ALPHANUM> (un-bigrammed); the jflex grammar marks ``{HangulEx}+`` as
+# "subset of the below for typing purposes only"
+# (``standard/StandardTokenizerImpl.jflex:219-221``) — a pure-Hangul
+# run types <HANGUL> only because equal-length matches pick the
+# earlier rule.  The scanner mirrors that with a post-classification:
+# word matches that are entirely Hangul re-type as hang.  Han,
+# Hiragana and Katakana are WB:Other/Katakana — never joined into a
+# word run — so they keep their own alternatives.
+_W = rf"(?:(?![{_HAN}{_HIRA}{_KATA}゙゚])\w)"
+_PURE_HANG_RE = re.compile(rf"[{_HANG}]+\Z")
 # UAX#29 Extend (common nonspacing-mark blocks): transparent inside a
 # word run — Python's \w excludes Mn, so e.g. Arabic "رُوبرت" would
 # otherwise split at the damma (reference golden
@@ -89,8 +102,7 @@ _SCAN_RE = re.compile(
     rf"|(?<={_D})['.,](?={_D})){_WRUN})*)"
     rf"|(?P<han>[{_HAN}])"
     rf"|(?P<hira>[{_HIRA}][゙゚]?)"
-    rf"|(?P<kata>[{_KATA}][゙゚]?)"
-    rf"|(?P<hang>[{_HANG}]+)",
+    rf"|(?P<kata>[{_KATA}][゙゚]?)",
     re.UNICODE,
 )
 
@@ -138,6 +150,12 @@ class CJKAnalyzer:
     def _scan(self, text: str):
         for m in _SCAN_RE.finditer(text):
             kind = m.lastgroup
+            # the HANGUL-vs-ALPHANUM typing rule (see _W above): a word
+            # run that is ENTIRELY Hangul types HANGUL and bigrams;
+            # any mixed Hangul+Latin/digit run stays one un-bigrammed
+            # ALPHANUM token (CJKBigramFilter.java:44-49 doTokenTypes)
+            if kind == "word" and _PURE_HANG_RE.fullmatch(m.group()):
+                kind = "hang"
             yield m.group(), kind, m.start(), m.end()
 
     def _stream(self, text: str):

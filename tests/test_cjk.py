@@ -180,3 +180,34 @@ def test_cjk_phrase_search(cjk_searcher):
     assert len(hits) == 1
     hits2 = cjk_searcher.search(PhraseQuery(("中文", "信息")), k=10)
     assert len(hits2) == 0  # not adjacent in bigram space
+
+
+def test_mixed_hangul_latin_runs_match_reference():
+    """VERDICT r4 item: Hangul is WB:ALetter, so mixed Hangul+Latin
+    runs join into ONE <ALPHANUM> token passed through un-bigrammed
+    (StandardTokenizerImpl.jflex:219-221 "subset ... for typing
+    purposes only"; CJKBigramFilter.java:44-49); only pure-Hangul runs
+    type <HANGUL> and bigram.  Goldens adapted from the reference's
+    TestCJKAnalyzer (testMix/testMix2/testNonIdeographic/
+    testSurrogates) plus the mixed-Hangul cases."""
+    from lucene_1_spark.analysis.cjk import CJKAnalyzer
+    a = CJKAnalyzer()
+    cases = [
+        ("あいうえおabcかきくけこ",
+         ["あい", "いう", "うえ", "えお", "abc",
+          "かき", "きく", "くけ", "けこ"]),
+        ("あいうえおabんcかきくけ こ",
+         ["あい", "いう", "うえ", "えお", "ab", "ん", "c",
+          "かき", "きく", "くけ", "こ"]),
+        ("一 روبرت موير", ["一", "روبرت", "موير"]),
+        ("𩬅艱鍟䇹愯瀛", ["𩬅艱", "艱鍟", "鍟䇹", "䇹愯", "愯瀛"]),
+        ("한국abc", ["한국abc"]),
+        ("abc한국", ["abc한국"]),
+        ("한국123", ["한국123"]),
+        ("한국 abc", ["한국", "abc"]),
+        ("한국어 형태소", ["한국", "국어", "형태", "태소"]),
+        ("あいtest", ["あい", "test"]),
+        ("testあい", ["test", "あい"]),
+    ]
+    for text, want in cases:
+        assert a.tokens(text) == want, text
