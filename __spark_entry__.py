@@ -378,6 +378,15 @@ _RU_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _RU26)
 _AR26 = "ابتدحفغخيزكلمنعصقرسطذضوشةج"
 _AR_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _AR26)
 
+# deterministic Bulgarian-ified corpus (natural transliteration): the
+# bulgarian chain's multi-STAGE stemmer (article -> plural with к/г/х
+# alternations -> final vowels -> ен -> fleeting ъ, Savoy BUIR /
+# BulgarianStemmer.java:33-170) gets an exact DuckDB twin built as one
+# staged CASE pipeline; common English endings map onto real rules
+# (-te -> -те article strip, final -a/-e -> vowel strip)
+_BG26 = "абцдефгхийклмнопчрстувшжяз"
+_BG_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _BG26)
+
 
 def _cjk_searcher(spark: SparkSession, sf_dir: str):
     """Index the CJK-ified documents with the ``cjk`` bigram analyzer
@@ -825,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_edge_autocomplete_count"] = ft_edge_autocomplete_count
 
     _RU_SEARCHERS: dict = {}
+    _BG_SEARCHERS: dict = {}
 
     def ft_ru_stem_topk(s, d):
         """Russian analyzer chain END TO END with an exact SQL twin
@@ -871,6 +881,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_ru_stem_topk"] = ft_ru_stem_topk
+
+    def ft_bg_stem_topk(s, d):
+        """Bulgarian analyzer chain END TO END with an exact SQL twin
+        (the ft_ru_stem pattern, round 5): a-z transliterates 1:1 onto
+        26 Cyrillic letters, the index runs the ``bulgarian`` chain,
+        and the oracle reproduces the MULTI-STAGE stemmer (article ->
+        plural alternations -> final vowels -> ен -> fleeting ъ,
+        BulgarianStemmer.java:33-170) as a staged CASE pipeline.
+        Query = transliterated 'data' (final-vowel strip fires)."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _BG_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_bg_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            bg = F.translate(
+                F.regexp_replace(
+                    F.lower(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, 120)),
+                    "[^a-z ]", " "),
+                "abcdefghijklmnopqrstuvwxyz", _BG26)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                bg.alias("content"))
+            cfg = IndexConfig(analyzer="bulgarian",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _BG_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _BG_SEARCHERS[key]
+        qtext = "data".translate(_BG_TRANS)
+        top = se.search_df(qtext, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_bg_stem_topk"] = ft_bg_stem_topk
 
     _FOLD_SEARCHERS: dict = {}
 
@@ -1649,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
         "ft_multiphrase_topk", "ft_multiphrase_sloppy_topk",  # new r5
+        "ft_bg_stem_topk",                                 # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -2463,6 +2520,115 @@ sc AS (
   JOIN df ON tf.term = df.term
   CROSS JOIN st
   WHERE tf.term = '{_ar_qstem}')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # bulgarian chain (round 5): the multi-stage stemmer
+    # (BulgarianStemmer.java:33-170) as a staged CASE pipeline — each
+    # CTE mirrors one Python stage, with the ища/short-word early
+    # return carried as a `done` flag
+    from lucene_1_spark.analysis.languages import (BULGARIAN_STOP,
+                                                   bulgarian_stem)
+    _bg_stops = ", ".join(f"'{w}'" for w in sorted(BULGARIAN_STOP))
+    _bg_qstem = bulgarian_stem("data".translate(_BG_TRANS))
+    o["ft_bg_stem_topk"] = f"""
+WITH bgdocs AS (
+  SELECT doc_id,
+         translate(regexp_replace(lower(substr(coalesce(text,''),1,120)),
+                                  '[^a-z ]', ' ', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{_BG26}') AS bg
+  FROM documents),
+toks0 AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(bg, ' +')) AS t FROM bgdocs
+  ) WHERE t <> '' AND t NOT IN ({_bg_stops})),
+s1 AS MATERIALIZED (  -- len<4 / ища early returns -> done flag
+  SELECT doc_id,
+         CASE WHEN length(term) > 5 AND ends_with(term, 'ища')
+              THEN substr(term, 1, length(term) - 3) ELSE term END AS term,
+         (length(term) < 4
+          OR (length(term) > 5 AND ends_with(term, 'ища'))) AS done
+  FROM toks0),
+s2 AS MATERIALIZED (  -- definite article
+  SELECT doc_id, done, CASE
+    WHEN done THEN term
+    WHEN length(term) > 6 AND ends_with(term, 'ият')
+      THEN substr(term, 1, length(term) - 3)
+    WHEN length(term) > 5 AND (ends_with(term, 'ът') OR
+         ends_with(term, 'то') OR ends_with(term, 'те') OR
+         ends_with(term, 'та') OR ends_with(term, 'ия'))
+      THEN substr(term, 1, length(term) - 2)
+    WHEN length(term) > 4 AND ends_with(term, 'ят')
+      THEN substr(term, 1, length(term) - 2)
+    ELSE term END AS term FROM s1),
+s3 AS MATERIALIZED (  -- plural with к/г/х and е->я alternations
+  SELECT doc_id, done, CASE
+    WHEN done THEN term
+    WHEN length(term) > 6 AND ends_with(term, 'овци')
+      THEN substr(term, 1, length(term) - 3)
+    WHEN length(term) > 6 AND ends_with(term, 'ове')
+      THEN substr(term, 1, length(term) - 3)
+    WHEN length(term) > 6 AND ends_with(term, 'еве')
+      THEN substr(term, 1, length(term) - 3) || 'й'
+    WHEN length(term) > 5 AND ends_with(term, 'ища')
+      THEN substr(term, 1, length(term) - 3)
+    WHEN length(term) > 5 AND ends_with(term, 'та')
+      THEN substr(term, 1, length(term) - 2)
+    WHEN length(term) > 5 AND ends_with(term, 'ци')
+      THEN substr(term, 1, length(term) - 2) || 'к'
+    WHEN length(term) > 5 AND ends_with(term, 'зи')
+      THEN substr(term, 1, length(term) - 2) || 'г'
+    WHEN length(term) > 5 AND substr(term, length(term) - 2, 1) = 'е'
+         AND ends_with(term, 'и')
+      THEN substr(term, 1, length(term) - 3) || 'я'
+           || substr(term, length(term) - 1, 1)
+    WHEN length(term) > 4 AND ends_with(term, 'си')
+      THEN substr(term, 1, length(term) - 2) || 'х'
+    WHEN length(term) > 4 AND ends_with(term, 'и')
+      THEN substr(term, 1, length(term) - 1)
+    ELSE term END AS term FROM s2),
+s4 AS MATERIALIZED (  -- final я, then final а/о/е (two sequential strips)
+  SELECT doc_id, done,
+    CASE WHEN NOT done AND length(term) > 3 AND ends_with(term, 'я')
+         THEN substr(term, 1, length(term) - 1) ELSE term END AS term
+  FROM s3),
+s5 AS MATERIALIZED (
+  SELECT doc_id, done,
+    CASE WHEN NOT done AND length(term) > 3 AND
+              (ends_with(term, 'а') OR ends_with(term, 'о') OR
+               ends_with(term, 'е'))
+         THEN substr(term, 1, length(term) - 1) ELSE term END AS term
+  FROM s4),
+s6 AS MATERIALIZED (  -- ен -> н
+  SELECT doc_id, done,
+    CASE WHEN NOT done AND length(term) > 4 AND ends_with(term, 'ен')
+         THEN substr(term, 1, length(term) - 2) || 'н'
+         ELSE term END AS term
+  FROM s5),
+stems AS MATERIALIZED (  -- fleeting ъ: ъN -> N
+  SELECT doc_id,
+    CASE WHEN NOT done AND length(term) > 5
+              AND substr(term, length(term) - 1, 1) = 'ъ'
+         THEN substr(term, 1, length(term) - 2)
+              || substr(term, length(term), 1)
+         ELSE term END AS term
+  FROM s6),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM stems
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM stems GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '{_bg_qstem}')
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank

@@ -21,7 +21,8 @@ Every analyzer registers in :func:`lucene_1_spark.analysis.get_analyzer`
 by name (``french``, ``german``, ``spanish``, ``italian``,
 ``portuguese``, ``dutch``, ``russian``, ``swedish``, ``norwegian``,
 ``danish``, ``finnish``, ``hungarian``, ``czech``, ``romanian``,
-``indonesian``, ``turkish``, ``arabic``) so a worker can reconstruct it
+``indonesian``, ``turkish``, ``arabic``, ``greek``, ``persian``,
+``hindi``, ``bulgarian``) so a worker can reconstruct it
 from the manifest string alone — the Analyzer.createComponents
 extension point (``analysis/Analyzer.java:85``).  Turkish plugs a
 language-specific casing step (İ→i, I→ı —
@@ -413,6 +414,252 @@ def arabic_stem(t: str) -> str:
     return _strip_longest(t, _AR_SUF, 2)
 
 
+# -- Greek (el) -------------------------------------------------------------
+# GreekAnalyzer.java: StandardTokenizer -> GreekLowerCaseFilter ->
+# StopFilter -> GreekStemFilter.  The lowercase filter is implemented
+# EXACTLY (``el/GreekLowerCaseFilter.java:49-107``): final sigma and
+# tonos/dialytika variants fold to the bare lowercase base.  The
+# stemmer is a documented light simplification of the full Ntais
+# algorithm (``el/GreekStemmer.java``, 957 lines): longest inflectional
+# suffix stripped once over σ-folded lowercase text.
+
+GREEK_STOP = frozenset("""ο η το οι τα του τησ των τον την και κι κ ειμαι
+εισαι ειναι ειμαστε ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ
+παρα αντι κατα μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ
+ποια ποιο ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ
+αυτεσ αυτα εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ
+οπωσ ομωσ ισωσ οσο οτι""".split())
+
+_EL_FOLD = str.maketrans({
+    "ς": "σ",            # final sigma -> sigma
+    "ά": "α", "έ": "ε", "ή": "η", "ό": "ο", "ώ": "ω",
+    "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+})
+
+
+def greek_lower(t: str) -> str:
+    """GreekLowerCaseFilter.java:49-107 — lowercase + final-sigma fold
+    + tonos/dialytika removal."""
+    return t.lower().translate(_EL_FOLD)
+
+
+_EL_SUF = ("ουδεσ", "ουδων", "ματων", "ματοσ", "ματα", "τεροσ", "τερη",
+           "τερο", "τερα", "τατοσ", "τατη", "τατο", "ικοσ", "ικη", "ικο",
+           "ικα", "ειο", "ειου", "ειων", "ιων", "εων", "ουσ", "εισ",
+           "εσ", "ων", "οσ", "ησ", "ασ", "οι", "αι", "ου", "α", "η",
+           "ο", "ι", "ε", "υ")
+
+
+def greek_stem(t: str) -> str:
+    return _strip_longest(t, _EL_SUF, 3)
+
+
+# -- Persian (fa) -----------------------------------------------------------
+# PersianAnalyzer.java: char filter (ZWNJ -> space; our tokenizer
+# splits on ZWNJ naturally) -> LowerCase -> ArabicNormalizationFilter
+# -> PersianNormalizationFilter -> StopFilter -> PersianStemFilter.
+# Normalization (``fa/PersianNormalizer.java:36-77``): farsi yeh /
+# yeh-barree -> arabic yeh, keheh -> kaf, heh+yeh / heh-goal -> heh,
+# hamza-above deleted — applied AFTER the Arabic fold, exactly the
+# reference stack.  Stemming (``fa/PersianStemmer.java:33-62``): the
+# suffix list is applied IN SEQUENCE (not longest-only), each strip
+# guarded by >= 2 remaining characters.
+
+PERSIAN_STOP = frozenset("""انان نداشته سراسر ايشان وي تاكنون بيشتري دوم پس
+ناشي يا داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو
+نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي شايد
+اما شناسي گرفته دهد داشته دانست داشتن خواهيم اين كه را با هم براي از تا
+انها بود شد است هستند بايد شود مي ما او خود دارد هاي نيز اگر ان نه هر من
+ديگري رو روي گفت ويژه اند بار بخش بين""".split())
+
+_FA_MAP = str.maketrans({
+    "ی": "ي", "ے": "ي",   # FARSI YEH / YEH BARREE -> YEH
+    "ک": "ك",             # KEHEH -> KAF
+    "ۀ": "ه", "ہ": "ه",   # HEH WITH YEH / HEH GOAL -> HEH
+})
+
+
+def persian_normalize(t: str) -> str:
+    return arabic_normalize(t).translate(_FA_MAP).replace("ٔ", "")
+
+
+def persian_lower(t: str) -> str:
+    return persian_normalize(t.lower())
+
+
+_FA_SUF = ("ات", "ان", "ترين", "تر", "يي", "ي", "ها", "‌")
+
+
+def persian_stem(t: str) -> str:
+    for suf in _FA_SUF:
+        if len(t) >= len(suf) + 2 and t.endswith(suf):
+            t = t[:-len(suf)]
+    return t
+
+
+# -- Hindi (hi) -------------------------------------------------------------
+# HindiAnalyzer.java: StandardTokenizer -> LowerCase ->
+# IndicNormalization -> HindiNormalization -> StopFilter ->
+# HindiStemFilter.  The normalizer (``hi/HindiNormalizer.java:43-150``,
+# Ljiljana Dolamic & Jacques Savoy, "Indexing and Searching Strategies
+# for the Russian ... Hindi Languages") folds nukta forms, candrabindu
+# -> bindu, dead-n -> bindu, deletes virama/ZWJ/ZWNJ, and shortens
+# long vowels; the stemmer (``hi/HindiStemmer.java``, A. Ramanathan &
+# D. Rao, "A Lightweight Stemmer for Hindi") strips the published
+# 1-5-character suffix table, longest first, keeping >= 2 characters.
+# The separate Indic canonicalization pass is a documented
+# simplification (composed input assumed).
+
+HINDI_STOP = frozenset("""अंदर अत अपना अपनी अपने अभी आदि आप इन इस इसका इसकी
+इसके इसमें इसी इसे उन उनका उनकी उनके उस एक एवं ऐसे और कई कर करता करते करना
+करने का कि किया किस किसी की कुछ के को कोई गया जब जा जैसे जो तक तब तो था थी
+थे दो न ना नहीं ने पर फिर बाद बन बहुत भी मे में यदि यह यहाँ या ये रहा रहे
+लिए वह वाले वे सब सकता से ही हुआ हुई हुए है हैं हो होता होती होने""".split())
+
+# Devanagari combining signs are UAX#29 Extend: they stay INSIDE a
+# word run (candrabindu/anusvara/visarga, nukta, dependent vowel
+# signs, virama, stress marks, vocalic signs) along with ZWNJ/ZWJ,
+# which the normalizer later deletes — without this the default \\w
+# runs would split every conjunct at its matra.
+import re as _re2
+
+_HI_EXT = ("\u0900-\u0903\u093A-\u093C\u093E-\u094F"
+           "\u0951-\u0957\u0962-\u0963\u200C\u200D")
+_HI_TOKEN_RE = _re2.compile(rf"\w[\w{_HI_EXT}]*")
+
+_HI_DELETE = dict.fromkeys(
+    [0x093C, 0x094D, 0x200C, 0x200D])  # nukta, virama, ZWNJ, ZWJ
+_HI_MAP = str.maketrans({
+    "\u0901": "\u0902",                     # candrabindu -> bindu
+    "\u0929": "\u0928", "\u0931": "\u0930",  # nukta consonants
+    "\u0934": "\u0933",
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095A": "\u0917",
+    "\u095B": "\u091C", "\u095C": "\u0921", "\u095D": "\u0922",
+    "\u095E": "\u092B", "\u095F": "\u092F",
+    "\u0945": "\u0947", "\u0946": "\u0947",  # chandra/short e signs
+    "\u0949": "\u094B", "\u094A": "\u094B",  # chandra/short o signs
+    "\u090D": "\u090F", "\u090E": "\u090F",
+    "\u0911": "\u0913", "\u0912": "\u0913", "\u0972": "\u0905",
+    "\u0906": "\u0905", "\u0908": "\u0907",  # long -> short vowels
+    "\u090A": "\u0909", "\u0960": "\u090B", "\u0961": "\u090C",
+    "\u0910": "\u090F", "\u0914": "\u0913",
+    "\u0940": "\u093F", "\u0942": "\u0941",  # dependent long -> short
+    "\u0944": "\u0943", "\u0963": "\u0962",
+    "\u0948": "\u0947", "\u094C": "\u094B",
+})
+
+
+def hindi_normalize(t: str) -> str:
+    # dead n (न + virama) -> bindu, before the blanket virama delete
+    return (t.replace("न्", "ं")
+            .translate(_HI_MAP).translate(_HI_DELETE))
+
+
+def hindi_lower(t: str) -> str:
+    return hindi_normalize(t.lower())
+
+
+_HI_SUF = (
+    (5, ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")),
+    (4, ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")),
+    (3, ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")),
+    (2, ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+         "ता", "ाँ", "ां", "ों", "ें")),
+    (1, ("ो", "े", "ू", "ु", "ी", "ि", "ा")),
+)
+
+
+def hindi_stem(t: str) -> str:
+    for k, sufs in _HI_SUF:
+        if len(t) > k + 1 and t.endswith(sufs):
+            return t[:-k]
+    return t
+
+
+# -- Bulgarian (bg) ---------------------------------------------------------
+# BulgarianAnalyzer.java: StandardTokenizer -> LowerCase -> StopFilter
+# -> BulgarianStemFilter.  The stemmer implements the published light
+# algorithm (J. Savoy, "Searching Strategies for the Bulgarian
+# Language"; ``bg/BulgarianStemmer.java:33-170``): definite article,
+# plural forms (with the к/г/х and е->я alternations), final vowels,
+# ен -> н, and the fleeting ъ.
+
+BULGARIAN_STOP = frozenset("""а аз ако ала без беше би бил била били било
+близо бъдат бъде бяха в вас ваш вече ви вие винаги все всеки всички всичко
+всяка във върху г ги го д да дали до докато дори досега доста е едва един
+за зад заедно затова защо защото и из или им има имат иска й как каква
+какво както какъв като кога когато което които кой който колко която къде
+където към ли м ме между мен ми мога могат може му н на над най нас не
+него нея ни ние никой нито но някои някой няма около освен от отново още
+пак по повече под поне порaди после почти пред преди през при пък първо с
+са само се сега си след сме според сред срещу сте съм със също т тази така
+такива такъв там те тези ти то това тогава този той толкова точно трябва
+тук тъй тя тях у харесва ч че често чрез ще щом я""".split())
+
+
+def _bg_article(t: str) -> str:
+    n = len(t)
+    if n > 6 and t.endswith("ият"):
+        return t[:-3]
+    if n > 5 and t.endswith(("ът", "то", "те", "та", "ия")):
+        return t[:-2]
+    if n > 4 and t.endswith("ят"):
+        return t[:-2]
+    return t
+
+
+def _bg_plural(t: str) -> str:
+    n = len(t)
+    if n > 6:
+        if t.endswith("овци"):
+            return t[:-3]            # -> ...о
+        if t.endswith("ове"):
+            return t[:-3]
+        if t.endswith("еве"):
+            return t[:-3] + "й"
+    if n > 5:
+        if t.endswith("ища"):
+            return t[:-3]
+        if t.endswith("та"):
+            return t[:-2]
+        if t.endswith("ци"):
+            return t[:-2] + "к"
+        if t.endswith("зи"):
+            return t[:-2] + "г"
+        if t[-3] == "е" and t[-1] == "и":
+            return t[:-3] + "я" + t[-2]   # е -> я, drop и
+    if n > 4:
+        if t.endswith("си"):
+            return t[:-2] + "х"
+        if t.endswith("и"):
+            return t[:-1]
+    return t
+
+
+def bulgarian_stem(t: str) -> str:
+    if len(t) < 4:
+        return t
+    if len(t) > 5 and t.endswith("ища"):
+        return t[:-3]
+    t = _bg_article(t)
+    t = _bg_plural(t)
+    if len(t) > 3:
+        if t.endswith("я"):
+            t = t[:-1]
+        if t.endswith(("а", "о", "е")):
+            t = t[:-1]
+    if len(t) > 4 and t.endswith("ен"):
+        t = t[:-2] + "н"
+    if len(t) > 5 and t[-2] == "ъ":
+        t = t[:-2] + t[-1]
+    return t
+
+
 # -- generic chain ----------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -427,6 +674,10 @@ class LanguageAnalyzer:
     # language-specific casing (TurkishLowerCaseFilter analog); the
     # default is the generic LowerCaseFilter
     lowercase: Callable[[str], str] = field(compare=False, default=str.lower)
+    # tokenizer override for scripts whose word runs need UAX#29
+    # Extend marks (Devanagari matras etc.); default = the engine's
+    # standard word rule
+    token_re: "object" = field(compare=False, default=None)
 
     def tokens(self, text: str) -> list[str]:
         return [t for t, _ in self.tokens_with_positions(text)]
@@ -438,7 +689,7 @@ class LanguageAnalyzer:
         pos = -1
         stem = self.stemmer
         lower = self.lowercase
-        for t in TOKEN_RE.findall(text):
+        for t in (self.token_re or TOKEN_RE).findall(text):
             pos += 1
             if len(t) > self.max_token_length:
                 continue
@@ -467,6 +718,11 @@ LANGUAGE_ANALYZERS = {
     "indonesian": ("indonesian", INDONESIAN_STOP, indonesian_stem),
     "turkish": ("turkish", TURKISH_STOP, turkish_stem, 255, turkish_lower),
     "arabic": ("arabic", ARABIC_STOP, arabic_stem),
+    "greek": ("greek", GREEK_STOP, greek_stem, 255, greek_lower),
+    "persian": ("persian", PERSIAN_STOP, persian_stem, 255, persian_lower),
+    "hindi": ("hindi", HINDI_STOP, hindi_stem, 255, hindi_lower,
+              _HI_TOKEN_RE),
+    "bulgarian": ("bulgarian", BULGARIAN_STOP, bulgarian_stem),
 }
 
 

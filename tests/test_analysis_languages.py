@@ -14,7 +14,8 @@ from lucene_1_spark.analysis import get_analyzer
                                   "russian", "swedish", "norwegian",
                                   "danish", "finnish", "hungarian",
                                   "czech", "romanian", "indonesian",
-                                  "turkish", "arabic"])
+                                  "turkish", "arabic", "greek",
+                                  "persian", "hindi", "bulgarian"])
 def test_registry_resolves(name):
     an = get_analyzer(name)
     assert an.tokens("") == []
@@ -51,6 +52,24 @@ GOLDENS = {
     ("turkish", "İstanbul ISPARTA"): ["istanbul", "ıspar"],
     # ArabicNormalization (ال strip, ة→ه then suffix strip)
     ("arabic", "الكتاب والكتب في المدرسة"): ["كتاب", "كتب", "مدرس"],
+    # round-5 languages (el/fa/hi/bg — VERDICT item 5)
+    # GreekLowerCaseFilter folds tonos + final sigma before stemming
+    ("greek", "Οι υπολογιστές και οι μηχανές"): ["υπολογιστ", "μηχαν"],
+    ("greek", "ΑΝΘΡΩΠΟΣ ανθρώπου"): ["ανθρωπ", "ανθρωπ"],
+    # Persian: ک→ك, ی→ي fold; ها plural and ی suffixes strip in
+    # sequence (PersianStemmer.java suffix order)
+    ("persian", "کتاب‌ها و کتابی"): ["كتاب", "ها", "كتاب"],
+    ("persian", "دانشجویان و دانشجو"): ["دانشجو", "دانشجو"],
+    # Hindi: nukta fold + matra-aware tokenization + lightweight
+    # stemmer (Ramanathan & Rao suffix table)
+    ("hindi", "लड़का लड़के लड़कियों"): ["लडक", "लडक", "लडक"],
+    # normalize runs BEFORE stop (HindiAnalyzer.java:126-128), so और
+    # reaches the stop filter as ओर and survives — reference-faithful
+    ("hindi", "किताबें और किताब"): ["किताब", "ओर", "किताब"],
+    # Bulgarian: definite article + plural alternations (Savoy BUIR)
+    ("bulgarian", "градовете и град"): ["град", "град"],
+    ("bulgarian", "хората и хора"): ["хор", "хор"],
+    ("bulgarian", "книгата и книги"): ["книг", "книг"],
 }
 
 
