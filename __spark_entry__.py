@@ -612,6 +612,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n long")
     q["geo_polygon_count"] = geo_polygon_count
 
+    # deterministic synthetic triangle ring per doc — same trig on
+    # both sides (the geo-point precedent), so LatLonShape relations
+    # have exact SQL twins
+    def _shape_docs(s, d):
+        from lucene_1_spark.functions.shapes import index_shapes
+        base = _docs(s, d).select(
+            "doc_id",
+            ((F.col("doc_id") * 7919 % 14000) / 100.0 - 70.0).alias("clat"),
+            ((F.col("doc_id") * 104729 % 32000) / 100.0 - 160.0)
+            .alias("clon"),
+            ((F.col("doc_id") * 31 % 500) / 100.0 + 0.5).alias("r"),
+            (F.col("doc_id") * 17 % 360).cast("double").alias("rot"))
+        for j in range(3):
+            ang = F.radians(F.col("rot") + F.lit(120.0 * j))
+            base = (base
+                    .withColumn(f"lat{j}",
+                                F.col("clat") + F.col("r") * F.sin(ang))
+                    .withColumn(f"lon{j}",
+                                F.col("clon") + F.col("r") * F.cos(ang)))
+        tri = base.select(
+            "doc_id",
+            F.array("lat0", "lat1", "lat2").alias("ring_lats"),
+            F.array("lon0", "lon1", "lon2").alias("ring_lons"))
+        return index_shapes(tri)
+
+    def geo_shape_box_counts(s, d):
+        """LatLonShape.newBoxQuery (document/LatLonShape.java:79-98)
+        under QueryRelation INTERSECTS / WITHIN / DISJOINT
+        (document/ShapeField.java): per-doc triangle rings vs one
+        query box, all three relation counts in one pass."""
+        from lucene_1_spark.functions.shapes import (box_disjoint,
+                                                     box_intersects,
+                                                     box_within)
+        tri = _shape_docs(s, d)
+        box = (-15.0, 20.0, -25.0, 30.0)
+        return tri.agg(
+            F.sum(F.when(box_intersects(tri, *box), 1).otherwise(0))
+            .cast("long").alias("intersects_n"),
+            F.sum(F.when(box_within(tri, *box), 1).otherwise(0))
+            .cast("long").alias("within_n"),
+            F.sum(F.when(box_disjoint(tri, *box), 1).otherwise(0))
+            .cast("long").alias("disjoint_n"))
+    q["geo_shape_box_counts"] = geo_shape_box_counts
+
+    # query ring shared by the entry and its generated SQL twin
+    _SHAPE_QPOLY = [(-30.0, -40.0), (25.0, -35.0), (40.0, 10.0),
+                    (0.0, 5.0), (-20.0, 45.0)]
+
+    def geo_shape_polygon_count(s, d):
+        """LatLonShape.newPolygonQuery INTERSECTS: triangle rings vs a
+        concave query pentagon — vertex containment both ways plus
+        proper edge-edge crossings, bbox prefilter first."""
+        from lucene_1_spark.functions.shapes import polygon_intersects
+        tri = _shape_docs(s, d)
+        n = tri.filter(polygon_intersects(tri, _SHAPE_QPOLY)).count()
+        return s.createDataFrame([(n,)], "n long")
+    q["geo_shape_polygon_count"] = geo_shape_polygon_count
+
     def ft_multifield_dismax(s, d):
         """MultiFieldQueryParser shape (queryparser/classic/
         MultiFieldQueryParser.java:62-89): one user term searched
@@ -1706,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         "ft_multiphrase_topk", "ft_multiphrase_sloppy_topk",  # new r5
         "ft_bg_stem_topk",                                 # new r5
+        "geo_shape_box_counts", "geo_shape_polygon_count",  # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -2331,6 +2390,130 @@ SELECT count(*)::BIGINT AS n FROM geo WHERE {_HAV} <= 3000000.0
 WITH {_GEO}
 SELECT count(*)::BIGINT AS n FROM geo
 WHERE ({" + ".join(_edges)}) % 2 = 1
+"""
+
+    # LatLonShape twins: the same synthetic triangles (identical trig,
+    # identical operand order) and the same strict geometric predicates
+    # generated edge-by-edge as SQL
+    _SHP = """shp AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 AS clat,
+         (doc_id * 104729 % 32000) / 100.0 - 160.0 AS clon,
+         (doc_id * 31 % 500) / 100.0 + 0.5 AS r,
+         (doc_id * 17 % 360)::DOUBLE AS rot
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+         clat + r * sin(radians(rot + 0.0)) AS lat0,
+         clon + r * cos(radians(rot + 0.0)) AS lon0,
+         clat + r * sin(radians(rot + 120.0)) AS lat1,
+         clon + r * cos(radians(rot + 120.0)) AS lon1,
+         clat + r * sin(radians(rot + 240.0)) AS lat2,
+         clon + r * cos(radians(rot + 240.0)) AS lon2
+  FROM shp)"""
+    _TRI_EDGES = [("lat0", "lon0", "lat1", "lon1"),
+                  ("lat1", "lon1", "lat2", "lon2"),
+                  ("lat2", "lon2", "lat0", "lon0")]
+
+    def _sql_pip_tri(cy: str, cx: str) -> str:
+        """Point (cy, cx) inside the doc triangle — even-odd crossing
+        sum, mirroring shapes._point_in_ring operand order."""
+        terms = []
+        for (y1, x1, y2, x2) in _TRI_EDGES:
+            terms.append(
+                f"(CASE WHEN (({y1} > {cy}) <> ({y2} > {cy})) AND "
+                f"({cx} < ({x2} - {x1}) * ({cy} - {y1}) / ({y2} - {y1})"
+                f" + {x1}) THEN 1 ELSE 0 END)")
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+
+    def _sql_orient(ax, ay, bx, by, cx, cy) -> str:
+        return (f"(({bx} - {ax}) * ({cy} - {ay})"
+                f" - ({by} - {ay}) * ({cx} - {ax}))")
+
+    def _sql_seg_cross(edge, seg) -> str:
+        """Proper crossing of a doc edge with a constant segment,
+        mirroring shapes._seg_cross."""
+        (y1, x1, y2, x2) = edge
+        (cx1, cy1, cx2, cy2) = [repr(v) for v in seg]
+        o1 = _sql_orient(x1, y1, x2, y2, cx1, cy1)
+        o2 = _sql_orient(x1, y1, x2, y2, cx2, cy2)
+        o3 = _sql_orient(cx1, cy1, cx2, cy2, x1, y1)
+        o4 = _sql_orient(cx1, cy1, cx2, cy2, x2, y2)
+        return f"({o1} * {o2} < 0 AND {o3} * {o4} < 0)"
+
+    def _sql_box_relations(mn_lat, mx_lat, mn_lon, mx_lon):
+        bb_lat_mn = "least(lat0, lat1, lat2)"
+        bb_lat_mx = "greatest(lat0, lat1, lat2)"
+        bb_lon_mn = "least(lon0, lon1, lon2)"
+        bb_lon_mx = "greatest(lon0, lon1, lon2)"
+        overlap = (f"({bb_lat_mn} <= {mx_lat} AND {bb_lat_mx} >= {mn_lat}"
+                   f" AND {bb_lon_mn} <= {mx_lon}"
+                   f" AND {bb_lon_mx} >= {mn_lon})")
+        within = (f"({bb_lat_mn} >= {mn_lat} AND {bb_lat_mx} <= {mx_lat}"
+                  f" AND {bb_lon_mn} >= {mn_lon}"
+                  f" AND {bb_lon_mx} <= {mx_lon})")
+        vert_in_box = " OR ".join(
+            f"(lat{j} >= {mn_lat} AND lat{j} <= {mx_lat}"
+            f" AND lon{j} >= {mn_lon} AND lon{j} <= {mx_lon})"
+            for j in range(3))
+        corners = [(mn_lat, mn_lon), (mn_lat, mx_lon),
+                   (mx_lat, mx_lon), (mx_lat, mn_lon)]
+        corner_in = " OR ".join(
+            _sql_pip_tri(repr(cy), repr(cx)) for (cy, cx) in corners)
+        box_segs = [(corners[i][1], corners[i][0],
+                     corners[(i + 1) % 4][1], corners[(i + 1) % 4][0])
+                    for i in range(4)]
+        cross = " OR ".join(_sql_seg_cross(e, s)
+                            for s in box_segs for e in _TRI_EDGES)
+        inter = (f"({overlap} AND (({vert_in_box})"
+                 f" OR ({corner_in}) OR ({cross})))")
+        return inter, within
+
+    _inter, _within = _sql_box_relations(-15.0, 20.0, -25.0, 30.0)
+    o["geo_shape_box_counts"] = f"""
+WITH {_SHP},
+rel AS (SELECT {_inter} AS inter, {_within} AS within FROM tri)
+SELECT sum(CASE WHEN inter THEN 1 ELSE 0 END)::BIGINT AS intersects_n,
+       sum(CASE WHEN within THEN 1 ELSE 0 END)::BIGINT AS within_n,
+       sum(CASE WHEN NOT inter THEN 1 ELSE 0 END)::BIGINT AS disjoint_n
+FROM rel
+"""
+
+    _QP = [(-30.0, -40.0), (25.0, -35.0), (40.0, 10.0),
+           (0.0, 5.0), (-20.0, 45.0)]
+    _nq = len(_QP)
+    # doc vertex inside the constant query ring: constant edge slopes
+    # precomputed exactly as shapes.polygon_intersects does
+    _docv_terms = []
+    for _j in range(3):
+        _cterms = []
+        for _i in range(_nq):
+            _qy1, _qx1 = _QP[_i]
+            _qy2, _qx2 = _QP[(_i + 1) % _nq]
+            if _qy1 == _qy2:
+                continue
+            _cterms.append(
+                f"(CASE WHEN (({_qy1!r} > lat{_j}) <> ({_qy2!r} > lat{_j}))"
+                f" AND (lon{_j} < {_qx2 - _qx1!r} * (lat{_j} - {_qy1!r})"
+                f" / {_qy2 - _qy1!r} + {_qx1!r}) THEN 1 ELSE 0 END)")
+        _docv_terms.append(f"(({' + '.join(_cterms)}) % 2 = 1)")
+    _qv_terms = [_sql_pip_tri(repr(_qy), repr(_qx)) for (_qy, _qx) in _QP]
+    _qsegs = [(_QP[_i][1], _QP[_i][0],
+               _QP[(_i + 1) % _nq][1], _QP[(_i + 1) % _nq][0])
+              for _i in range(_nq)]
+    _qcross = " OR ".join(_sql_seg_cross(_e, _s)
+                          for _s in _qsegs for _e in _TRI_EDGES)
+    _q_lats = [v[0] for v in _QP]
+    _q_lons = [v[1] for v in _QP]
+    _qpre = (f"(least(lat0, lat1, lat2) <= {max(_q_lats)!r}"
+             f" AND greatest(lat0, lat1, lat2) >= {min(_q_lats)!r}"
+             f" AND least(lon0, lon1, lon2) <= {max(_q_lons)!r}"
+             f" AND greatest(lon0, lon1, lon2) >= {min(_q_lons)!r})")
+    o["geo_shape_polygon_count"] = f"""
+WITH {_SHP}
+SELECT count(*)::BIGINT AS n FROM tri
+WHERE {_qpre} AND (({" OR ".join(_docv_terms)})
+  OR ({" OR ".join(_qv_terms)}) OR ({_qcross}))
 """
 
     o["ft_phrase_topk"] = f"""
