@@ -189,7 +189,8 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
 
     # quantified ANN approximation: recall@10 vs exact cosine.  The LSH
     # path runs the DEFAULT auto policy (bits from N, 8 tables x
-    # multiprobe 2 — the recall lever) on BOTH the driver's random
+    # multi-probe budget 8 incl. multi-bit perturbation sets — the
+    # recall levers) on BOTH the driver's random
     # vectors (LSH-adversarial worst case) and a clustered fixture
     # (realistic embeddings with planted neighbors).
     from pyspark.sql import functions as F

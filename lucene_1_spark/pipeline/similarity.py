@@ -70,8 +70,47 @@ def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
     return out
 
 
+def _perturbation_probes(qsig: int, margins: np.ndarray,
+                         budget: int) -> list[int]:
+    """The ``budget`` most-likely alternative buckets for a query whose
+    per-plane margins are ``margins``: perturbation SETS (which bits to
+    flip) in increasing sum-of-squared-margins order — the multi-probe
+    LSH probing sequence (Lv et al., VLDB 2007).  Flipping a low-margin
+    bit is cheap (the true neighbor plausibly lands on the other side);
+    sets may flip several bits, so deep probing reaches Hamming-2+
+    buckets that single-bit flipping never visits."""
+    import heapq
+
+    order = np.argsort(margins)          # ascending margin
+    costs = (margins[order] ** 2).tolist()
+    b = len(costs)
+    out: list[int] = []
+    # heap of (cost, set) where set is a tuple of indices into `order`;
+    # start from {0} and generate by the standard shift/expand moves
+    heap: list[tuple[float, tuple[int, ...]]] = [(costs[0], (0,))]
+    seen = {(0,)}
+    while heap and len(out) < budget:
+        cost, s = heapq.heappop(heap)
+        sig = qsig
+        for i in s:
+            sig ^= 1 << int(order[i])
+        out.append(sig)
+        last = s[-1]
+        if last + 1 < b:
+            shift = s[:-1] + (last + 1,)     # replace deepest element
+            if shift not in seen:
+                seen.add(shift)
+                heapq.heappush(heap, (cost - costs[last] + costs[last + 1],
+                                      shift))
+            expand = s + (last + 1,)         # grow the set
+            if expand not in seen:
+                seen.add(expand)
+                heapq.heappush(heap, (cost + costs[last + 1], expand))
+    return out
+
+
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             bits: int | None = None, multiprobe: int = 2,
+             bits: int | None = None, multiprobe: int = 8,
              tables: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42, n: int | None = None,
@@ -81,7 +120,9 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     ``tables`` independent random-hyperplane tables (the classic L-table
     LSH recall lever): a row is a candidate if it collides with the
     query in ANY table; per table, the query also probes ``multiprobe``
-    single-bit-flip neighbor buckets (lowest-margin planes first).
+    extra buckets drawn from the multi-probe perturbation sequence
+    (:func:`_perturbation_probes` — lowest summed-squared-margin bit
+    sets first, so deep budgets reach multi-bit-flip buckets).
     Expected scan fraction ~= tables * (1 + multiprobe) / 2^bits — the
     one-table single-probe case is O(N / 2^bits).  All signatures are
     computed in ONE scan (the per-table bucket columns live in the same
@@ -91,11 +132,13 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     size so the EXPECTED bucket population is ``target_bucket``
     (bits = log2(n / target_bucket), clamped to [2, 24]; ``n`` is
     counted once if not supplied — pass it at scale).  ``tables=None``
-    defaults to 8 with ``multiprobe=2``: per-bit collision probability
-    for true neighbors is 1 - angle/pi, so more independent tables is
-    the recall lever (cost linear in tables); 8 tables measure
-    recall@10 >= 0.7 even on the adversarial random-vector fixture and
-    >= 0.9 on clustered data (BENCH quality section).  For a
+    defaults to 8 with ``multiprobe=8``: per-bit collision probability
+    for true neighbors is 1 - angle/pi, so independent tables and the
+    probe budget are the recall levers (cost linear in both, expected
+    scan fraction tables*(1+multiprobe)*target_bucket/n).  The default
+    policy measures recall@10 >= 0.9 on the adversarial random-vector
+    fixture (near-orthogonal "neighbors", the LSH worst case) and 1.0
+    on clustered embeddings (BENCH quality section).  For a
     steady-state SERVING path at 100 TB prefer
     :func:`ivf_ann_topk` with a pre-assigned ``partitionBy('cluster')``
     table — each probe is then a partition-pruned read instead of a
@@ -121,8 +164,7 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         probes = {qsig}
         if multiprobe > 0:
             margins = np.abs(planes @ qv)
-            for i in np.argsort(margins)[:multiprobe]:
-                probes.add(qsig ^ (1 << int(i)))
+            probes.update(_perturbation_probes(qsig, margins, multiprobe))
         col = f"_bucket_{t}"
         bucketed = bucketed.withColumn(col, lsh_bucket_col(vec_col, planes))
         c = F.col(col).isin([int(p) for p in probes])

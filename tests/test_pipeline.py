@@ -368,3 +368,46 @@ def test_lm_perplexity_brute_force(spark):
         lps = [math.log((big[(a, b)] + 1) / (uni[a] + v)) for a, b in bs]
         assert abs(got[i] - round(math.exp(-sum(lps) / len(lps)), 4)) < 1e-9
     assert got[0] < got[1]  # repetition -> lower perplexity
+
+
+def test_perturbation_probe_sequence():
+    """Multi-probe LSH perturbation sets (Lv et al., VLDB 2007): the
+    generated probe buckets must be the `budget` distinct non-identity
+    bit-flip sets with the smallest summed squared margins, in order —
+    checked against brute-force subset enumeration."""
+    import itertools
+
+    import numpy as np
+
+    from lucene_1_spark.pipeline.similarity import _perturbation_probes
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        bits = int(rng.randint(3, 9))
+        qsig = int(rng.randint(0, 1 << bits))
+        margins = rng.uniform(0.01, 2.0, size=bits)
+        budget = int(rng.randint(1, min(12, (1 << bits) - 1)))
+        got = _perturbation_probes(qsig, margins, budget)
+        # brute force: every nonempty subset, by cost
+        subsets = []
+        for r in range(1, bits + 1):
+            for s in itertools.combinations(range(bits), r):
+                cost = float(sum(margins[i] ** 2 for i in s))
+                sig = qsig
+                for i in s:
+                    sig ^= 1 << i
+                subsets.append((cost, sig))
+        subsets.sort()
+        want_costs = [c for (c, _) in subsets[:budget]]
+        got_costs = []
+        cost_of = {}
+        for (c, sig) in subsets:
+            cost_of.setdefault(sig, c)
+        got_costs = [cost_of[sig] for sig in got]
+        assert len(got) == budget
+        assert len(set(got)) == budget
+        assert qsig not in got
+        # same multiset of costs as the true budget-cheapest subsets
+        assert np.allclose(sorted(got_costs), want_costs)
+        # emitted in nondecreasing cost order
+        assert all(a <= b + 1e-12 for a, b in zip(got_costs, got_costs[1:]))
