@@ -1543,6 +1543,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return taxonomy_children(j, "fpath", "en")
     q["ft_taxonomy_children"] = ft_taxonomy_children
 
+    def ft_assoc_facet_sums(s, d):
+        """Association facets (facet/taxonomy/
+        TaxonomyFacetIntAssociations.java:38 /
+        TaxonomyFacetFloatAssociations.java): docs matching 'spark'
+        carry (path, value) associations — lang/<lang> weighted by
+        n_chars, source/<source> weighted 1 — and the facet result is
+        the per-label SUM and MAX of the values, not the doc count."""
+        from lucene_1_spark.search.facets import association_facet_aggregates
+        m = _all_matches(s, d, "spark").select(
+            F.col("orig_id").alias("doc_id"))
+        docs = _docs(s, d).select("doc_id", "lang", "source", "n_chars")
+        j = m.join(docs, "doc_id").withColumn(
+            "assoc", F.array(
+                F.struct(
+                    F.concat(F.lit("lang/"), F.col("lang")).alias("path"),
+                    F.col("n_chars").cast("double").alias("value")),
+                F.struct(
+                    F.concat(F.lit("source/"),
+                             F.col("source")).alias("path"),
+                    F.lit(1.0).alias("value"))))
+        sums = association_facet_aggregates(j, "assoc", "sum") \
+            .withColumnRenamed("total", "total_sum")
+        maxs = association_facet_aggregates(j, "assoc", "max") \
+            .withColumnRenamed("total", "total_max")
+        return sums.join(maxs, "path").select("path", "total_sum",
+                                              "total_max")
+    q["ft_assoc_facet_sums"] = ft_assoc_facet_sums
+
     def ft_drill_sideways(s, d):
         """DrillSideways (facet/DrillSideways.java): base 'spark'
         drilled on lang='en' and len_bucket=200 — each dim's counts
@@ -1765,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multiphrase_topk", "ft_multiphrase_sloppy_topk",  # new r5
         "ft_bg_stem_topk",                                 # new r5
         "geo_shape_box_counts", "geo_shape_polygon_count",  # new r5
+        "ft_assoc_facet_sums",                             # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -3233,6 +3262,17 @@ UNION ALL
 SELECT lang || '/' || b::VARCHAR AS path, 2::BIGINT AS depth,
        count(*)::BIGINT AS n
 FROM j GROUP BY lang || '/' || b::VARCHAR"""
+
+    o["ft_assoc_facet_sums"] = f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+j AS (SELECT d.lang, d.source, d.n_chars
+      FROM m JOIN documents d USING (doc_id)),
+a AS (
+  SELECT 'lang/' || lang AS path, n_chars::DOUBLE AS value FROM j
+  UNION ALL
+  SELECT 'source/' || source AS path, 1.0 AS value FROM j)
+SELECT path, sum(value) AS total_sum, max(value) AS total_max
+FROM a GROUP BY path"""
 
     o["ft_taxonomy_children"] = f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),

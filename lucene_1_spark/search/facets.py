@@ -137,6 +137,30 @@ def drill_sideways(searcher: IndexSearcher, base_query,
     return out
 
 
+def association_facet_aggregates(matches_with_assoc: DataFrame,
+                                 assoc_col: str = "assoc",
+                                 agg: str = "sum") -> DataFrame:
+    """Association facets — ``facet/taxonomy/
+    TaxonomyFacetIntAssociations.java:38`` (SUM of per-doc int
+    associations) and ``TaxonomyFacetFloatAssociations.java`` (SUM or
+    MAX of float associations): each matching doc carries (path, value)
+    association pairs (``IntAssociationFacetField`` /
+    ``FloatAssociationFacetField``), and the facet result aggregates
+    the VALUES per label instead of counting docs.
+
+    ``assoc_col`` is an ``array<struct<path:string, value:double>>``
+    column on the match set.  Returns (path, total).  One explode +
+    groupBy — partial aggregation map-side, same scale shape as the
+    count facets."""
+    ex = matches_with_assoc.select(F.explode(F.col(assoc_col)).alias("a"))
+    g = ex.groupBy(F.col("a.path").alias("path"))
+    if agg == "sum":
+        return g.agg(F.sum(F.col("a.value")).alias("total"))
+    if agg == "max":
+        return g.agg(F.max(F.col("a.value")).alias("total"))
+    raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+
+
 def sampled_facet_counts(searcher: IndexSearcher, query, facet_field: str,
                          fraction: float, seed: int = 42) -> DataFrame:
     """Facet counts over a Bernoulli sample of the matches, scaled back

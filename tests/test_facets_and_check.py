@@ -105,3 +105,36 @@ def test_check_index_detects_corruption(spark, tmp_root, ctx):
         json.dump(m, fh)
     report = check_index(IndexReader(spark, bad))
     assert not report["collection_stats"][0]
+
+
+def test_association_facet_aggregates(ctx):
+    """TaxonomyFacetIntAssociations.sum / FloatAssociations.max: the
+    per-label aggregate of association VALUES (not doc counts), checked
+    against a pandas brute force over the oracle match set."""
+    searcher, oidx, _ = ctx
+    matches = [d for d, _, _ in
+               oracle_mod.search_oracle(oidx, "tok0", k=10**9)]
+    docs_pd = (searcher.reader.docs().select("doc_id", "lang", "length")
+               .toPandas().set_index("doc_id"))
+    m = searcher.search_df("tok0", k=None).select("doc_id")
+    j = m.join(searcher.reader.docs().select("doc_id", "lang", "length"),
+               "doc_id").withColumn(
+        "assoc", F.array(F.struct(
+            F.concat(F.lit("lang/"), F.col("lang")).alias("path"),
+            F.col("length").cast("double").alias("value"))))
+    got_sum = {r["path"]: r["total"] for r in
+               FX.association_facet_aggregates(j, "assoc", "sum").collect()}
+    got_max = {r["path"]: r["total"] for r in
+               FX.association_facet_aggregates(j, "assoc", "max").collect()}
+    exp_sum, exp_max = {}, {}
+    for d in matches:
+        p = "lang/" + docs_pd.loc[d, "lang"]
+        v = float(docs_pd.loc[d, "length"])
+        exp_sum[p] = exp_sum.get(p, 0.0) + v
+        exp_max[p] = max(exp_max.get(p, float("-inf")), v)
+    assert set(got_sum) == set(exp_sum)
+    for p in exp_sum:
+        assert abs(got_sum[p] - exp_sum[p]) < 1e-6
+    assert got_max == exp_max
+    with pytest.raises(ValueError):
+        FX.association_facet_aggregates(j, "assoc", "median")
