@@ -422,6 +422,100 @@ def _cjk_searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+# deterministic Thai-ified corpus for the dictionary segmenter
+# (analysis/segment.py, the ThaiAnalyzer/Kuromoji analog): every a-z
+# token maps to a Thai word = initial-class char (first letter) +
+# trailing-class chars (rest), words concatenated WITHOUT spaces (Thai
+# writes no word boundaries).  The two disjoint alphabets make greedy
+# longest-match provably recover the generative segmentation
+# (tests/test_segment.py property test), so DuckDB can compute term
+# stats generatively while Spark must actually segment.
+_TH_A26 = "กขคงจฉชซฌญฎฏฐฑฒณดตถทธนบปผฝ"
+_TH_B26 = "พฟภมยรลวศษสหฬอฮะาิีึืุูเแโใไ"[:26]
+_ABC = "abcdefghijklmnopqrstuvwxyz"
+_TH_A = str.maketrans(_ABC, _TH_A26)
+_TH_B = str.maketrans(_ABC, _TH_B26)
+
+
+def _thai_word(tok: str) -> str:
+    return tok[0].translate(_TH_A) + tok[1:].translate(_TH_B)
+
+
+_THAI_SEARCHERS: dict[str, object] = {}
+
+
+def _thai_searcher(spark: SparkSession, sf_dir: str):
+    """Index the Thai-ified documents with the dictionary segmenter
+    (``dictseg:thai:<dict-file>``): the corpus vocabulary becomes the
+    dictionary (one word per line, executor-readable — the Kuromoji
+    dictionary-resource deployment shape), and the index build must
+    segment the unspaced concatenations back into words."""
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+
+    key = os.path.abspath(sf_dir)
+    if key in _THAI_SEARCHERS:
+        return _THAI_SEARCHERS[key]
+    base = os.path.join(tempfile.gettempdir(), "l1s_driver_thai_v1",
+                        hashlib.md5(key.encode()).hexdigest()[:12])
+    os.makedirs(base, exist_ok=True)
+
+    toks = F.filter(
+        F.split(F.regexp_replace(
+            F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)),
+            "[^a-z ]", " "), " +"),
+        lambda x: x != F.lit(""))
+    words = F.transform(
+        toks,
+        lambda t: F.concat(
+            F.translate(F.substring(t, 1, 1), _ABC, _TH_A26),
+            F.translate(F.substring(t, 2, 255), _ABC, _TH_B26)))
+    docs = _docs(spark, sf_dir)
+
+    # corpus vocabulary -> dictionary file (bounded: distinct a-z
+    # tokens of the synthetic corpus; production passes its own file)
+    vocab = (docs.select(F.explode(toks).alias("t")).distinct().collect())
+    dict_path = os.path.join(base, "thai_words.txt")
+    with open(dict_path, "w", encoding="utf-8") as fh:
+        for r in sorted(set(x["t"] for x in vocab)):
+            fh.write(_thai_word(r) + "\n")
+
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.array_join(words, "").alias("content"),
+    )
+    idx_dir = os.path.join(base, "idx")
+    cfg = IndexConfig(analyzer=f"dictseg:thai:{dict_path}",
+                      similarity="bm25_double",
+                      n_buckets=8, n_doc_partitions=8)
+    build_index(spark, corpus, idx_dir, cfg)
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _THAI_SEARCHERS[key] = s
+    return s
+
+
+_THAI_SQL_DOCS = f"""thdocs AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(
+             string_split_regex(
+               regexp_replace(lower(substr(coalesce(text,''),1,60)),
+                              '[^a-z ]', ' ', 'g'), ' +'),
+             x -> x <> ''),
+           t -> translate(substr(t,1,1), '{_ABC}', '{_TH_A26}') ||
+                translate(substr(t,2), '{_ABC}', '{_TH_B26}')) AS words
+  FROM documents),
+toks AS (SELECT doc_id, unnest(words) AS term FROM thdocs),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1)"""
+
+
 _CJK_SQL_DOCS = f"""cjkdocs AS (
   SELECT doc_id,
          translate(regexp_replace(lower(substr(coalesce(text,''),1,60)),
@@ -1785,6 +1879,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(se.count("一"),)], "n long")
     q["ft_cjk_unigram_count"] = ft_cjk_unigram_count
 
+    def ft_thai_seg_topk(s, d):
+        """BM25 top-10 for one Thai word over the Thai-ified corpus —
+        the dictionary segmenter (analysis/segment.py, the
+        ThaiAnalyzer.java:38 / Kuromoji JapaneseAnalyzer.java:43
+        analog) must recover word boundaries from unspaced text; the
+        oracle scores the generative segmentation."""
+        se = _thai_searcher(s, d)
+        top = se.search_df(_thai_word("spark"), k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_thai_seg_topk"] = ft_thai_seg_topk
+
+    def ft_thai_seg_count(s, d):
+        """Docs containing the segmented word for 'data' — counts are
+        only right if every unspaced run segments exactly."""
+        se = _thai_searcher(s, d)
+        return s.createDataFrame([(se.count(_thai_word("data")),)], "n long")
+    q["ft_thai_seg_count"] = ft_thai_seg_count
+
     # The driver's oracle checks at most ~50 entries per round, in
     # registry order: lead with (a) entries NEW this round and (b) the
     # entries no driver round had checked before round 3's judge ran
@@ -1794,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bg_stem_topk",                                 # new r5
         "geo_shape_box_counts", "geo_shape_polygon_count",  # new r5
         "ft_assoc_facet_sums",                             # new r5
+        "ft_thai_seg_topk", "ft_thai_seg_count",           # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -3560,6 +3679,30 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
     o["ft_cjk_unigram_count"] = f"""
 WITH {_CJK_SQL_DOCS}
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks WHERE term = '一'"""
+
+    # dictionary segmenter: the SQL twin never segments — it maps each
+    # a-z token straight to its Thai word (the generative truth the
+    # two-alphabet construction guarantees longest-match recovers) and
+    # scores standard BM25
+    o["ft_thai_seg_topk"] = f"""
+WITH {_THAI_SQL_DOCS},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '{_thai_word("spark")}'
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    o["ft_thai_seg_count"] = f"""
+WITH {_THAI_SQL_DOCS}
+SELECT count(DISTINCT doc_id)::BIGINT AS n
+FROM toks WHERE term = '{_thai_word("data")}'"""
 
     # sim_ann_topk, mm_image_features, mm_audio_features: no oracle
     # (approximate / stubbed-media ops -> rows-only check)

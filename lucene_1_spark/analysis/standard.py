@@ -173,6 +173,12 @@ def get_analyzer(name: str):
     if lang is not None:
         _REGISTRY[name] = lang
         return lang
+    if name.startswith("dictseg:"):
+        from lucene_1_spark.analysis.segment import resolve_dictseg
+        an = resolve_dictseg(name)
+        if an is not None:
+            _REGISTRY[name] = an
+            return an
     if ":" in name:
         from lucene_1_spark.analysis.filters import resolve_spec
         an = resolve_spec(name)

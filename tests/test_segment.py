@@ -1,0 +1,99 @@
+"""Dictionary-driven segmentation (Kuromoji/Nori/ThaiAnalyzer analog,
+``analysis/segment.py``): greedy longest-match kernel, unknown-run
+grouping, mixed-script documents, and the two-alphabet construction the
+driver oracle relies on (word = one initial-class char + trailing-class
+chars => longest-match provably recovers the generative segmentation).
+"""
+
+import random
+
+import pytest
+
+from lucene_1_spark.analysis.segment import (
+    DictSegAnalyzer, SEED_WORDS, load_dictionary, resolve_dictseg,
+    segment_run)
+from lucene_1_spark.analysis.standard import get_analyzer
+
+
+def test_longest_match_wins():
+    d = frozenset(["東", "東京", "京都", "都"])
+    # greedy leftmost-longest: 東京 beats 東, then 都 (京都 can't start)
+    assert segment_run("東京都", d, 2) == ["東京", "都"]
+
+
+def test_exact_cover():
+    d = frozenset(["東京", "都", "日本", "語"])
+    assert segment_run("東京都日本語", d, 2) == ["東京", "都", "日本", "語"]
+
+
+def test_unknown_runs_group():
+    d = frozenset(["東京", "都"])
+    # unknown chars between matches group into ONE token
+    # (UnknownDictionary character-category grouping analog)
+    assert segment_run("東京ABC都", d, 2) == ["東京", "ABC", "都"]
+    assert segment_run("XY東京", d, 2) == ["XY", "東京"]
+    assert segment_run("XYZ", d, 2) == ["XYZ"]
+
+
+def test_seed_analyzers():
+    th = get_analyzer("dictseg:thai")
+    assert th.tokens("สวัสดีประเทศไทย") == ["สวัสดี", "ประเทศ", "ไทย"]
+    ja = get_analyzer("dictseg:japanese")
+    assert ja.tokens("私は日本語の学生です") == \
+        ["私", "は", "日本", "語", "の", "学生", "です"]
+    ko = get_analyzer("dictseg:korean")
+    assert ko.tokens("한국사람") == ["한국", "사람"]
+
+
+def test_mixed_script_positions():
+    th = get_analyzer("dictseg:thai")
+    # non-Thai text uses the standard word rules; every token advances
+    # one position, Thai words included
+    assert th.tokens_with_positions("hello สวัสดีworld 3.14") == \
+        [("hello", 0), ("สวัสดี", 1), ("world", 2), ("3.14", 3)]
+
+
+def test_dict_file_and_spec(tmp_path):
+    p = tmp_path / "words.txt"
+    p.write_text("# comment\nกข\nกขค\n\n", encoding="utf-8")
+    assert load_dictionary(str(p)) == frozenset(["กข", "กขค"])
+    an = resolve_dictseg(f"dictseg:thai:{p}")
+    assert an.words == frozenset(["กข", "กขค"])
+    assert an.tokens("กขคกข") == ["กขค", "กข"]  # longest first
+    with pytest.raises(KeyError):
+        resolve_dictseg("dictseg:klingon")
+    assert resolve_dictseg("shingle:standard:2:2") is None
+
+
+_A26 = "กขคงจฉชซฌญฎฏฐฑฒณดตถทธนบปผฝ"
+_B26 = "พฟภมยรลวศษสหฬอฮะาิีึืุูเแโใไ"[:26]
+
+
+def _thai_word(tok: str) -> str:
+    t = {c: _A26[i] for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    b = {c: _B26[i] for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}
+    return t[tok[0]] + "".join(b[c] for c in tok[1:])
+
+
+def test_two_alphabet_construction_recovers_exactly():
+    """The driver-oracle construction: every word starts with an
+    initial-class char and contains none elsewhere, so greedy
+    longest-match recovers the generative segmentation of ANY
+    concatenation — verified on random corpora vs the ground truth."""
+    rng = random.Random(42)
+    vocab = list({"".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                          for _ in range(rng.randint(1, 8)))
+                  for _ in range(200)})
+    words = [_thai_word(t) for t in vocab]
+    d = frozenset(words)
+    mx = max(len(w) for w in words)
+    for _ in range(50):
+        truth = [rng.choice(words) for _ in range(rng.randint(1, 30))]
+        assert segment_run("".join(truth), d, mx) == truth
+
+
+def test_seed_dicts_are_valid():
+    for script, words in SEED_WORDS.items():
+        an = DictSegAnalyzer(script=script)
+        for w in words:
+            assert an.tokens(w) == [w], (script, w)
