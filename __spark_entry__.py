@@ -1373,6 +1373,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_terms_infix(se.reader, "ue", k=5)
     q["ft_suggest_infix"] = ft_suggest_infix
 
+    def _pair_suggestions(s, d):
+        """Suggestion corpus for the analyzing/fuzzy suggesters: the
+        leading 2-token phrase of each document, weight = #docs that
+        start with it."""
+        from lucene_1_spark.search.suggest import build_suggestions
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""))
+        pairs = (_docs(s, d)
+                 .filter(F.col("text").isNotNull())
+                 .select(toks.alias("l"))
+                 .filter(F.size("l") >= 2)
+                 .select(F.concat_ws(
+                     " ", F.element_at("l", 1),
+                     F.element_at("l", 2)).alias("sugg"))
+                 .groupBy("sugg").agg(F.count("*").alias("w")))
+        return build_suggestions(pairs, "sugg", "w")
+
+    def ft_suggest_analyzing(s, d):
+        """AnalyzingSuggester (suggest/analyzing/
+        AnalyzingSuggester.java:81): weighted phrase completions whose
+        ANALYZED key extends the analyzed typed text."""
+        from lucene_1_spark.search.suggest import lookup
+        return lookup(_pair_suggestions(s, d), "sp", k=5)
+    q["ft_suggest_analyzing"] = ft_suggest_analyzing
+
+    def ft_suggest_fuzzy_phrase(s, d):
+        """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:66):
+        'spork' completes the 'spark …' phrases within one edit; the
+        non-fuzzy first char + length-window prefilters are pushed to
+        the scan before levenshtein."""
+        from lucene_1_spark.search.suggest import lookup_fuzzy
+        return lookup_fuzzy(_pair_suggestions(s, d), "spork", k=5,
+                            max_edits=1)
+    q["ft_suggest_fuzzy_phrase"] = ft_suggest_fuzzy_phrase
+
     def ft_highlight(s, d):  # rows-only: snippet strings have no SQL twin
         """UnifiedHighlighter analog over the documents table."""
         from lucene_1_spark.search.highlight import highlight
@@ -1913,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_box_counts", "geo_shape_polygon_count",  # new r5
         "ft_assoc_facet_sums",                             # new r5
         "ft_thai_seg_topk", "ft_thai_seg_count",           # new r5
+        "ft_suggest_analyzing", "ft_suggest_fuzzy_phrase",  # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -2363,6 +2400,36 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS weight
 FROM toks WHERE term LIKE '%ue%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
+
+    _PAIR_SUGG = r"""psugg AS (
+  SELECT sugg AS suggestion, count(*)::BIGINT AS weight FROM (
+    SELECT l[1] || ' ' || l[2] AS sugg FROM (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents WHERE text IS NOT NULL)
+    WHERE len(l) >= 2)
+  GROUP BY sugg)"""
+
+    o["ft_suggest_analyzing"] = f"""WITH {_PAIR_SUGG}
+SELECT suggestion, weight, rank FROM (
+  SELECT suggestion, weight,
+         row_number() OVER (
+           ORDER BY (suggestion = 'sp')::INT DESC, weight DESC,
+                    suggestion ASC)::BIGINT AS rank
+  FROM psugg WHERE starts_with(suggestion, 'sp'))
+WHERE rank <= 5"""
+
+    o["ft_suggest_fuzzy_phrase"] = f"""WITH {_PAIR_SUGG}
+SELECT suggestion, weight, rank FROM (
+  SELECT suggestion, weight,
+         row_number() OVER (
+           ORDER BY weight DESC, suggestion ASC)::BIGINT AS rank
+  FROM psugg
+  WHERE len(suggestion) >= 4 AND starts_with(suggestion, 's')
+    AND least(levenshtein(substr(suggestion, 1, 4), 'spork'),
+              levenshtein(substr(suggestion, 1, 5), 'spork'),
+              levenshtein(substr(suggestion, 1, 6), 'spork')) <= 1)
+WHERE rank <= 5"""
     # ft_highlight: intentionally no oracle (snippet extraction is not
     # SQL-expressible) -> rows-only check
 

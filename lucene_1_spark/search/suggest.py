@@ -1,0 +1,124 @@
+"""Analyzing / fuzzy suggesters — weighted full-suggestion lookup over
+ANALYZED keys (the reference's ``suggest/src/java/org/apache/lucene/
+search/suggest/analyzing/AnalyzingSuggester.java:81`` and
+``FuzzySuggester.java:66``).
+
+Unlike the term-dictionary completions in ``search/highlight.py``
+(prefix / infix / fuzzy over single index terms), these operate on a
+user-supplied suggestion corpus — (suggestion, weight) rows — and match
+the typed text against the suggestion's ANALYZED form, so stop words,
+case, and tokenization differences don't break completion (the
+reference's headline example: "mane" completes "The Ghost of the
+Mohican" variants because the analyzer strips "the").
+
+Spark shape: the suggestion table is a DataFrame with a precomputed
+``analyzed_key`` column (built once, stored/cached like the reference's
+side-car suggest index).  An analyzing lookup pushes
+``startswith(analyzed_prefix)`` into the scan; a fuzzy lookup prunes
+with the non-fuzzy literal prefix + a key length window BEFORE the JVM
+``levenshtein`` — the FuzzySuggester Levenshtein-automaton prefilter in
+relational form.  No collects, no UDF in the lookup path.
+
+Documented deviations:
+- exact-first then weight ordering (exactFirst=true default) is kept;
+  the reference's FST cost arithmetic (weight encoded as cost) isn't —
+  ordering by (exact desc, weight desc, suggestion asc) is equivalent.
+- FuzzySuggester's ``transpositions=true`` automaton counts a swap as
+  one edit; ``levenshtein`` counts two (documented; the reference can
+  disable transpositions too).
+- fuzzy prefix matching compares the typed prefix against key prefixes
+  of length |p|-max_edits .. |p|+max_edits (edits can shift length) —
+  the automaton's exact length accounting collapsed to a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+DEFAULT_NON_FUZZY_PREFIX = 1    # FuzzySuggester.DEFAULT_NON_FUZZY_PREFIX
+DEFAULT_MIN_FUZZY_LENGTH = 3    # FuzzySuggester.DEFAULT_MIN_FUZZY_LENGTH
+
+
+def _analyzed_key_col(col, analyzer_name: str):
+    """lowercase + whitespace-split + single-space join, entirely JVM.
+    For non-trivial analyzers fall back to the batch tokenizer UDF."""
+    if analyzer_name == "whitespace":
+        return F.array_join(
+            F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")),
+            " ")
+    from lucene_1_spark.analysis.standard import tokenize_udf_factory
+    return F.array_join(tokenize_udf_factory(analyzer_name)(col), " ")
+
+
+def build_suggestions(df: DataFrame, suggestion_col: str, weight_col: str,
+                      analyzer: str = "whitespace") -> DataFrame:
+    """``AnalyzingSuggester.build`` analog: attach the analyzed key.
+    Persist the result (parquet sorted by analyzed_key) to get
+    row-group pruning on the prefix filter at serving time."""
+    an = _analyzed_key_col(F.col(suggestion_col), analyzer)
+    return df.select(
+        F.col(suggestion_col).alias("suggestion"),
+        F.col(weight_col).cast("long").alias("weight"),
+        an.alias("analyzed_key"))
+
+
+def _analyze_text(text: str, analyzer_name: str) -> str:
+    if analyzer_name == "whitespace":
+        return " ".join(text.lower().split())
+    from lucene_1_spark.analysis.standard import get_analyzer
+    return " ".join(get_analyzer(analyzer_name).tokens(text))
+
+
+def lookup(suggestions: DataFrame, text: str, k: int = 5,
+           analyzer: str = "whitespace",
+           exact_first: bool = True) -> DataFrame:
+    """``AnalyzingSuggester.lookup``: suggestions whose analyzed key
+    starts with the analyzed typed text; exact analyzed matches first
+    (exactFirst), then weight desc.  Returns
+    (suggestion, weight, rank)."""
+    p = _analyze_text(text, analyzer)
+    cand = suggestions.filter(F.col("analyzed_key").startswith(p))
+    exact = (F.col("analyzed_key") == p).cast("int") \
+        if exact_first else F.lit(0)
+    ranked = cand.withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.desc(exact), F.desc("weight"),
+                      F.asc("suggestion"))).cast("long"))
+    return ranked.select("suggestion", "weight", "rank") \
+                 .filter(F.col("rank") <= k)
+
+
+def lookup_fuzzy(suggestions: DataFrame, text: str, k: int = 5,
+                 analyzer: str = "whitespace", max_edits: int = 1,
+                 non_fuzzy_prefix: int = DEFAULT_NON_FUZZY_PREFIX,
+                 min_fuzzy_length: int = DEFAULT_MIN_FUZZY_LENGTH) -> DataFrame:
+    """``FuzzySuggester.lookup``: like :func:`lookup` but the analyzed
+    prefix may differ by up to ``max_edits`` Levenshtein edits, the
+    first ``non_fuzzy_prefix`` chars must match literally, and typed
+    text shorter than ``min_fuzzy_length`` matches exactly
+    (``FuzzySuggester.java:66-101`` knobs).  Ordering: weight desc
+    (the reference adds no proximity bonus either)."""
+    if max_edits < 0 or max_edits > 2:
+        raise ValueError("max_edits must be 0..2 "
+                         "(LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)")
+    p = _analyze_text(text, analyzer)
+    if max_edits == 0 or len(p) < min_fuzzy_length:
+        return lookup(suggestions, text, k, analyzer)
+    key = F.col("analyzed_key")
+    # pushed prefilters: literal non-fuzzy prefix + key length >= |p| - e
+    pred = (F.length(key) >= len(p) - max_edits)
+    if non_fuzzy_prefix > 0:
+        pred = pred & key.startswith(p[:non_fuzzy_prefix])
+    # edits shift length: best distance over key prefixes of length
+    # |p| - max_edits .. |p| + max_edits
+    dist = F.least(*[
+        F.levenshtein(F.substring(key, 1, n), F.lit(p))
+        for n in range(max(1, len(p) - max_edits), len(p) + max_edits + 1)])
+    cand = (suggestions.filter(pred)
+            .withColumn("dist", dist)
+            .filter(F.col("dist") <= max_edits))
+    ranked = cand.withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.desc("weight"), F.asc("suggestion"))).cast("long"))
+    return ranked.select("suggestion", "weight", "rank") \
+                 .filter(F.col("rank") <= k)
