@@ -387,6 +387,14 @@ _AR_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _AR26)
 _BG26 = "абцдефгхийклмнопчрстувшжяз"
 _BG_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _BG26)
 
+# deterministic Latvian-ified corpus (mostly-identity mapping into the
+# Latvian alphabet, chosen so real chain stages fire: h->i makes
+# 'the'->'tie' a genuine stop word and 'hash'->'iaši' exercises
+# suffix-strip + š->s unpalatalization; w->ū / y->ī give strippable
+# vowel endings; 'stream'->'štream' fires the two-char 'am' strip)
+_LV26 = "abcdefgiijklmnopķrštuvūļīž"
+_LV_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _LV26)
+
 
 def _cjk_searcher(spark: SparkSession, sf_dir: str):
     """Index the CJK-ified documents with the ``cjk`` bigram analyzer
@@ -1079,6 +1087,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_bg_stem_topk"] = ft_bg_stem_topk
+
+    _LV_SEARCHERS: dict = {}
+
+    def ft_lv_stem_topk(s, d):
+        """Latvian analyzer chain END TO END with an exact SQL twin
+        (the ft_ru_stem pattern, round-5 batch 4): a-z maps into the
+        Latvian alphabet, the index runs the ``latvian`` chain (stop
+        filter + LatvianStemmer.java-lineage light stemmer with
+        unpalatalization), and the oracle reproduces the stemmer as a
+        generated longest-suffix CASE chain + an unpalatalization
+        stage.  Query = mapped 'slow' (ū-suffix strip fires)."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _LV_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_lv_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            lv = F.translate(
+                F.regexp_replace(
+                    F.lower(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, 120)),
+                    "[^a-z ]", " "),
+                "abcdefghijklmnopqrstuvwxyz", _LV26)
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                lv.alias("content"))
+            cfg = IndexConfig(analyzer="latvian",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _LV_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _LV_SEARCHERS[key]
+        qtext = "slow".translate(_LV_TRANS)
+        top = se.search_df(qtext, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_lv_stem_topk"] = ft_lv_stem_topk
 
     _FOLD_SEARCHERS: dict = {}
 
@@ -1950,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_assoc_facet_sums",                             # new r5
         "ft_thai_seg_topk", "ft_thai_seg_count",           # new r5
         "ft_suggest_analyzing", "ft_suggest_fuzzy_phrase",  # new r5
+        "ft_lv_stem_topk",                                 # new r5
         "ft_dismax_topk", "ft_term_in_set",                # new r4
         "ft_more_like_this", "ft_spell_suggest",           # new r4
         "geo_distance_topk", "geo_bbox_count",             # new r4
@@ -3027,6 +3084,61 @@ sc AS (
   JOIN df ON tf.term = df.term
   CROSS JOIN st
   WHERE tf.term = '{_bg_qstem}')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # Latvian chain: stop filter + generated longest-suffix CASE
+    # (LatvianStemmer light rules) + unpalatalization stage
+    from lucene_1_spark.analysis.languages import (LATVIAN_STOP, _LV_SUF,
+                                                   latvian_stem)
+    _lv_stops = ", ".join(f"'{w}'" for w in sorted(LATVIAN_STOP))
+    _lv_qstem = latvian_stem("slow".translate(_LV_TRANS))
+    _lv_strip = "\n    ".join(
+        f"WHEN length(term) - {len(suf)} >= 3 AND ends_with(term, '{suf}') "
+        f"THEN substr(term, 1, length(term) - {len(suf)})"
+        for suf in _LV_SUF)
+    o["ft_lv_stem_topk"] = f"""
+WITH lvdocs AS (
+  SELECT doc_id,
+         translate(regexp_replace(lower(substr(coalesce(text,''),1,120)),
+                                  '[^a-z ]', ' ', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{_LV26}') AS lv
+  FROM documents),
+toks0 AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lv, ' +')) AS t FROM lvdocs
+  ) WHERE t <> '' AND t NOT IN ({_lv_stops})),
+s1 AS MATERIALIZED (
+  SELECT doc_id, CASE
+    {_lv_strip}
+    ELSE term END AS term
+  FROM toks0),
+stems AS MATERIALIZED (
+  SELECT doc_id, CASE
+    WHEN ends_with(term, 'š')
+      THEN substr(term, 1, length(term) - 1) || 's'
+    WHEN ends_with(term, 'ž')
+      THEN substr(term, 1, length(term) - 1) || 'z'
+    WHEN ends_with(term, 'č')
+      THEN substr(term, 1, length(term) - 1) || 'c'
+    ELSE term END AS term
+  FROM s1),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM stems
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM stems GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = '{_lv_qstem}')
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank

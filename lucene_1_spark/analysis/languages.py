@@ -660,6 +660,278 @@ def bulgarian_stem(t: str) -> str:
     return t
 
 
+# -- Catalan (ca) -----------------------------------------------------------
+# CatalanAnalyzer.java: ElisionFilter(d l m n s t) -> StandardTokenizer
+# -> LowerCase -> Stop -> Snowball(Catalan).  The tokenizer's
+# MidNumLet rule keeps "l'aigua" as ONE token, so elision strips the
+# article + apostrophe inside the casing hook (same observable chain
+# order); the stemmer is a light suffix stripper in the Snowball
+# Catalan lineage (documented simplification).
+
+CATALAN_STOP = frozenset("""a abans amb al als la les el els i o un una uns
+unes de del dels que es en per pero no si ja ho hi som es seu seva sevas
+aquest aquesta aquests aquestes com mes molt tot tots tambe quan on qui
+ens us li hem han ser es era fou te sense fins entre contra cap""".split())
+
+_CA_ELIDE = ("d", "l", "m", "n", "s", "t")
+
+
+def _elide(t: str, articles: tuple[str, ...]) -> str:
+    for ap in ("'", "’"):
+        i = t.find(ap)
+        if 0 < i <= 2 and t[:i] in articles and len(t) > i + 1:
+            return t[i + 1:]
+    return t
+
+
+def catalan_lower(t: str) -> str:
+    return _elide(t.lower(), _CA_ELIDE)
+
+
+_CA_SUF = ("aments", "ament", "acions", "acio", "ística", "ístiques",
+           "itats", "itat", "ments", "ment", "ismes", "isme", "istes",
+           "ista", "itzar", "ció", "cions", "ors", "ora", "ores", "or",
+           "ants", "ant", "ança", "ances", "es", "os", "is", "s", "a",
+           "e", "o", "í")
+
+
+def catalan_stem(t: str) -> str:
+    return _strip_longest(_fold(t), _CA_SUF, 3)
+
+
+# -- Galician (gl) ----------------------------------------------------------
+# GalicianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# GalicianStemFilter (``gl/GalicianStemmer.java``, the RSLP-derived
+# algorithm) — here a light plural/derivational stripper of the same
+# lineage (-ns -> -n denasalization, -ción family, gender/number).
+
+GALICIAN_STOP = frozenset("""a o as os un unha uns unhas e de do da dos das
+en no na nos nas que non con por para se lle o seu sua seus suas como mais
+pero xa ou cando onde quen ao aos ben moi foi son ser estar ten""".split())
+
+
+def galician_stem(t: str) -> str:
+    t = _fold(t)
+    if t.endswith("ns") and len(t) > 4:
+        t = t[:-2] + "n"   # denasalize, then keep stripping
+    for suf in ("cions", "cion", "zons", "zon"):
+        if t.endswith(suf) and len(t) - len(suf) >= 2:
+            return t[:-len(suf)]
+    return _strip_longest(t, ("amentos", "amento", "idades", "idade",
+                              "mente", "ismos", "ismo", "istas", "ista",
+                              "es", "as", "os", "a", "o", "e"), 3)
+
+
+# -- Basque (eu) ------------------------------------------------------------
+# BasqueAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# Snowball(Basque) — light version: the agglutinated case endings
+# (locative/genitive/ergative/...) stripped longest-first.
+
+BASQUE_STOP = frozenset("""eta edo bat batzuk da dira zen ziren du dute ez
+bai hau hori horiek honek hauek ere baina nik zuk guk haiek bere nire zure
+gure al ala baino ez dago egon izan ukan nahi behar""".split())
+
+_EU_SUF = ("etako", "etatik", "etara", "aren", "arekin", "aretik", "etan",
+           "ekin", "tzat", "tik", "ari", "ak", "ek", "en", "an", "ra",
+           "az", "a", "k")
+
+
+def basque_stem(t: str) -> str:
+    return _strip_longest(t, _EU_SUF, 3)
+
+
+# -- Armenian (hy) ----------------------------------------------------------
+# ArmenianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# Snowball(Armenian) — light version over the plural/case endings.
+
+ARMENIAN_STOP = frozenset("""և եւ ու է են էր էին եմ ես ենք եք չի չեն այս այդ
+այն որ որը ինչ երբ մի նա մենք դուք իր նրա նրանք ամեն բայց կամ միայն նաև
+պետք լինել ունի ունեն""".split())
+
+_HY_SUF = ("ությունների", "ություններ", "ության", "ություն", "ներում",
+           "ներին", "ների", "ներն", "ներ", "երում", "երին", "երի", "երն",
+           "եր", "ում", "ով", "ին", "ից", "ն", "ը", "ի", "ս")
+
+
+def armenian_stem(t: str) -> str:
+    return _strip_longest(t, _HY_SUF, 3)
+
+
+# -- Bengali (bn) -----------------------------------------------------------
+# BengaliAnalyzer.java: StandardTokenizer -> LowerCase ->
+# IndicNormalization -> BengaliNormalization -> Stop ->
+# BengaliStemFilter.  Normalization (``bn/BengaliNormalizer.java``):
+# candrabindu deletion, nukta-form folding (ড়/ঢ়/য় compose), visarga
+# handling — implemented as the composed-form folds; the stemmer strips
+# the published light suffix table (case markers, classifiers,
+# plurals), longest first.
+
+BENGALI_STOP = frozenset("""এবং ও এই যে সে তার আমি তুমি আমরা তারা কি না হয়
+ছিল করে থেকে জন্য সঙ্গে এক আর এর তা কিন্তু হবে ছিলেন করা হয়েছে দিয়ে পরে
+আগে সব কোনো কেউ নিয়ে""".split())
+
+_BN_EXT = ("ঀ-ঃ়া-ৄেৈ"
+           "ো-্ৗৢৣ‌‍")
+_BN_TOKEN_RE = _re2.compile(rf"\w[\w{_BN_EXT}]*")
+
+_BN_MAP = str.maketrans({
+    "ড়": "ড",   # ড় -> ড (nukta fold)
+    "ঢ়": "ঢ",   # ঢ় -> ঢ
+    "য়": "য",   # য় -> য
+})
+_BN_DELETE = dict.fromkeys([0x0981, 0x09BC, 0x200C, 0x200D])
+
+
+def bengali_normalize(t: str) -> str:
+    return t.translate(_BN_MAP).translate(_BN_DELETE)
+
+
+def bengali_lower(t: str) -> str:
+    return bengali_normalize(t.lower())
+
+
+_BN_SUF = ("গুলোতে", "গুলিতে", "গুলোর", "গুলির", "গুলো", "গুলি", "দেরকে",
+           "দের", "রা", "কে", "ের", "েতে", "তে", "টির", "টি",
+           "টার", "টা", "খানা", "ে", "র", "ও")
+
+
+def bengali_stem(t: str) -> str:
+    return _strip_longest(t, _BN_SUF, 2)
+
+
+# -- Latvian (lv) -----------------------------------------------------------
+# LatvianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# LatvianStemFilter (``lv/LatvianStemmer.java``, "light stemmer for
+# Latvian" — noun/adjective inflection with palatalization unwinding).
+# Light version: longest declension ending stripped, the common
+# palatalized stem finals restored (š->s, ž->z, č->c).
+
+LATVIAN_STOP = frozenset("""un ir es tu viņš viņa mēs jūs tie tās šis šī
+tas tā kas ko ar uz no par pēc pie bet vai ne jau kā arī kad tad vēl tikai
+gan pat kur šeit tur būt bija tika""".split())
+
+_LV_SUF = ("ajiem", "ajām", "ajos", "ajās", "iem", "ajam", "ajai", "ām",
+           "ās", "os", "am", "em", "īm", "ēm", "ij", "ie", "as", "es",
+           "is", "us", "a", "e", "i", "u", "s", "š", "ā", "ē", "ī", "ū",
+           "o")
+_LV_UNPAL = str.maketrans({"š": "s", "ž": "z", "č": "c"})
+
+
+def latvian_stem(t: str) -> str:
+    t = _strip_longest(t, _LV_SUF, 3)
+    if t and t[-1] in "šžč":
+        t = t[:-1] + t[-1].translate(_LV_UNPAL)
+    return t
+
+
+# -- Lithuanian (lt) --------------------------------------------------------
+# LithuanianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# Snowball(Lithuanian) — light version over the declension endings.
+
+LITHUANIAN_STOP = frozenset("""ir yra aš tu jis ji mes jūs jie jos šis ši
+tas ta kas su iš į ant po bet ar ne nėra jau kaip taip pat dar tik kad
+kur kada buvo bus būti savo man tau jam jai""".split())
+
+_LT_SUF = ("iausias", "iausia", "uosius", "iesiems", "uose", "iams",
+           "iems", "ams", "ais", "iai", "iais", "ioms", "oms", "ose",
+           "umas", "ai", "as", "os", "is", "ys", "us", "ų", "ė", "ės", "ei",
+           "į", "ui", "u", "o", "a", "e", "i", "y")
+
+
+def lithuanian_stem(t: str) -> str:
+    return _strip_longest(t, _LT_SUF, 3)
+
+
+# -- Estonian (et) ----------------------------------------------------------
+# EstonianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# Snowball(Estonian) — light version over the 14-case endings.
+
+ESTONIAN_STOP = frozenset("""ja on ei ma sa ta me te nad see mis kes ka kui
+aga või oma oli ning siis üle veel juba ainult nii väga kus siin seal olla
+olen oled oleme olete kas mitte""".split())
+
+_ET_SUF = ("dele", "dest", "dega", "deks", "deni", "dena", "tele", "test",
+           "tega", "teks", "sse", "st", "ga", "ks", "le", "lt", "l", "na",
+           "ta", "ni", "id", "de", "te", "d", "t", "s", "e")
+
+
+def estonian_stem(t: str) -> str:
+    return _strip_longest(t, _ET_SUF, 3)
+
+
+# -- Irish (ga) -------------------------------------------------------------
+# IrishAnalyzer.java: StopFilter(HYPHENATIONS h,n,t) -> Elision(d m b)
+# -> IrishLowerCaseFilter -> Stop -> Snowball(Irish).  The special
+# casing (``ga/IrishLowerCaseFilter.java:39-72``): an initial mutation
+# prefix t/n before an uppercase vowel lowercases as "t-"/"n-"
+# ("tUachtarán" -> "t-uachtarán") so it can't collide with real
+# t…/n…-initial words; elision strips d'/m'/b'.  The stemmer is a
+# light version of the Snowball Irish endings.
+
+IRISH_STOP = frozenset("""agus an na is i ar le go do de ag ní sé sí mé tú
+muid sibh siad seo sin a ach bhí tá chun nach mar ó faoi trí gan bheith
+raibh níl aon dá cé t-a n-a h""".split())
+
+# the HYPHENATIONS set: bare prefix tokens the tokenizer splits off
+# hyphenated mutations ("n-athair" -> "n", "athair")
+IRISH_STOP = IRISH_STOP | frozenset(["h", "n", "t"])
+
+_GA_ELIDE = ("d", "m", "b")
+_GA_VOWELS = "AEIOUÁÉÍÓÚ"
+
+
+def irish_lower(t: str) -> str:
+    if len(t) > 1 and t[0] in "tn" and t[1] in _GA_VOWELS:
+        return t[0] + "-" + t[1:].lower()
+    return _elide(t.lower(), _GA_ELIDE)
+
+
+_GA_SUF = ("eachta", "eacht", "acht", "aíocht", "íocht", "anna", "acha",
+           "tha", "the", "ta", "te", "a", "e", "í", "aí")
+
+
+def irish_stem(t: str) -> str:
+    return _strip_longest(t, _GA_SUF, 3)
+
+
+# -- Sorani Kurdish (ckb) ---------------------------------------------------
+# SoraniAnalyzer.java: StandardTokenizer -> SoraniNormalizationFilter
+# -> LowerCase -> Stop -> SoraniStemFilter.  Normalization
+# (``ckb/SoraniNormalizer.java:38-110``): arabic yeh/kaf -> farsi
+# yeh/keheh, heh variants -> ە/ه forms, ZWNJ and arabic diacritics
+# removed.  The stemmer (``ckb/SoraniStemmer.java:27-76``) strips the
+# definite/indefinite/plural/ezafe endings in sequence.
+
+SORANI_STOP = frozenset("""و لە بە بۆ کە ئەو ئەم من تۆ ئێمە ئەوان هەیە
+نییە بوو دە لەگەڵ بەڵام یان هەر چی کرد دەکات بکات ناو سەر دوای پێش ئەگەر
+چونکە هەموو هیچ""".split())
+
+_CKB_MAP = str.maketrans({
+    "ي": "ی", "ى": "ی",   # arabic/alef-maksura yeh -> farsi yeh
+    "ك": "ک",             # arabic kaf -> keheh
+})
+_CKB_DIACRITICS = dict.fromkeys(
+    [0x064B, 0x064C, 0x064D, 0x064E, 0x064F, 0x0650, 0x0651, 0x0652,
+     0x200C])
+
+
+def sorani_normalize(t: str) -> str:
+    t = t.replace("ه‌", "ە").replace("هـ", "ه")
+    return t.translate(_CKB_MAP).translate(_CKB_DIACRITICS)
+
+
+def sorani_lower(t: str) -> str:
+    return sorani_normalize(t.lower())
+
+
+_CKB_SUF = ("ەکانەوە", "ەکانی", "ەکان", "ەکەوە", "ەکەی", "ەکە", "کان",
+            "ێکی", "ێک", "ەوە", "ان", "ی")
+
+
+def sorani_stem(t: str) -> str:
+    return _strip_longest(t, _CKB_SUF, 2)
+
+
 # -- generic chain ----------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -723,6 +995,17 @@ LANGUAGE_ANALYZERS = {
     "hindi": ("hindi", HINDI_STOP, hindi_stem, 255, hindi_lower,
               _HI_TOKEN_RE),
     "bulgarian": ("bulgarian", BULGARIAN_STOP, bulgarian_stem),
+    "catalan": ("catalan", CATALAN_STOP, catalan_stem, 255, catalan_lower),
+    "galician": ("galician", GALICIAN_STOP, galician_stem),
+    "basque": ("basque", BASQUE_STOP, basque_stem),
+    "armenian": ("armenian", ARMENIAN_STOP, armenian_stem),
+    "bengali": ("bengali", BENGALI_STOP, bengali_stem, 255, bengali_lower,
+                _BN_TOKEN_RE),
+    "latvian": ("latvian", LATVIAN_STOP, latvian_stem),
+    "lithuanian": ("lithuanian", LITHUANIAN_STOP, lithuanian_stem),
+    "estonian": ("estonian", ESTONIAN_STOP, estonian_stem),
+    "irish": ("irish", IRISH_STOP, irish_stem, 255, irish_lower),
+    "sorani": ("sorani", SORANI_STOP, sorani_stem, 255, sorani_lower),
 }
 
 

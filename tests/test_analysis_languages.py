@@ -15,7 +15,11 @@ from lucene_1_spark.analysis import get_analyzer
                                   "danish", "finnish", "hungarian",
                                   "czech", "romanian", "indonesian",
                                   "turkish", "arabic", "greek",
-                                  "persian", "hindi", "bulgarian"])
+                                  "persian", "hindi", "bulgarian",
+                                  "catalan", "galician", "basque",
+                                  "armenian", "bengali", "latvian",
+                                  "lithuanian", "estonian", "irish",
+                                  "sorani"])
 def test_registry_resolves(name):
     an = get_analyzer(name)
     assert an.tokens("") == []
@@ -70,6 +74,33 @@ GOLDENS = {
     ("bulgarian", "градовете и град"): ["град", "град"],
     ("bulgarian", "хората и хора"): ["хор", "хор"],
     ("bulgarian", "книгата и книги"): ["книг", "книг"],
+    # round-5 batch 4 (VERDICT missing item 5): inflected pairs
+    # conflate; elision (ca/ga), Irish mutation casing, Bengali nukta
+    # normalization + matra-aware tokens, Sorani yeh/kaf fold
+    ("catalan", "l'aigua i les aigües"): ["aigu", "aigu"],
+    ("catalan", "els llibres i el llibre"): ["llibr", "llibr"],
+    ("galician", "as cancions e a cancion"): ["can", "can"],
+    ("galician", "os irmans e o irman"): ["irman", "irman"],
+    ("basque", "etxea eta etxeetako"): ["etxe", "etxe"],
+    ("basque", "liburuak eta liburua"): ["liburu", "liburu"],
+    ("armenian", "գրքերի և գրքեր"): ["գրք", "գրք"],
+    ("armenian", "տներում և տների"): ["տներ", "տներ"],
+    ("bengali", "বইগুলো এবং বইগুলির"): ["বই", "বই"],
+    ("bengali", "ছেলেদের এবং ছেলেরা"): ["ছেলে", "ছেলে"],
+    ("latvian", "grāmatas un grāmatām"): ["grāmat", "grāmat"],
+    ("latvian", "kaķis un kaķi"): ["kaķ", "kaķ"],
+    ("lithuanian", "knygos ir knygoms"): ["knyg", "knyg"],
+    ("lithuanian", "vaikas ir vaikams"): ["vaik", "vaik"],
+    ("estonian", "raamatutele ja raamatud"): ["raamatu", "raamatu"],
+    ("estonian", "majas ja majade"): ["maja", "maja"],
+    # IrishLowerCaseFilter: tUachtarán -> t-uachtarán (mutation prefix
+    # kept, hyphenated); hyphen-split n-athair leaves the bare "n" to
+    # the HYPHENATIONS stop set; d' elision
+    ("irish", "an tUachtarán agus an t-uachtarán"):
+        ["t-uachtarán", "uachtarán"],
+    ("irish", "d'fhear agus n-athair"): ["fhear", "athair"],
+    ("sorani", "کتێبەکان و کتێبێک"): ["کتێب", "کتێب"],
+    ("sorani", "منداڵەکەی و منداڵان"): ["منداڵ", "منداڵ"],
 }
 
 
