@@ -932,6 +932,201 @@ def sorani_stem(t: str) -> str:
     return _strip_longest(t, _CKB_SUF, 2)
 
 
+# -- Brazilian Portuguese (br) ----------------------------------------------
+# BrazilianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# BrazilianStemFilter (``br/BrazilianStemmer.java``, the RSLP
+# algorithm, Orengo & Huyck 2001) — light version: -ões/-ães -> -ão
+# denasalized plural, diminutives, then the pt-style suffix strip.
+
+BRAZILIAN_STOP = frozenset("""a o as os um uma uns umas e de do da dos das
+em no na nos nas que não com por para se lhe seu sua seus suas como mas
+já ou quando onde quem ao aos à às foi são ser estar tem você ele ela
+eles elas nós isso isto aquilo pelo pela""".split())
+
+_BR_SUF = ("amentos", "amento", "adores", "adora", "ador", "antes",
+           "ante", "ações", "ação", "idades", "idade", "mente", "issimo",
+           "issima", "íssimo", "íssima", "inhos", "inhas", "inho", "inha",
+           "ezas", "eza", "es", "as", "os", "a", "o", "e")
+
+
+def brazilian_stem(t: str) -> str:
+    if t.endswith(("ões", "ães")) and len(t) > 5:
+        return _fold(t[:-3])   # -ões/-ães plural == -ão singular stem
+    if t.endswith("ão") and len(t) > 4:
+        return _fold(t[:-2])
+    return _strip_longest(_fold(t), _BR_SUF, 3)
+
+
+# -- Nepali (ne) ------------------------------------------------------------
+# NepaliAnalyzer.java: StandardTokenizer -> LowerCase ->
+# DecimalDigitFilter -> IndicNormalization -> Stop ->
+# Snowball(Nepali) — Devanagari script, so the Hindi matra-aware token
+# rule and nukta/ZWNJ normalization apply; light version of the
+# Snowball Nepali case/plural endings.
+
+NEPALI_STOP = frozenset("""र छ छन् हो होइन मा को का की ले लाई बाट पनि यो
+त्यो म तिमी हामी उनी के कुन तर अनि भने गरी सम्म यस उस आफ्नो भएको गर्न
+गरेको हुन थियो छु""".split())
+
+def nepali_normalize(t: str) -> str:
+    return t.translate(_HI_MAP).translate(_HI_DELETE)
+
+
+# the stemmer sees NORMALIZED tokens (the chain runs the Indic
+# normalizer first), so the suffix table is stored normalized too
+_NE_SUF = tuple(nepali_normalize(s) for s in (
+    "हरूलाई", "हरूले", "हरूको", "हरूका", "हरूकी", "हरूमा", "हरू",
+    "लाई", "ले", "को", "का", "की", "मा", "बाट", "देखि",
+    "सँग", "संग", "मै", "ता"))
+
+
+def nepali_lower(t: str) -> str:
+    return nepali_normalize(t.lower())
+
+
+def nepali_stem(t: str) -> str:
+    return _strip_longest(t, _NE_SUF, 2)
+
+
+# -- Serbian (sr) -----------------------------------------------------------
+# SerbianAnalyzer.java: StandardTokenizer -> LowerCase -> Stop ->
+# Snowball(Serbian) -> SerbianNormalizationFilter.  The normalization
+# (``sr/SerbianNormalizationFilter.java:48-160``) folds BOTH scripts
+# to "bald" Latin (а->a, ђ/đ->dj, љ->lj, њ->nj, џ->dz, ж/ž->z,
+# ч/č/ћ/ć->c, ш/š->s) so Cyrillic and Latin spellings of the same
+# word index identically; a light stemmer runs first, with suffix
+# variants for both scripts, matching the reference's stem-then-
+# normalize order.
+
+SERBIAN_STOP = frozenset("""и у на се да је су за са од ко што не био
+била било они оне ми ви он она оно мој твој свој овај тај али или кад
+где како зато јер i u na se da je su za sa od ko što ne ali ili""".split())
+
+_SR_FOLD = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+    "е": "e", "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "c", "џ": "dz", "ш": "s",
+    "đ": "dj", "ž": "z", "č": "c", "ć": "c", "š": "s",
+}
+
+
+def serbian_normalize(t: str) -> str:
+    return "".join(_SR_FOLD.get(c, c) for c in t)
+
+
+_SR_SUF = ("овима", "евима", "ovima", "evima", "ama", "има", "ама",
+           "ови", "еви", "ovi", "evi", "ом", "ем", "om", "em", "а",
+           "е", "и", "о", "у", "a", "e", "i", "o", "u")
+
+
+def serbian_stem(t: str) -> str:
+    return serbian_normalize(_strip_longest(t, _SR_SUF, 3))
+
+
+# -- Tamil (ta) -------------------------------------------------------------
+# TamilAnalyzer.java: StandardTokenizer -> LowerCase ->
+# DecimalDigitFilter -> IndicNormalization -> Stop ->
+# Snowball(Tamil) — light version over the case/plural endings; the
+# Tamil vowel signs and virama are UAX#29 Extend, so the token rule
+# keeps them inside word runs.
+
+TAMIL_STOP = frozenset("""மற்றும் ஒரு இந்த அந்த என்று என அது இது நான்
+நீ அவன் அவள் அவர் நாம் இல்லை உள்ள என்ன ஆனால் அல்லது மிக மேலும் பல
+தான் போன்ற வரை""".split())
+
+_TA_EXT = "ா-ூெ-ைொ-்ௗ‌‍"
+_TA_TOKEN_RE = _re2.compile(rf"\w[\w{_TA_EXT}]*")
+
+_TA_SUF = ("களுக்கு", "களில்", "களின்", "களை", "கள்", "த்தில்", "த்தின்",
+           "த்தை", "ுக்கு", "க்கு", "ில்", "ின்", "ால்", "ுடன்", "ோடு",
+           "ிலிருந்து", "ும்", "ை", "ாக")
+
+
+def tamil_stem(t: str) -> str:
+    out = _strip_longest(t, _TA_SUF, 2)
+    # plural sandhi reversal: புத்தகம் -> புத்தகங்(கள்) — a stripped
+    # plural's final ங் is the singular's ம்
+    if out is not t and out.endswith("ங்"):
+        out = out[:-2] + "ம்"
+    return out
+
+
+# -- Telugu (te) ------------------------------------------------------------
+# TeluguAnalyzer.java: StandardTokenizer -> LowerCase ->
+# TeluguNormalizationFilter -> Stop -> TeluguStemFilter.  Normalizer
+# (``te/TeluguNormalizer.java:37-114``) and stemmer
+# (``te/TeluguStemmer.java:27-62``) are small published tables,
+# implemented exactly: candrabindu -> bindu, visarga/ZWJ/ZWNJ deleted,
+# long -> short vowels and matras, decomposed diphthongs composed;
+# stem strips ళ్ళు/డ్లు (len>5), the 15 two-char case endings (len>3),
+# then a single vowel matra (len>2).
+
+TELUGU_STOP = frozenset("""మరియు ఒక ఈ ఆ అని అది ఇది నేను నీవు అతను ఆమె
+మేము వారు కాదు ఉంది ఏమి కానీ లేదా చాలా కూడా తన వంటి వరకు""".split())
+
+_TE_EXT = "ఀ-ఃా-ౄె-ైొ-్ౕౖ‌‍"
+_TE_TOKEN_RE = _re2.compile(rf"\w[\w{_TE_EXT}]*")
+
+_TE_CHAR_MAP = {
+    "ఀ": "ం", "ఁ": "ం",   # candrabindu -> bindu
+    "ఔ": "ఓ", "ఐ": "ఏ",   # long -> short vowels
+    "ఆ": "అ", "ఈ": "ఇ", "ఊ": "ఉ",
+    "ీ": "ి", "ూ": "ు",   # long -> short matras
+    "ే": "ె", "ో": "ొ",
+}
+_TE_DELETE = {"ః", "‌", "‍"}   # visarga, ZWNJ, ZWJ
+
+
+def telugu_normalize(t: str) -> str:
+    """Single-pass port of ``TeluguNormalizer.normalize``: the
+    composed-pair rules fire on the ORIGINAL character at each
+    position (a vowel produced by an earlier rewrite is not
+    re-folded), exactly like the reference's one-pass switch."""
+    out = []
+    i, n = 0, len(t)
+    while i < n:
+        c = t[i]
+        if c in _TE_DELETE:
+            i += 1
+            continue
+        if c == "ె" and i + 1 < n and t[i + 1] == "ౖ":
+            out.append("ై")          # ె + ౖ -> ై
+            i += 2
+            continue
+        if c == "ఒ" and i + 1 < n and t[i + 1] == "ౕ":
+            out.append("ఓ")          # ఒ + ౕ -> ఓ
+            i += 2
+            continue
+        if c == "ఒ" and i + 1 < n and t[i + 1] == "ౌ":
+            out.append("ఔ")          # ఒ + ౌ -> ఔ
+            i += 2
+            continue
+        out.append(_TE_CHAR_MAP.get(c, c))
+        i += 1
+    return "".join(out)
+
+
+def telugu_lower(t: str) -> str:
+    return telugu_normalize(t.lower())
+
+
+_TE_SUF_2 = ("డు", "ము", "వు", "లు", "ని", "ను", "చే", "కై", "లో", "ది",
+             "కి", "సు", "వై", "పై")
+_TE_SUF_1 = ("ి", "ీ", "ు", "ూ", "ె", "ే", "ొ", "ో", "ా")
+
+
+def telugu_stem(t: str) -> str:
+    if len(t) > 5 and t.endswith(("ళ్ళు", "డ్లు")):
+        return t[:-4]
+    if len(t) > 3 and t.endswith(_TE_SUF_2):
+        return t[:-2]
+    if len(t) > 2 and t.endswith(_TE_SUF_1):
+        return t[:-1]
+    return t
+
+
 # -- generic chain ----------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -1006,6 +1201,14 @@ LANGUAGE_ANALYZERS = {
     "estonian": ("estonian", ESTONIAN_STOP, estonian_stem),
     "irish": ("irish", IRISH_STOP, irish_stem, 255, irish_lower),
     "sorani": ("sorani", SORANI_STOP, sorani_stem, 255, sorani_lower),
+    "brazilian": ("brazilian", BRAZILIAN_STOP, brazilian_stem),
+    "nepali": ("nepali", NEPALI_STOP, nepali_stem, 255, nepali_lower,
+               _HI_TOKEN_RE),
+    "serbian": ("serbian", SERBIAN_STOP, serbian_stem),
+    "tamil": ("tamil", TAMIL_STOP, tamil_stem, 255, str.lower,
+              _TA_TOKEN_RE),
+    "telugu": ("telugu", TELUGU_STOP, telugu_stem, 255, telugu_lower,
+               _TE_TOKEN_RE),
 }
 
 

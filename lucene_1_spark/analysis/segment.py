@@ -83,6 +83,14 @@ SEED_WORDS = {
     ).split(),
 }
 
+# Thai stop words (ThaiAnalyzer.java:38 default stop set lineage —
+# common function words, abbreviated)
+THAI_STOP = frozenset("""ที่ และ เป็น ใน ของ มี ได้ ให้ จะ ไม่ ว่า แต่ ก็
+การ ความ กับ หรือ โดย แล้ว จาก ถ้า อยู่ คือ นี้ นั้น""".split())
+
+STOP_SETS = {"thai": THAI_STOP, "japanese": frozenset(),
+             "korean": frozenset()}
+
 _DICT_CACHE: dict[str, frozenset[str]] = {}
 
 
@@ -200,4 +208,5 @@ def resolve_dictseg(name: str) -> DictSegAnalyzer | None:
         raise KeyError(f"dictseg script must be one of {sorted(_SCRIPT_RE)}, "
                        f"got {script!r}")
     return DictSegAnalyzer(script=script,
-                           dict_path=parts[2] if len(parts) == 3 else None)
+                           dict_path=parts[2] if len(parts) == 3 else None,
+                           stop_words=STOP_SETS.get(script, frozenset()))

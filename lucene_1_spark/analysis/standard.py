@@ -173,6 +173,13 @@ def get_analyzer(name: str):
     if lang is not None:
         _REGISTRY[name] = lang
         return lang
+    if name in ("thai", "japanese", "korean"):
+        # ThaiAnalyzer / JapaneseAnalyzer / KoreanAnalyzer convenience
+        # names: the dictionary segmenter with seed dictionary (+ Thai
+        # stop set); pass dictseg:<script>:<path> for a real dictionary
+        from lucene_1_spark.analysis.segment import resolve_dictseg
+        _REGISTRY[name] = resolve_dictseg(f"dictseg:{name}")
+        return _REGISTRY[name]
     if name.startswith("dictseg:"):
         from lucene_1_spark.analysis.segment import resolve_dictseg
         an = resolve_dictseg(name)

@@ -19,7 +19,9 @@ from lucene_1_spark.analysis import get_analyzer
                                   "catalan", "galician", "basque",
                                   "armenian", "bengali", "latvian",
                                   "lithuanian", "estonian", "irish",
-                                  "sorani"])
+                                  "sorani", "brazilian", "nepali",
+                                  "serbian", "tamil", "telugu",
+                                  "thai", "japanese", "korean"])
 def test_registry_resolves(name):
     an = get_analyzer(name)
     assert an.tokens("") == []
@@ -101,6 +103,28 @@ GOLDENS = {
     ("irish", "d'fhear agus n-athair"): ["fhear", "athair"],
     ("sorani", "کتێبەکان و کتێبێک"): ["کتێب", "کتێب"],
     ("sorani", "منداڵەکەی و منداڵان"): ["منداڵ", "منداڵ"],
+    # round-5 batch 5: every analysis/common language dir now has a
+    # chain (br ne sr ta te + th/ja/ko via the dictionary segmenter)
+    ("brazilian", "as nações e a nação"): ["nac", "nac"],
+    ("brazilian", "casinhas e casas"): ["cas", "cas"],
+    ("nepali", "किताबहरूको र किताब"): ["किताब", "किताब"],
+    ("nepali", "नेपालमा र नेपाल"): ["नेपाल", "नेपाल"],
+    # SerbianNormalizationFilter: Cyrillic and Latin spellings fold to
+    # the same bald-Latin stem (the filter's whole point)
+    ("serbian", "књиге и knjige"): ["knjig", "knjig"],
+    ("serbian", "београд и beograd"): ["beograd", "beograd"],
+    # Tamil plural கள் strip + the ங் -> ம் sandhi reversal
+    ("tamil", "புத்தகங்கள் மற்றும் புத்தகம்"):
+        ["புத்தகம்", "புத்தகம்"],
+    # TeluguStemmer is an exact port: single-pass, so the double
+    # plural strips one layer per application (reference behavior)
+    ("telugu", "పుస్తకము మరియు పుస్తకములు"): ["పుస్తక", "పుస్తకము"],
+    # long->short vowel normalization (ఊ -> ఉ) before stemming
+    ("telugu", "ఈ ఊరిలో"): ["ఇ", "ఉరిల"],
+    # plain-name CJK/Thai chains resolve to the dictionary segmenter
+    ("thai", "สวัสดีประเทศไทย และ"): ["สวัสดี", "ประเทศ", "ไทย"],
+    ("japanese", "日本語の学生"): ["日本", "語", "の", "学生"],
+    ("korean", "한국사람"): ["한국", "사람"],
 }
 
 
