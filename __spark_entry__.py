@@ -506,6 +506,38 @@ def _thai_searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+_AUX_SEARCHERS: dict[tuple, object] = {}
+
+
+def _aux_searcher(spark: SparkSession, sf_dir: str, tag: str,
+                  analyzer: str, content_col):
+    """Build-and-cache a documents-table index with an arbitrary
+    analyzer and content expression (the shared shape of the
+    analyzer-spec driver entries)."""
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+
+    key = (os.path.abspath(sf_dir), tag)
+    if key in _AUX_SEARCHERS:
+        return _AUX_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"l1s_driver_{tag}_v1",
+        hashlib.md5(key[0].encode()).hexdigest()[:12])
+    corpus = _docs(spark, sf_dir).select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        content_col.alias("content"))
+    cfg = IndexConfig(analyzer=analyzer, similarity="bm25_double",
+                      n_buckets=8, n_doc_partitions=8)
+    build_index(spark, corpus, idx_dir, cfg)
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _AUX_SEARCHERS[key] = s
+    return s
+
+
 _THAI_SQL_DOCS = f"""thdocs AS (
   SELECT doc_id,
          list_transform(
@@ -1995,11 +2027,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(se.count(_thai_word("data")),)], "n long")
     q["ft_thai_seg_count"] = ft_thai_seg_count
 
+    # ----- analysis/common extras: HTML strip, path hierarchy,
+    # pattern tokenizer, reverse (leading wildcard), common grams,
+    # compound-word decomposition (analysis/extras.py) -----
+
+    def ft_html_strip_count(s, d):
+        """HTMLStripCharFilter end to end (HTMLStripCharFilter.java):
+        documents wrapped in markup with a script body, a comment and
+        an encoded entity; the index must drop tag/script/comment
+        content ('zzhidden' count 0), keep the post-tag text ('tail'
+        count = all docs), decode entities ('kept' count = all docs),
+        and tokenize the real text identically to the raw oracle."""
+        from lucene_1_spark.search.query import TermQuery
+        content = F.concat(
+            F.lit('<div class="x">'),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
+            F.lit('</div><script>alert("zzhidden")</script>'
+                  '<!-- zzcomment --> &lt;kept&gt; tail'))
+        se = _aux_searcher(s, d, "html", "html:standard", content)
+        return s.createDataFrame(
+            [(se.count(TermQuery("zzhidden")), se.count(TermQuery("tail")),
+              se.count(TermQuery("kept")), se.count(TermQuery("spark")))],
+            "n_hidden long, n_tail long, n_kept long, n_spark long")
+    q["ft_html_strip_count"] = ft_html_strip_count
+
+    def ft_path_hierarchy_count(s, d):
+        """PathHierarchyTokenizer (PathHierarchyTokenizer.java:31):
+        each doc's synthetic path emits every prefix as a term, so a
+        drill-down to any level is ONE TermQuery."""
+        from lucene_1_spark.search.query import TermQuery
+        content = F.concat(
+            F.lit("/r"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("/s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/f"), F.col("doc_id").cast("string"))
+        se = _aux_searcher(s, d, "path", "path", content)
+        return s.createDataFrame(
+            [(se.count(TermQuery("/r1")), se.count(TermQuery("/r2/s3")))],
+            "n_r1 long, n_r2_s3 long")
+    q["ft_path_hierarchy_count"] = ft_path_hierarchy_count
+
+    def ft_reverse_wildcard_count(s, d):
+        """ReverseStringFilter leading-wildcard trick
+        (ReverseStringFilter.java:36): the index stores reversed
+        terms, so '*ream' rewrites to PrefixQuery('maer') — a
+        dictionary range scan instead of a full-vocabulary regex."""
+        from lucene_1_spark.search.query import PrefixQuery, TermQuery
+        content = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)
+        se = _aux_searcher(s, d, "rev", "reverse:standard", content)
+        return s.createDataFrame(
+            [(se.count(PrefixQuery("maer")), se.count(TermQuery("kraps")))],
+            "n_suffix_ream long, n_spark long")
+    q["ft_reverse_wildcard_count"] = ft_reverse_wildcard_count
+
+    def ft_commongrams_count(s, d):
+        """CommonGramsFilter (CommonGramsFilter.java:42): pairs
+        touching a classic stopword also index as one joined bigram
+        term, so a stopword phrase is a single-term lookup."""
+        from lucene_1_spark.search.query import TermQuery
+        content = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)
+        se = _aux_searcher(s, d, "cg", "commongrams:standard", content)
+        return s.createDataFrame(
+            [(se.count(TermQuery("the_customer")),
+              se.count(TermQuery("a_small")))],
+            "n_the_customer long, n_a_small long")
+    q["ft_commongrams_count"] = ft_commongrams_count
+
+    def ft_compound_split_count(s, d):
+        """DictionaryCompoundWordTokenFilter
+        (DictionaryCompoundWordTokenFilter.java:38): compounds keep
+        the original AND index every dictionary subword at the same
+        position, so TermQuery('ball') finds both softball and
+        basketball docs."""
+        from lucene_1_spark.search.query import TermQuery
+        base = os.path.join(tempfile.gettempdir(), "l1s_driver_comp_v1")
+        os.makedirs(base, exist_ok=True)
+        dict_path = os.path.join(base, "words.txt")
+        if not os.path.exists(dict_path):
+            with open(dict_path, "w", encoding="utf-8") as fh:
+                fh.write("soft\nball\nbasket\ncat\nfish\n")
+        content = (F.when(F.col("doc_id") % 3 == 0,
+                          F.lit("softball practice"))
+                   .when(F.col("doc_id") % 3 == 1,
+                         F.lit("basketball game"))
+                   .otherwise(F.lit("catfish pond")))
+        se = _aux_searcher(s, d, "comp",
+                           f"compound:standard:{dict_path}", content)
+        return s.createDataFrame(
+            [(se.count(TermQuery("ball")), se.count(TermQuery("softball")),
+              se.count(TermQuery("fish")))],
+            "n_ball long, n_softball long, n_fish long")
+    q["ft_compound_split_count"] = ft_compound_split_count
+
+    def ft_pattern_token_count(s, d):
+        """PatternTokenizer match mode (PatternTokenizer.java:43,
+        group 0): only regex matches become terms — hashtag extraction
+        over synthetic tags, case-folded at index time."""
+        from lucene_1_spark.search.query import TermQuery
+        content = F.concat(
+            F.lit("#t"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" filler words #T"),
+            (F.col("doc_id") % 11).cast("string"))
+        se = _aux_searcher(s, d, "pat", r"pattern:#\w+", content)
+        return s.createDataFrame(
+            [(se.count(TermQuery("#t3")), se.count(TermQuery("#t10")))],
+            "n_t3 long, n_t10 long")
+    q["ft_pattern_token_count"] = ft_pattern_token_count
+
     # The driver's oracle checks at most ~50 entries per round, in
     # registry order: lead with (a) entries NEW this round and (b) the
     # entries no driver round had checked before round 3's judge ran
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
+        "ft_html_strip_count", "ft_path_hierarchy_count",   # new r5
+        "ft_reverse_wildcard_count", "ft_commongrams_count",  # new r5
+        "ft_compound_split_count", "ft_pattern_token_count",  # new r5
         "ft_multiphrase_topk", "ft_multiphrase_sloppy_topk",  # new r5
         "ft_bg_stem_topk",                                 # new r5
         "geo_shape_box_counts", "geo_shape_polygon_count",  # new r5
@@ -3882,6 +4023,61 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 WITH {_THAI_SQL_DOCS}
 SELECT count(DISTINCT doc_id)::BIGINT AS n
 FROM toks WHERE term = '{_thai_word("data")}'"""
+
+    # analysis/common extras: the synthetic content is deterministic
+    # in doc_id / raw text, so every count has a closed-form oracle
+    o["ft_html_strip_count"] = """
+SELECT 0::BIGINT AS n_hidden,
+       (SELECT count(*) FROM documents)::BIGINT AS n_tail,
+       (SELECT count(*) FROM documents)::BIGINT AS n_kept,
+       (SELECT count(*) FROM documents
+        WHERE list_contains(
+            string_split(substr(coalesce(text, ''), 1, 80), ' '),
+            'spark'))::BIGINT AS n_spark"""
+
+    o["ft_path_hierarchy_count"] = """
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 = 1)::BIGINT
+           AS n_r1,
+       (SELECT count(*) FROM documents
+        WHERE doc_id % 3 = 2 AND doc_id % 5 = 3)::BIGINT AS n_r2_s3"""
+
+    o["ft_reverse_wildcard_count"] = """
+SELECT (SELECT count(*) FROM documents
+        WHERE len(list_filter(
+            string_split(substr(coalesce(text, ''), 1, 120), ' '),
+            x -> x LIKE '%ream')) > 0)::BIGINT AS n_suffix_ream,
+       (SELECT count(*) FROM documents
+        WHERE list_contains(
+            string_split(substr(coalesce(text, ''), 1, 120), ' '),
+            'spark'))::BIGINT AS n_spark"""
+
+    o["ft_commongrams_count"] = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(substr(coalesce(text, ''), 1, 120), ' ') AS ts
+  FROM documents)
+SELECT (SELECT count(*) FROM toks
+        WHERE len(list_filter(range(1, len(ts)),
+                  i -> ts[i] = 'the' AND ts[i + 1] = 'customer')) > 0
+       )::BIGINT AS n_the_customer,
+       (SELECT count(*) FROM toks
+        WHERE len(list_filter(range(1, len(ts)),
+                  i -> ts[i] = 'a' AND ts[i + 1] = 'small')) > 0
+       )::BIGINT AS n_a_small"""
+
+    o["ft_compound_split_count"] = """
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1))::BIGINT
+           AS n_ball,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)::BIGINT
+           AS n_softball,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 2)::BIGINT
+           AS n_fish"""
+
+    o["ft_pattern_token_count"] = """
+SELECT (SELECT count(*) FROM documents
+        WHERE doc_id % 7 = 3 OR doc_id % 11 = 3)::BIGINT AS n_t3,
+       (SELECT count(*) FROM documents
+        WHERE doc_id % 11 = 10)::BIGINT AS n_t10"""
 
     # sim_ann_topk, mm_image_features, mm_audio_features: no oracle
     # (approximate / stubbed-media ops -> rows-only check)

@@ -180,6 +180,13 @@ def get_analyzer(name: str):
         from lucene_1_spark.analysis.segment import resolve_dictseg
         _REGISTRY[name] = resolve_dictseg(f"dictseg:{name}")
         return _REGISTRY[name]
+    if name == "path" or name.split(":", 1)[0] in (
+            "pattern", "html", "reverse", "commongrams", "compound"):
+        from lucene_1_spark.analysis.extras import resolve_extra
+        an = resolve_extra(name)
+        if an is not None:
+            _REGISTRY[name] = an
+            return an
     if name.startswith("dictseg:"):
         from lucene_1_spark.analysis.segment import resolve_dictseg
         an = resolve_dictseg(name)
