@@ -2133,11 +2133,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_t3 long, n_t10 long")
     q["ft_pattern_token_count"] = ft_pattern_token_count
 
+    def ft_combined_field_topk(s, d):
+        """CombinedFieldQuery / BM25F-simplified (sandbox/search/
+        CombinedFieldQuery.java:74-88,303-352): 'spark' scored against
+        the synthetic combination of content (w=1) and head (w=2) —
+        weighted tf sum, weighted length norm, max doc_freq,
+        weight-merged collection stats, ONE BM25 evaluation."""
+        from lucene_1_spark.search.query import CombinedFieldQuery
+        se = _searcher(s, d)
+        qy = CombinedFieldQuery(("spark",),
+                                (("content", 1.0), ("head", 2.0)))
+        top = se.search_df(qy, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_combined_field_topk"] = ft_combined_field_topk
+
     # The driver's oracle checks at most ~50 entries per round, in
     # registry order: lead with (a) entries NEW this round and (b) the
     # entries no driver round had checked before round 3's judge ran
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
+        "ft_combined_field_topk",                          # new r5
         "ft_html_strip_count", "ft_path_hierarchy_count",   # new r5
         "ft_reverse_wildcard_count", "ft_commongrams_count",  # new r5
         "ft_compound_split_count", "ft_pattern_token_count",  # new r5
@@ -4023,6 +4042,46 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 WITH {_THAI_SQL_DOCS}
 SELECT count(DISTINCT doc_id)::BIGINT AS n
 FROM toks WHERE term = '{_thai_word("data")}'"""
+
+    # combined-field BM25F: weighted tf sum over content(w=1)+head(w=2),
+    # weighted length norm, max df, weight-merged collection stats
+    # (long-truncating sum_ttf fold), one BM25 evaluation
+    o["ft_combined_field_topk"] = f"""
+WITH {_BM25_CTES},
+{_HEAD_CTES},
+cfreq AS (
+  SELECT doc_id, sum(f) AS freq FROM (
+    SELECT doc_id, 1.0 * freq AS f FROM tf WHERE term = 'spark'
+    UNION ALL
+    SELECT doc_id, 2.0 * freq AS f FROM htf WHERE term = 'spark')
+  GROUP BY doc_id),
+cdl AS (
+  SELECT dl.doc_id, dl.len + 2.0 * coalesce(hdl.len, 0) AS len
+  FROM dl LEFT JOIN hdl ON dl.doc_id = hdl.doc_id),
+cstats AS (
+  SELECT greatest(st.n, hst.n) AS n,
+         floor(st.tot + 2.0 * hst.tot) AS tot
+  FROM st CROSS JOIN hst),
+cdf AS (
+  SELECT greatest(
+    coalesce((SELECT dfreq FROM df WHERE term = 'spark'), 0),
+    coalesce((SELECT dfreq FROM hdf WHERE term = 'spark'), 0)) AS dfreq)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT cfreq.doc_id,
+         ln(1 + (cstats.n - cdf.dfreq + 0.5) / (cdf.dfreq + 0.5))
+           * cfreq.freq
+           / (cfreq.freq + {K1} * (1 - {B} + {B} * cdl.len
+                                   / (cstats.tot / cstats.n))) AS s,
+         row_number() OVER (ORDER BY
+           ln(1 + (cstats.n - cdf.dfreq + 0.5) / (cdf.dfreq + 0.5))
+             * cfreq.freq
+             / (cfreq.freq + {K1} * (1 - {B} + {B} * cdl.len
+                                     / (cstats.tot / cstats.n))) DESC,
+           cfreq.doc_id ASC) AS rank
+  FROM cfreq
+  JOIN cdl ON cfreq.doc_id = cdl.doc_id
+  CROSS JOIN cstats CROSS JOIN cdf
+) WHERE rank <= 10"""
 
     # analysis/common extras: the synthetic content is deterministic
     # in doc_id / raw text, so every count has a closed-form oracle

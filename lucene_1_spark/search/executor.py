@@ -45,7 +45,7 @@ from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
-    MultiTermQuery, Occur,
+    CombinedFieldQuery, MultiTermQuery, Occur,
     PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
     rewrite_fixpoint,
@@ -515,6 +515,8 @@ class IndexSearcher:
             return scored.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(query, SynonymQuery):
             return self._synonym_search(query, k, after)
+        if isinstance(query, CombinedFieldQuery):
+            return self._combined_field_search(query, k, after)
         if isinstance(query, DisjunctionMaxQuery):
             return self._dismax_search(query, k, after)
         if isinstance(query, TermInSetQuery):
@@ -1366,6 +1368,163 @@ class IndexSearcher:
             scored = scored.filter(
                 (F.col("score") < float(s))
                 | ((F.col("score") == float(s)) & (F.col("doc_id") > int(d))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _combined_field_search(self, q: CombinedFieldQuery, k: int | None,
+                               after: tuple[float, int] | None) -> DataFrame:
+        """BM25F-simplified execution (``sandbox/search/
+        CombinedFieldQuery.java:303-352`` + ``MultiNormsLeafSimScorer.
+        java:140-153``): every (field, term) posting list feeds ONE
+        pseudo-term — per-doc freq is the weighted tf sum, the norm is
+        the weighted field-length sum, doc_freq is the max across all
+        pairs and avgdl comes from weight-merged collection stats.
+        Relationally: one IN-set postings scan -> weighted groupBy
+        fold -> one join onto the docs table for lengths -> one BM25
+        evaluation.  At scale the postings scan prunes to the term
+        buckets and the docs join is keyed on doc_id (co-partitioned),
+        so the plan is a semi-join + agg, no per-field re-scoring."""
+        empty = self.spark.createDataFrame(
+            [], f"doc_id long, score {'double' if self.double_mode else 'float'}")
+        if self.classic:
+            raise NotImplementedError(
+                "CombinedFieldQuery is defined for the BM25 "
+                "similarities (reference scores through BM25's "
+                "(freq, norm) SimScorer)")
+        fields = tuple(q.fields)
+        for fld, _ in fields:
+            if fld != "content" and fld not in self.text_fields:
+                raise ValueError(
+                    f"'{fld}' is not an analyzed text field "
+                    f"(text_fields={sorted(self.text_fields)})")
+        wmap: dict[str, float] = {}
+        for fld, w in fields:
+            for t in q.terms:
+                key = t if fld == "content" else f"{fld}{FIELD_SEP}{t}"
+                wmap[key] = float(w)
+        stats = self.reader.term_statistics(sorted(wmap))
+        present = [t for t in wmap if t in stats]
+        if not present:
+            return empty
+
+        # merged term + collection statistics (max df / max docCount /
+        # weighted sum_ttf with the reference's long-truncating fold)
+        merged_df = max(stats[t][0] for t in present)
+        doc_count, sum_ttf = 0, 0
+        for fld, w in fields:
+            if fld == "content":
+                dc = self.doc_count
+                sttf = self.reader.stats["sum_total_term_freq"]
+            else:
+                fs = (self.reader.manifest.get("field_stats") or {})[fld]
+                dc, sttf = int(fs["doc_count"]), int(fs["sum_total_term_freq"])
+            doc_count = max(doc_count, dc)
+            sum_ttf = int(sum_ttf + float(w) * sttf)
+        doc_count = max(doc_count, 1)
+        double_mode = self.double_mode
+        if double_mode:
+            avgdl = sum_ttf / doc_count
+            weight = q.boost * bm25.idf_double(merged_df, doc_count)
+        else:
+            avgdl = float(np.float32(np.float64(sum_ttf) / doc_count))
+            weight = float(np.float32(
+                np.float32(q.boost) * bm25.idf(merged_df, doc_count)))
+
+        # one postings scan; each decoded (term, doc) row carries its
+        # field weight into the freq fold
+        WF_SCHEMA = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("wfreq", T.DoubleType()),
+        ])
+        wmap_bc = {t: wmap[t] for t in present}
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    w = wmap_bc.get(str(row.term))
+                    if w is None:
+                        continue
+                    n = int(row.num_docs)
+                    dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
+                                                 int(row.first_doc), n)
+                    freqs = codecs.decode_freqs(bytes(row.freqs), n)
+                    outs.append(pd.DataFrame(
+                        {"doc_id": dids,
+                         "wfreq": freqs.astype(np.float64) * w}))
+                yield (pd.concat(outs) if outs
+                       else pd.DataFrame({"doc_id": pd.array([], "int64"),
+                                          "wfreq": pd.array([], "float64")}))
+
+        decoded = self._blocks_for(present).mapInPandas(decode, WF_SCHEMA)
+        merged = decoded.groupBy("doc_id").agg(F.sum("wfreq").alias("freq"))
+
+        # combined norm = weighted sum of the doc's per-field lengths
+        # (content length column + the field_lengths map), joined once
+        docs = self.reader.docs()
+        len_cols = []
+        for fld, w in fields:
+            src = (F.col("length") if fld == "content"
+                   else F.coalesce(
+                       F.element_at(F.col("field_lengths"), F.lit(fld)),
+                       F.lit(0)))
+            len_cols.append((float(w), src.cast("long")))
+        if double_mode:
+            ln_expr = sum((w * c for w, c in len_cols[1:]),
+                          len_cols[0][0] * len_cols[0][1])
+            lengths = docs.select("doc_id", ln_expr.alias("_cl"))
+            scored = merged.join(lengths, "doc_id")
+            k1, b = float(self.k1), float(self.b)
+            scored = scored.select(
+                "doc_id",
+                (F.lit(weight) * F.col("freq")
+                 / (F.col("freq") + k1 * ((1 - b) + b * F.col("_cl") / avgdl))
+                 ).cast("double").alias("score"))
+        else:
+            # float32 path: per-field lengths go through the stored
+            # byte4 norm (encode->decode), the weighted float32 sum is
+            # rounded and re-encoded (MultiFieldNormValues.advanceExact)
+            from lucene_1_spark.functions.smallfloat import (LENGTH_TABLE,
+                                                             int_to_byte4)
+            weights_arr = [w for w, _ in len_cols]
+            raw_cols = [c.alias(f"_l{i}") for i, (_, c)
+                        in enumerate(len_cols)]
+            lengths = docs.select("doc_id", *raw_cols)
+            scored = merged.join(lengths, "doc_id")
+            cache = bm25.norm_inverse_cache(np.float32(avgdl),
+                                            self.k1, self.b)
+            n_fields = len(len_cols)
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("float")
+            def cf_score(*cols: pd.Series) -> pd.Series:
+                f = cols[0].to_numpy(dtype=np.float64)
+                norm = np.zeros(len(f), dtype=np.float32)
+                for i in range(n_fields):
+                    ln = cols[1 + i].to_numpy(dtype=np.int64)
+                    dec = LENGTH_TABLE[int_to_byte4(ln)]
+                    norm = (norm + np.float32(weights_arr[i]) * dec
+                            ).astype(np.float32)
+                # Math.round(float): floor(x + 0.5f) in float32
+                nb = int_to_byte4(
+                    np.floor((norm + np.float32(0.5)).astype(np.float32))
+                    .astype(np.int64))
+                s = bm25.score_term(f.astype(np.float32), nb,
+                                    np.float32(weight), cache)
+                return pd.Series(s.astype(np.float32))
+
+            scored = scored.select(
+                "doc_id",
+                cf_score(F.col("freq"),
+                         *[F.col(f"_l{i}") for i in range(n_fields)])
+                .alias("score"))
+        if after is not None:
+            sa, da = after
+            scored = scored.filter(
+                (F.col("score") < float(sa))
+                | ((F.col("score") == float(sa))
+                   & (F.col("doc_id") > int(da))))
         if k is None:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -76,6 +76,38 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F-style multi-field scoring — the terms are scored against
+    a SYNTHETIC combined field (``sandbox/search/CombinedFieldQuery.
+    java:74-88,309-352`` + ``MultiNormsLeafSimScorer.java:140-153``):
+
+    - per-doc freq   = sum over (field, term) matches of w_f * tf
+    - per-doc length = sum over fields of w_f * field_length
+    - doc_freq       = MAX over every (field, term) pair
+    - collection     = docCount/maxDoc/sumDocFreq maxed across fields,
+                       sum_total_term_freq = sum of w_f * per-field sums
+
+    so ``avgdl`` and the norm live in the combined space and one BM25
+    evaluation scores the doc.  ``fields`` maps field name -> weight;
+    weights must be >= 1 (reference Builder.addField precondition).
+    ``"content"`` names the primary analyzed field."""
+    terms: tuple[str, ...]
+    fields: tuple[tuple[str, float], ...] = (("content", 1.0),)
+    boost: float = 1.0
+
+    def __post_init__(self):
+        for _, w in self.fields:
+            if w < 1.0:
+                raise ValueError("field weight must be >= 1 "
+                                 "(CombinedFieldQuery.java:123)")
+
+    def rewrite(self) -> "Query":
+        if not self.terms or not self.fields:
+            return MatchNoDocsQuery()
+        return self
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """Disjunction scored by the MAXIMUM sub-score instead of the sum
     (``search/DisjunctionMaxQuery.java:42-88``): for each matching doc,
@@ -720,6 +752,7 @@ import dataclasses as _dc
 
 _SERIALIZABLE = (TermQuery, BooleanQuery, Clause, MatchAllDocsQuery,
                  MatchNoDocsQuery, ConstantScoreQuery, SynonymQuery,
+                 CombinedFieldQuery,
                  DisjunctionMaxQuery, TermInSetQuery, PhraseQuery,
                  MultiPhraseQuery,
                  PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
