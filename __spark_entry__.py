@@ -2151,12 +2151,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"), "rank")
     q["ft_combined_field_topk"] = ft_combined_field_topk
 
+    def ft_feature_rank_topk(s, d):
+        """FeatureField / FeatureQuery (document/FeatureField.java:
+        240-470): a static rank feature (deterministic in doc_id,
+        attached as a doc_id-keyed side table) folded into the text
+        score as a SHOULD clause — score = bm25('spark') +
+        2*saturation(rankf, pivot=8).  Feature values are integers
+        <= 32 so the reference's tf-encoding quantization is the
+        identity and the oracle is closed-form."""
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.index.maintenance import attach_features
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 FeatureQuery, Occur,
+                                                 TermQuery)
+        se = _searcher(s, d)
+        feats = se.reader.features()
+        if feats is None or "rankf" not in feats.columns:
+            ids = se.reader.docs().select(
+                "doc_id",
+                ((F.col("path").cast("bigint") % 31) + 1)
+                .cast("double").alias("rankf"))
+            attach_features(s, se.reader.dir, ids)
+            se = IndexSearcher(IndexReader(s, se.reader.dir))
+            _SEARCHERS[os.path.abspath(d)] = se
+        qy = BooleanQuery((
+            Clause(TermQuery("spark"), Occur.MUST),
+            Clause(FeatureQuery("rankf", "saturation", weight=2.0,
+                                pivot=8.0), Occur.SHOULD)))
+        top = se.search_df(qy, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return _orig_id(top, se).select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"), "rank")
+    q["ft_feature_rank_topk"] = ft_feature_rank_topk
+
     # The driver's oracle checks at most ~50 entries per round, in
     # registry order: lead with (a) entries NEW this round and (b) the
     # entries no driver round had checked before round 3's judge ran
     # them manually, so every entry gets driver coverage across rounds.
     priority = [
-        "ft_combined_field_topk",                          # new r5
+        "ft_combined_field_topk", "ft_feature_rank_topk",  # new r5
         "ft_html_strip_count", "ft_path_hierarchy_count",   # new r5
         "ft_reverse_wildcard_count", "ft_commongrams_count",  # new r5
         "ft_compound_split_count", "ft_pattern_token_count",  # new r5
@@ -4042,6 +4078,25 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 WITH {_THAI_SQL_DOCS}
 SELECT count(DISTINCT doc_id)::BIGINT AS n
 FROM toks WHERE term = '{_thai_word("data")}'"""
+
+    # feature rank: bm25('spark') + 2*saturation((doc_id%31)+1, pivot 8)
+    # — integer features <= 32 make the tf-encode quantization identity
+    o["ft_feature_rank_topk"] = f"""
+WITH {_BM25_CTES},
+base AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term = 'spark'),
+tot AS (
+  SELECT doc_id,
+         s + 2.0 * (1 - 8.0 / (((doc_id % 31) + 1) + 8.0)) AS s
+  FROM base)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM tot
+) WHERE rank <= 10"""
 
     # combined-field BM25F: weighted tf sum over content(w=1)+head(w=2),
     # weighted length norm, max df, weight-merged collection stats

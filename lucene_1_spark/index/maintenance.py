@@ -376,3 +376,67 @@ def compact_index(spark: SparkSession, index_dir: str,
     with open(os.path.join(index_dir, "postings_stats.json"), "w") as fh:
         json.dump({"sum_doc_freq": stats["sum_doc_freq"]}, fh)
     return stats
+
+
+def attach_features(spark: SparkSession, index_dir: str,
+                    features: DataFrame, mode: str = "merge") -> list[str]:
+    """Bulk-load static ranking features — the loading side of the
+    FeatureField analog (``document/FeatureField.java:60-97``; see
+    ``search.query.FeatureQuery``).  The reference encodes features
+    into term frequencies at index time, so refreshing them means
+    re-indexing; here they live in a doc_id-keyed side table beside
+    the index (the doc-values strategy), so a pagerank refresh is one
+    table swap and the join stays co-located at any scale.
+
+    ``features`` must carry ``doc_id`` plus >= 1 numeric column.
+    ``mode='merge'`` outer-joins onto the existing feature table (new
+    columns added; overlapping columns take the new value where the
+    new table has one); ``'overwrite'`` replaces the table.  Atomic:
+    a new generation is fully written before the manifest swap."""
+    from pyspark.sql import types as T
+    cols = [f for f in features.schema.fields if f.name != "doc_id"]
+    if "doc_id" not in features.columns or not cols:
+        raise ValueError("features needs doc_id + >= 1 value column")
+    for f in cols:
+        if not isinstance(f.dataType, (T.NumericType,)):
+            raise ValueError(f"feature column '{f.name}' must be "
+                             f"numeric, got {f.dataType.simpleString()}")
+        if f.name in ("repo", "path", "commit", "lang", "length",
+                      "norm_byte", "content_sha256", "build_partition",
+                      "field_lengths", "term_freqs", "score"):
+            raise ValueError(f"'{f.name}' collides with an index column")
+    m = _manifest(index_dir)
+    new = features.select(
+        "doc_id", *[F.col(f.name).cast("double") for f in cols])
+    old_path = m.get("features_path")
+    if mode == "merge" and old_path is not None:
+        old = spark.read.parquet(os.path.join(index_dir, old_path))
+        renamed = new.select(
+            "doc_id", *[F.col(f.name).alias(f"_new_{f.name}")
+                        for f in cols])
+        merged = old.join(renamed, "doc_id", "full_outer")
+        for f in cols:
+            nc = f"_new_{f.name}"
+            if f.name in old.columns:
+                # overlap: new value wins where the new table has one
+                merged = merged.withColumn(
+                    f.name, F.coalesce(F.col(nc), F.col(f.name))).drop(nc)
+            else:
+                merged = merged.withColumnRenamed(nc, f.name)
+    elif mode in ("merge", "overwrite"):
+        merged = new
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    gen = int(m.get("features_generation", 0)) + 1
+    name = f"features_gen{gen}"
+    merged.write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, name))
+    m["features_path"] = name
+    m["features_generation"] = gen
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)
+    if old_path and old_path != name \
+            and old_path not in _snapshot_protected(index_dir):
+        shutil.rmtree(os.path.join(index_dir, old_path),
+                      ignore_errors=True)
+    return [f.name for f in cols]

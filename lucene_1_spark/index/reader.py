@@ -67,6 +67,15 @@ class IndexReader:
         """Physical per-segment stats rows (one per term per segment)."""
         return self.spark.read.parquet(self.table_path("term_stats"))
 
+    def features(self) -> DataFrame | None:
+        """The static-ranking-feature side table (FeatureField analog,
+        ``maintenance.attach_features``): doc_id + one double column
+        per feature; ``None`` when no features were ever attached."""
+        name = self.manifest.get("features_path")
+        if name is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.dir, name))
+
     def docs(self) -> DataFrame:
         return self._overlay_doc_values(
             self.spark.read.parquet(self.table_path("docs"))

@@ -45,7 +45,7 @@ from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
-    CombinedFieldQuery, MultiTermQuery, Occur,
+    CombinedFieldQuery, FeatureQuery, MultiTermQuery, Occur,
     PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
     rewrite_fixpoint,
@@ -517,6 +517,8 @@ class IndexSearcher:
             return self._synonym_search(query, k, after)
         if isinstance(query, CombinedFieldQuery):
             return self._combined_field_search(query, k, after)
+        if isinstance(query, FeatureQuery):
+            return self._feature_search(query, k, after)
         if isinstance(query, DisjunctionMaxQuery):
             return self._dismax_search(query, k, after)
         if isinstance(query, TermInSetQuery):
@@ -1519,6 +1521,93 @@ class IndexSearcher:
                 cf_score(F.col("freq"),
                          *[F.col(f"_l{i}") for i in range(n_fields)])
                 .alias("score"))
+        if after is not None:
+            sa, da = after
+            scored = scored.filter(
+                (F.col("score") < float(sa))
+                | ((F.col("score") == float(sa))
+                   & (F.col("doc_id") > int(da))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _feature_search(self, q: FeatureQuery, k: int | None,
+                        after: tuple[float, int] | None) -> DataFrame:
+        """FeatureQuery execution (``FeatureQuery.java:42``): the
+        feature is a stored numeric doc column (doc-values strategy —
+        the reference's tf-encoded postings re-expressed); a doc
+        matches iff its value is a positive finite number (values the
+        reference could index at all), the value is quantized through
+        the exact ``floatToIntBits >>> 15`` round-trip and scored by
+        the chosen monotonic function.  One column scan + projection
+        (no postings touched); composes as a SHOULD clause next to a
+        text query through the any-Query-as-clause machinery."""
+        from lucene_1_spark.functions import feature as feat
+
+        src = self.reader.features()
+        if src is None or q.feature not in src.columns:
+            docs = self.reader.docs()
+            if q.feature not in docs.columns:
+                raise ValueError(
+                    f"feature '{q.feature}' is neither an attached "
+                    f"feature (maintenance.attach_features) nor a "
+                    f"stored doc column")
+            src = docs
+        vals = (src.select("doc_id",
+                           F.col(q.feature).cast("double").alias("_v"))
+                .filter(F.col("_v").isNotNull() & (F.col("_v") > 0)
+                        & ~F.isnan("_v")))
+        pivot = q.pivot
+        if q.function == "saturation" and pivot is None:
+            # computePivotFeatureValue: decode(sum(tf)/df) over the
+            # indexed (= positive) values — one tiny aggregate job
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("long")
+            def enc(v: pd.Series) -> pd.Series:
+                return pd.Series(feat.encode_feature_value(
+                    v.to_numpy(dtype=np.float64)))
+
+            row = vals.select(enc("_v").alias("_t")) \
+                .agg(F.sum("_t").alias("s"), F.count("_t").alias("n")) \
+                .collect()[0]
+            if not row["n"]:
+                pivot = 1.0
+            else:
+                pivot = float(feat.decode_feature_value(
+                    np.array([int(row["s"] // row["n"])]))[0])
+
+        double_mode = self.double_mode
+        w_eff = float(q.weight) * float(q.boost)
+        fn, a, p = q.function, float(q.exp), pivot
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double" if double_mode else "float")
+        def fscore(v: pd.Series) -> pd.Series:
+            s32 = feat.quantize(v.to_numpy(dtype=np.float64))
+            if double_mode:
+                s = s32.astype(np.float64)
+                if fn == "linear":
+                    out = w_eff * s
+                elif fn == "log":
+                    out = w_eff * np.log(a + s)
+                elif fn == "saturation":
+                    out = w_eff * (1.0 - p / (s + p))
+                else:
+                    pa = float(p) ** a
+                    out = w_eff * (1.0 - pa / (np.power(s, a) + pa))
+                return pd.Series(out)
+            if fn == "linear":
+                out = feat.score_linear(s32, w_eff)
+            elif fn == "log":
+                out = feat.score_log(s32, w_eff, a)
+            elif fn == "saturation":
+                out = feat.score_saturation(s32, w_eff, p)
+            else:
+                out = feat.score_sigmoid(s32, w_eff, p, a)
+            return pd.Series(out)
+
+        scored = vals.select("doc_id", fscore("_v").alias("score"))
         if after is not None:
             sa, da = after
             scored = scored.filter(

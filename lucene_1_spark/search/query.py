@@ -76,6 +76,39 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static per-doc ranking feature folded into the score —
+    ``document/FeatureField.java:240-470`` + ``FeatureQuery.java:42``.
+    The feature lives in a stored numeric doc column; its value is
+    quantized exactly like the reference's tf encoding
+    (``floatToIntBits >>> 15``) and scored through one of the four
+    monotonic functions.  Matches every doc with a positive feature
+    value; the classic use is a SHOULD clause next to a text query
+    (score = bm25 + w*fn(feature)).
+
+    ``function``: ``linear`` | ``log`` | ``saturation`` | ``sigmoid``.
+    ``pivot``: required for sigmoid; for saturation ``None`` computes
+    the reference's default (decoded average encoded freq).  ``exp``
+    is sigmoid's ``a``; for log it is the additive scaling factor
+    (``scalingFactor`` in ``newLogQuery``, default 1)."""
+    feature: str
+    function: str = "saturation"
+    weight: float = 1.0
+    pivot: float | None = None
+    exp: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.function not in ("linear", "log", "saturation", "sigmoid"):
+            raise ValueError(f"unknown feature function {self.function!r}")
+        if self.function == "sigmoid" and self.pivot is None:
+            raise ValueError("sigmoid requires an explicit pivot "
+                             "(FeatureField.newSigmoidQuery)")
+        if self.weight <= 0:
+            raise ValueError("weight must be > 0 (FeatureField.java:247)")
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F-style multi-field scoring — the terms are scored against
     a SYNTHETIC combined field (``sandbox/search/CombinedFieldQuery.
@@ -752,7 +785,7 @@ import dataclasses as _dc
 
 _SERIALIZABLE = (TermQuery, BooleanQuery, Clause, MatchAllDocsQuery,
                  MatchNoDocsQuery, ConstantScoreQuery, SynonymQuery,
-                 CombinedFieldQuery,
+                 CombinedFieldQuery, FeatureQuery,
                  DisjunctionMaxQuery, TermInSetQuery, PhraseQuery,
                  MultiPhraseQuery,
                  PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
