@@ -229,6 +229,110 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 """
 
 
+_MERGE_SEARCHERS: dict[str, object] = {}
+
+
+def _merge_searcher(spark: SparkSession, sf_dir: str):
+    """The tiered-merge scenario (TieredMergePolicy +
+    ``index/SegmentMerger.java:113-244``): the corpus arrives as THREE
+    appended segments (doc_id % 3 == 1, then 2, then 0 — so engine
+    docID order is the batch order), 'window' docs are deleted, and
+    ``merge_segments`` merges every segment into one — reclaiming the
+    tombstones segment-locally (O(merged bytes), no forceMerge-style
+    full rewrite API used).  Stats are then exact, so a plain BM25
+    oracle over the live corpus reproduces the scores."""
+    import shutil
+
+    from lucene_1_spark.index import IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.index.maintenance import segment_sizes
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+    key = os.path.abspath(sf_dir)
+    if key in _MERGE_SEARCHERS:
+        return _MERGE_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_merge_v1",
+        hashlib.md5(key.encode()).hexdigest()[:12])
+    marker = os.path.join(idx_dir, "MERGE_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        corpus = _docs(spark, sf_dir).select(
+            F.lit("docs").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.pmod(F.col("doc_id"), F.lit(3)).alias("_m"),
+        )
+        cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
+                          n_buckets=8, n_doc_partitions=8)
+        w = IncrementalIndexWriter(spark, idx_dir, cfg)
+        for i, mod in enumerate((1, 2, 0)):
+            w.append(corpus.filter(F.col("_m") == mod).drop("_m"),
+                     batch_id=i)
+        w.delete_by_term("window")
+        out = w.merge(segments=sorted(segment_sizes(idx_dir)))
+        assert out is not None and out["remaining_tombstones"] == 0
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    s = IndexSearcher(IndexReader(spark, idx_dir))
+    _MERGE_SEARCHERS[key] = s
+    return s
+
+
+def _merge_topk(spark, sf_dir, qtext: str, k: int = 10) -> DataFrame:
+    se = _merge_searcher(spark, sf_dir)
+    top = se.search_df(qtext, k=k).withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+    docs = se.reader.docs().select(
+        "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+    return (top.join(docs, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 4).alias("score"), "rank"))
+
+
+def _merge_bm25_sql(terms: list[str], k: int = 10) -> str:
+    """Oracle twin of the merged index: live docs = those whose text
+    lacks the 'window' token; engine docID order is batch order
+    (doc_id % 3 == 1, then 2, then 0), each batch in doc_id order."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  ) WHERE term <> ''),
+toks AS (
+  SELECT * FROM toks0 WHERE doc_id NOT IN
+    (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'window')),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ({tl})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY s DESC,
+                    (CASE doc_id % 3 WHEN 1 THEN 0
+                          WHEN 2 THEN 1 ELSE 2 END) ASC,
+                    doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
 def _orig_id(df: DataFrame, searcher) -> DataFrame:
     """Map engine doc_ids back to the original ``documents.doc_id``
     (stored-field retrieval: join the docs table, parse the path)."""
@@ -1530,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- mutable index: upsert + delete + compaction (§2.1, §2.10) ----
     q["ft_upsert_topk"] = lambda s, d: _mut_topk(s, d, "graftmarker merge")
     q["ft_delete_topk"] = lambda s, d: _mut_topk(s, d, "spark merge")
+    # tiered segment merge (TieredMergePolicy / SegmentMerger):
+    # 3 appended segments + deletes, merged selectively, queried
+    q["ft_merge_topk"] = lambda s, d: _merge_topk(s, d, "spark merge")
 
     def ft_live_doc_count(s, d):
         from lucene_1_spark.search.query import MatchAllDocsQuery
@@ -2639,6 +2746,7 @@ WHERE term >= 'merge' AND term <= 'part'"""
     # mutable-index scenario: upsert + delete-by-term + compaction
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])
     o["ft_delete_topk"] = _mut_bm25_sql(["spark", "merge"])
+    o["ft_merge_topk"] = _merge_bm25_sql(["spark", "merge"])
     o["ft_live_doc_count"] = f"""
 WITH {_MUT_CTES}
 SELECT count(*)::BIGINT AS n FROM corpus

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -121,7 +122,7 @@ def _snapshot_protected(index_dir: str) -> set[str]:
         for name in ("postings", "docs", "term_stats"):
             out.add(m.get(f"{name}_path", name))
         if m.get("has_deletes"):
-            out.add("tombstones")
+            out.add(m.get("tombstones_path", "tombstones"))
         if m.get("dv_fields"):
             out.add("dv_updates")
     return out
@@ -184,7 +185,8 @@ def append_tombstones(spark: SparkSession, index_dir: str,
     gen = int(m.get("tombstone_gen", 0)) + 1
     rows.withColumn("gen", F.lit(gen).cast("long")).coalesce(1) \
         .write.mode("append") \
-        .parquet(os.path.join(index_dir, "tombstones"))
+        .parquet(os.path.join(index_dir,
+                              m.get("tombstones_path", "tombstones")))
     m["has_deletes"] = True
     m["tombstone_gen"] = gen
     m["committed_at"] = time.time()
@@ -192,45 +194,23 @@ def append_tombstones(spark: SparkSession, index_dir: str,
     return n
 
 
-def compact_index(spark: SparkSession, index_dir: str,
-                  drop_old: bool = True,
-                  salt_docs: int | None = None) -> dict:
-    """Merge every term's block runs into full blocks, dropping
-    tombstoned docs; rewrite docs/term_stats; recompute exact
-    collection stats; swap manifest pointers atomically.
+def _dead_doc_ids(reader: IndexReader) -> np.ndarray:
+    """Sorted tombstoned doc_ids as a broadcastable numpy array (the
+    liveDocs bitset handed to ``SegmentMerger``)."""
+    if not reader.has_deletes:
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(np.array(
+        [r["doc_id"] for r in reader.tombstones().collect()],
+        dtype=np.int64))
 
-    ``salt_docs``: EXPLICIT hot-term skew salting for the repack
-    shuffle.  The default (None) keys the shuffle by (bucket, term) —
-    one task per term, which at 10^9-posting terms becomes the skewed
-    straggler.  With ``salt_docs=N`` the key gains
-    ``floor(first_doc / N)``: a hot term's runs split into salt groups
-    repacked in parallel.  A block run is assigned wholesale to one
-    salt group by its ``first_doc``, so a run straddling a salt
-    boundary can make adjacent groups' repacked blocks have OVERLAPPING
-    ``[first_doc, last_doc]`` ranges for the same term — tolerated, not
-    disjoint: each doc still posts exactly once per term (runs
-    partition the postings), and the decode kernel never assumes
-    disjoint block ranges (block pruning uses range CONTAINMENT, which
-    stays sound over overlaps).  Each salt group may end in one tail
-    block (<128 docs), so blocks-per-term is bounded by
-    ceil(df/128) + (groups with a straddling run) + groups-1 rather
-    than the unsalted exact ceil(df/128); query results are identical.
-    Returns the new collection stats."""
-    reader = IndexReader(spark, index_dir)
-    cfg = reader.cfg
-    gen = int(reader.manifest.get("generation", 0)) + 1
-    block_size = int(cfg["block_size"])
-    exact_norms = cfg.get("norms_encoding", "byte4") == "exact32"
-    want_positions = bool(cfg.get("positions", False))
 
-    tomb_path = os.path.join(index_dir, "tombstones")
-    if reader.has_deletes:
-        dead = np.sort(np.array(
-            [r["doc_id"] for r in reader.tombstones().collect()],
-            dtype=np.int64))
-    else:
-        dead = np.zeros(0, dtype=np.int64)
-
+def _make_repack(block_size: int, exact_norms: bool, want_positions: bool,
+                 dead: np.ndarray):
+    """Build the (bucket, term)-grouped repack kernel shared by full
+    compaction and selective segment merges: decode every block run of
+    the group in first_doc order, drop tombstoned docs, re-encode into
+    full ``block_size`` blocks (``index/SegmentMerger.java:113-244``
+    mergeTerms)."""
     length_table = LENGTH_TABLE
     block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
 
@@ -291,6 +271,45 @@ def compact_index(spark: SparkSession, index_dir: str,
                          int(f.sum()), codecs.encode_doc_gaps(d),
                          codecs.encode_freqs(f), norm_buf, pos_buf, bucket))
         return pd.DataFrame(rows, columns=block_cols)
+
+    return repack
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  drop_old: bool = True,
+                  salt_docs: int | None = None) -> dict:
+    """Merge every term's block runs into full blocks, dropping
+    tombstoned docs; rewrite docs/term_stats; recompute exact
+    collection stats; swap manifest pointers atomically.
+
+    ``salt_docs``: EXPLICIT hot-term skew salting for the repack
+    shuffle.  The default (None) keys the shuffle by (bucket, term) —
+    one task per term, which at 10^9-posting terms becomes the skewed
+    straggler.  With ``salt_docs=N`` the key gains
+    ``floor(first_doc / N)``: a hot term's runs split into salt groups
+    repacked in parallel.  A block run is assigned wholesale to one
+    salt group by its ``first_doc``, so a run straddling a salt
+    boundary can make adjacent groups' repacked blocks have OVERLAPPING
+    ``[first_doc, last_doc]`` ranges for the same term — tolerated, not
+    disjoint: each doc still posts exactly once per term (runs
+    partition the postings), and the decode kernel never assumes
+    disjoint block ranges (block pruning uses range CONTAINMENT, which
+    stays sound over overlaps).  Each salt group may end in one tail
+    block (<128 docs), so blocks-per-term is bounded by
+    ceil(df/128) + (groups with a straddling run) + groups-1 rather
+    than the unsalted exact ceil(df/128); query results are identical.
+    Returns the new collection stats."""
+    reader = IndexReader(spark, index_dir)
+    cfg = reader.cfg
+    gen = int(reader.manifest.get("generation", 0)) + 1
+    block_size = int(cfg["block_size"])
+    exact_norms = cfg.get("norms_encoding", "byte4") == "exact32"
+    want_positions = bool(cfg.get("positions", False))
+
+    tomb_path = os.path.join(
+        index_dir, reader.manifest.get("tombstones_path", "tombstones"))
+    dead = _dead_doc_ids(reader)
+    repack = _make_repack(block_size, exact_norms, want_positions, dead)
 
     group_keys = ["bucket", "term"]
     posts = reader.postings()
@@ -354,6 +373,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     if field_stats:
         m["field_stats"] = field_stats
     m["has_deletes"] = False
+    old_tomb = m.pop("tombstones_path", "tombstones")
     m["committed_at"] = time.time()
     _write_manifest(index_dir, m)  # the atomic snapshot swap
 
@@ -361,7 +381,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     # these; anything a retained snapshot references stays — the
     # SnapshotDeletionPolicy keep-set)
     protected = _snapshot_protected(index_dir)
-    if os.path.exists(tomb_path) and "tombstones" not in protected:
+    if os.path.exists(tomb_path) and old_tomb not in protected:
         shutil.rmtree(tomb_path, ignore_errors=True)
     if drop_old:
         for name, path in old.items():
@@ -376,6 +396,326 @@ def compact_index(spark: SparkSession, index_dir: str,
     with open(os.path.join(index_dir, "postings_stats.json"), "w") as fh:
         json.dump({"sum_doc_freq": stats["sum_doc_freq"]}, fh)
     return stats
+
+
+# Segment membership is encoded in parquet FILE NAME prefixes: the
+# initial build's files carry no prefix ("base"), incremental appends
+# promote files as ``seg<N>-...`` (streaming/incremental.py
+# _promote_segment), and selective merges write ``segM<G>-...``.
+_SEG_FILE_RE = re.compile(r"^(seg\d+|segM\d+)-")
+
+
+def _segment_files(table_dir: str) -> dict[str, list[str]]:
+    """Map segment name -> parquet paths relative to ``table_dir``
+    (recurses into ``bucket=`` partition dirs)."""
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for root, _dirs, files in os.walk(table_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            mm = _SEG_FILE_RE.match(fn)
+            seg = mm.group(1) if mm else "base"
+            out.setdefault(seg, []).append(
+                os.path.relpath(os.path.join(root, fn), table_dir))
+    return out
+
+
+def segment_sizes(index_dir: str) -> dict[str, int]:
+    """Per-segment on-disk bytes (docs + postings files) — the size
+    signal TieredMergePolicy scores candidate merges with
+    (``index/TieredMergePolicy.java:445-520`` segment byte sizes)."""
+    m = _manifest(index_dir)
+    sizes: dict[str, int] = {}
+    for name in ("docs", "postings"):
+        d = os.path.join(index_dir, m.get(f"{name}_path", name))
+        for seg, rels in _segment_files(d).items():
+            sizes[seg] = sizes.get(seg, 0) + sum(
+                os.path.getsize(os.path.join(d, f)) for f in rels)
+    return sizes
+
+
+def select_merge(sizes: dict[str, int], segs_per_tier: int = 10,
+                 max_merge_at_once: int = 10,
+                 max_merged_bytes: int = 5 * 2 ** 30) -> list[str] | None:
+    """TieredMergePolicy-lite candidate selection
+    (``index/TieredMergePolicy.java:89-93``: segsPerTier=10,
+    maxMergeAtOnce=10, maxMergedSegmentMB=5GB): when the segment count
+    exceeds the tier budget, merge the SMALLEST eligible segments —
+    enough to bring the count back under budget, never more than
+    ``max_merge_at_once`` — and never pick a segment already larger
+    than ``max_merged_bytes`` (big segments stay untouched, so merge
+    cost tracks the small-segment tail, not the index)."""
+    if len(sizes) <= segs_per_tier:
+        return None
+    eligible = sorted((s for s in sizes if sizes[s] <= max_merged_bytes),
+                      key=lambda s: sizes[s])
+    n_over = len(sizes) - segs_per_tier + 1
+    pick = eligible[:min(max_merge_at_once, max(2, n_over))]
+    if len(pick) < 2:
+        return None
+    return pick
+
+
+def merge_segments(spark: SparkSession, index_dir: str,
+                   segments: list[str] | None = None,
+                   segs_per_tier: int = 10, max_merge_at_once: int = 10,
+                   max_merged_bytes: int = 5 * 2 ** 30,
+                   drop_old: bool = True) -> dict | None:
+    """Selective segment merge — the actual TieredMergePolicy behavior
+    (``index/TieredMergePolicy.java:89-93`` + ``SegmentMerger.java:
+    113-244``): pick the smallest segments (or use the explicit
+    ``segments`` list), merge ONLY their files into one new segment,
+    and leave every other segment's files untouched.  Unlike
+    :func:`compact_index` (the forceMerge(1) analog, O(index)), cost is
+    proportional to the MERGED bytes — the property that keeps
+    continuous ingestion sustainable at 100 TB, where a full rewrite
+    per maintenance cycle is impossible.
+
+    Semantics, all per the reference's merge:
+
+    - postings of the merged segments repack into full blocks (one
+      shuffle over ONLY the selected segments' files, grouped
+      (bucket, term));
+    - tombstoned docs BELONGING to merged segments are reclaimed (a
+      doc's postings live only in its own segment, so dropping them
+      here is complete); tombstones over unmerged segments survive and
+      keep masking at query time;
+    - collection/field stats shrink by exactly the reclaimed docs'
+      contributions (computed over the merged slice only — no
+      whole-index scan);
+    - doc_ids are NOT renumbered (they are index-global here, unlike
+      Lucene's per-segment ords), so merged postings stay valid without
+      touching stored fields elsewhere.
+
+    Commit is atomic: new table generations ``<table>_m<G>`` are built
+    by HARD-LINKING every unmerged file (metadata-only — the Iceberg
+    manifest-relist analog; on an object store this is a manifest
+    rewrite, no data movement) plus the freshly-written ``segM<G>-``
+    files, then the manifest swaps all pointers at once.  Retained
+    snapshots keep reading the old generation dirs — hard links make
+    the shared files safe under either dir's deletion.
+
+    Returns a summary dict when a merge ran, else None (under the tier
+    budget, or fewer than 2 eligible segments)."""
+    m = _manifest(index_dir)
+    tables = {name: os.path.join(index_dir, m.get(f"{name}_path", name))
+              for name in ("docs", "postings", "term_stats")}
+    seg_files = {name: _segment_files(d) for name, d in tables.items()}
+    if segments is None:
+        segments = select_merge(segment_sizes(index_dir), segs_per_tier,
+                                max_merge_at_once, max_merged_bytes)
+    if not segments or len(segments) < 2:
+        return None
+    chosen = set(segments)
+    reader = IndexReader(spark, index_dir)
+    cfg = reader.cfg
+    had_deletes = reader.has_deletes
+    staging = os.path.join(index_dir, "merge_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    sel_post = [os.path.join(tables["postings"], f)
+                for s in chosen
+                for f in seg_files["postings"].get(s, [])]
+    # After a fold/compact the docs table may be a single unprefixed
+    # generation (all "base") while postings keep seg prefixes — then a
+    # postings-only merge still defragments, the tombstones simply stay
+    # masking (no doc files to rewrite, no postings reclaim either:
+    # dropping postings while the doc rows stay would desynchronize
+    # the two tables)
+    sel_docs = [os.path.join(tables["docs"], f)
+                for s in chosen for f in seg_files["docs"].get(s, [])]
+    if not sel_docs and not sel_post:
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
+    old_docs = spark.read.parquet(*sel_docs) if sel_docs else None
+
+    # reclaimable = tombstones whose doc ROW is in the merged slice
+    # (exactly the set the docs rewrite below drops)
+    if had_deletes and old_docs is not None:
+        dead = np.sort(np.array(
+            [r["doc_id"] for r in reader.tombstones()
+             .join(old_docs.select("doc_id"), "doc_id", "semi")
+             .collect()], dtype=np.int64))
+    else:
+        dead = np.zeros(0, dtype=np.int64)
+
+    # ---- merge the selected postings (only their files are read) ----
+    block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
+    if sel_post:
+        repack = _make_repack(
+            int(cfg["block_size"]),
+            cfg.get("norms_encoding", "byte4") == "exact32",
+            bool(cfg.get("positions", False)), dead)
+        (spark.read.option("basePath", tables["postings"])
+         .parquet(*sel_post).select(*block_cols)
+         .groupBy("bucket", "term").applyInPandas(repack, BLOCKS_SCHEMA)
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(staging, "postings")))
+
+    # ---- merge the selected docs, reclaiming their tombstoned rows ----
+    if old_docs is not None:
+        live = old_docs
+        if had_deletes:
+            live = old_docs.join(reader.tombstones(), "doc_id",
+                                 "left_anti")
+        live.write.mode("overwrite").parquet(os.path.join(staging, "docs"))
+
+    # ---- merged term stats (from the repacked postings) ----
+    new_df_sum = 0
+    staged_posts = os.path.join(staging, "postings")
+    if os.path.isdir(staged_posts) and any(
+            fn.endswith(".parquet") for _r, _d, fns in os.walk(staged_posts)
+            for fn in fns):
+        merged_posts = spark.read.parquet(staged_posts)
+        (merged_posts.groupBy("bucket", "term")
+         .agg(F.sum("num_docs").alias("doc_freq"),
+              F.sum("sum_freq").alias("total_term_freq"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(staging, "term_stats")))
+        new_df_sum = int(
+            spark.read.parquet(os.path.join(staging, "term_stats"))
+            .filter(~F.col("term").contains(FIELD_SEP))
+            .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+
+    # ---- stat deltas: merged slice only, no whole-index scan ----
+    def _doc_stats(df: DataFrame) -> tuple[int, int, int]:
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("ne"),
+            F.sum("length").alias("len")).collect()[0]
+        return int(r["n"]), int(r["ne"] or 0), int(r["len"] or 0)
+
+    if old_docs is not None:
+        new_docs_df = spark.read.parquet(os.path.join(staging, "docs"))
+        o_n, o_ne, o_len = _doc_stats(old_docs)
+        n_n, n_ne, n_len = _doc_stats(new_docs_df)
+    else:
+        new_docs_df = None
+        o_n = o_ne = o_len = n_n = n_ne = n_len = 0
+    sel_ts = [os.path.join(tables["term_stats"], f)
+              for s in chosen for f in seg_files["term_stats"].get(s, [])]
+    old_df_sum = 0
+    if sel_ts:
+        old_df_sum = int(
+            spark.read.option("basePath", tables["term_stats"])
+            .parquet(*sel_ts)
+            .filter(~F.col("term").contains(FIELD_SEP))
+            .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+    from lucene_1_spark.index.builder import _field_stats_of_docs
+    fs_old = fs_new = {}
+    if old_docs is not None:
+        fs_old = _field_stats_of_docs(old_docs, cfg.get("keyword_fields"),
+                                      cfg.get("text_fields"))
+        fs_new = _field_stats_of_docs(new_docs_df,
+                                      cfg.get("keyword_fields"),
+                                      cfg.get("text_fields"))
+
+    # ---- surviving tombstones (docs of unmerged segments) ----
+    gen = int(m.get("merge_gen", 0)) + 1
+    new_tomb_rel: str | None = None
+    n_remaining = 0
+    if had_deletes and old_docs is not None:
+        t_full = spark.read.parquet(reader.table_path("tombstones"))
+        remaining = t_full.join(old_docs.select("doc_id"), "doc_id",
+                                "left_anti")
+        n_remaining = remaining.count()
+        if n_remaining > 0:
+            new_tomb_rel = f"tombstones_m{gen}"
+            remaining.coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(index_dir, new_tomb_rel))
+
+    # ---- build the new generation: links for untouched files, the
+    # staged merge output under the new segment name ----
+    new_names = {name: f"{name}_m{gen}"
+                 for name in ("docs", "postings", "term_stats")}
+    for name, new_name in new_names.items():
+        dst_root = os.path.join(index_dir, new_name)
+        shutil.rmtree(dst_root, ignore_errors=True)
+        os.makedirs(dst_root, exist_ok=True)
+        for seg, rels in seg_files[name].items():
+            if seg in chosen:
+                continue
+            for rel in rels:
+                dst = os.path.join(dst_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(tables[name], rel), dst)
+        src_staged = os.path.join(staging, name)
+        if os.path.isdir(src_staged):
+            for root, _dirs, files in os.walk(src_staged):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, src_staged)
+                    dd = dst_root if rel_dir == "." \
+                        else os.path.join(dst_root, rel_dir)
+                    os.makedirs(dd, exist_ok=True)
+                    os.replace(os.path.join(root, fn),
+                               os.path.join(dd, f"segM{gen}-{fn}"))
+
+    # ---- atomic commit: swap every pointer + adjusted stats at once ----
+    m = _manifest(index_dir)
+    old_paths = {name: m.get(f"{name}_path", name) for name in new_names}
+    old_tomb = m.get("tombstones_path", "tombstones")
+    for name, new_name in new_names.items():
+        m[f"{name}_path"] = new_name
+    m["merge_gen"] = gen
+    cs = dict(m["collection_stats"])
+    cs["n_docs"] = int(cs["n_docs"]) + (n_n - o_n)
+    cs["doc_count"] = int(cs["doc_count"]) + (n_ne - o_ne)
+    cs["sum_total_term_freq"] = (int(cs["sum_total_term_freq"])
+                                 + (n_len - o_len))
+    cs["sum_doc_freq"] = int(cs["sum_doc_freq"]) + (new_df_sum - old_df_sum)
+    m["collection_stats"] = cs
+    if fs_old or fs_new:
+        fs = dict(m.get("field_stats", {}))
+        for fld in set(fs_old) | set(fs_new):
+            cur = fs.get(fld, {"doc_count": 0, "sum_total_term_freq": 0})
+            o = fs_old.get(fld, {"doc_count": 0, "sum_total_term_freq": 0})
+            n2 = fs_new.get(fld, {"doc_count": 0, "sum_total_term_freq": 0})
+            fs[fld] = {
+                "doc_count": cur["doc_count"]
+                + n2["doc_count"] - o["doc_count"],
+                "sum_total_term_freq": cur["sum_total_term_freq"]
+                + n2["sum_total_term_freq"] - o["sum_total_term_freq"],
+            }
+        m["field_stats"] = fs
+    if had_deletes and old_docs is not None:
+        if new_tomb_rel is not None:
+            m["tombstones_path"] = new_tomb_rel
+            m["has_deletes"] = True
+        else:
+            m["has_deletes"] = False
+            m.pop("tombstones_path", None)
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)
+
+    # ---- post-commit cleanup (snapshot-protected dirs stay; hard
+    # links keep shared files alive under either generation) ----
+    shutil.rmtree(staging, ignore_errors=True)
+    protected = _snapshot_protected(index_dir)
+    if drop_old:
+        for name, new_name in new_names.items():
+            p = old_paths[name]
+            if p != new_name and p not in protected:
+                shutil.rmtree(os.path.join(index_dir, p),
+                              ignore_errors=True)
+        if had_deletes and old_tomb != m.get("tombstones_path") \
+                and old_tomb not in protected:
+            shutil.rmtree(os.path.join(index_dir, old_tomb),
+                          ignore_errors=True)
+    # keep the builder's stage stats coherent for later appends/resumes
+    with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
+        json.dump({k: cs[k] for k in
+                   ("n_docs", "doc_count", "sum_total_term_freq")}, fh)
+    with open(os.path.join(index_dir, "postings_stats.json"), "w") as fh:
+        json.dump({"sum_doc_freq": cs["sum_doc_freq"]}, fh)
+    return {"merged": sorted(chosen), "segment": f"segM{gen}",
+            "reclaimed_docs": o_n - n_n,
+            "remaining_tombstones": n_remaining,
+            "collection_stats": cs}
 
 
 def attach_features(spark: SparkSession, index_dir: str,

@@ -140,7 +140,7 @@ class IndexReader:
     def has_deletes(self) -> bool:
         """True if uncompacted tombstones exist — the liveDocs-present
         check (``index/SegmentReader.java`` hasDeletions)."""
-        p = os.path.join(self.dir, "tombstones")
+        p = self.table_path("tombstones")
         return bool(self.manifest.get("has_deletes")) and os.path.exists(p)
 
     def tombstones(self) -> DataFrame:
@@ -148,7 +148,7 @@ class IndexReader:
         anti-joins against this — ``IndexSearcher.java:826`` liveDocs;
         collection/term stats stay stale until compaction, exactly
         Lucene's deleted-docs-still-count-in-df semantics."""
-        t = self.spark.read.parquet(os.path.join(self.dir, "tombstones"))
+        t = self.spark.read.parquet(self.table_path("tombstones"))
         # generation window: a snapshot reader must not see deletes
         # appended after its commit point (rows from pre-gen-stamp
         # files have gen null = always visible)

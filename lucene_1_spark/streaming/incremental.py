@@ -437,6 +437,30 @@ class IncrementalIndexWriter:
         fold_doc_values(self.spark, self.dir)
         return out
 
+    def merge(self, segments: list[str] | None = None,
+              **kw) -> dict | None:
+        """Selective segment merge (TieredMergePolicy +
+        ``index/SegmentMerger.java:113-244``): merge ONLY the chosen
+        (or policy-selected smallest) segments' files into one new
+        segment — O(merged bytes), never O(index), unlike
+        :func:`compact` (the forceMerge(1) analog).  See
+        ``index.maintenance.merge_segments``."""
+        from lucene_1_spark.index.maintenance import merge_segments
+        return merge_segments(self.spark, self.dir, segments=segments,
+                              **kw)
+
+    def maybe_merge(self, segs_per_tier: int = 10,
+                    max_merge_at_once: int = 10) -> dict | None:
+        """The IndexWriter.maybeMerge hook
+        (``index/IndexWriter.java:2230`` + TieredMergePolicy
+        findMerges): when the segment count exceeds the tier budget,
+        merge the smallest segments; otherwise no-op.  Call after
+        appends (e.g. inside a foreachBatch handler) to keep
+        block-run counts bounded under continuous streaming ingestion
+        without ever paying a full rewrite."""
+        return self.merge(segs_per_tier=segs_per_tier,
+                          max_merge_at_once=max_merge_at_once)
+
     def maybe_compact(self, max_segments: int = 10) -> dict | None:
         """TieredMergePolicy-style trigger (~10 segments/tier,
         ``index/TieredMergePolicy.java:89-93``): compact when the number
