@@ -200,9 +200,11 @@ def check_index(reader: IndexReader, source: DataFrame | None = None) -> dict:
                 rel = sm.get(f"{name}_path", name)
                 if not os.path.exists(os.path.join(reader.dir, rel)):
                     missing.append(f"{f}:{rel}")
-            if sm.get("has_deletes") and not os.path.exists(
-                    os.path.join(reader.dir, "tombstones")):
-                missing.append(f"{f}:tombstones")
+            if sm.get("has_deletes"):
+                tomb_rel = sm.get("tombstones_path", "tombstones")
+                if not os.path.exists(
+                        os.path.join(reader.dir, tomb_rel)):
+                    missing.append(f"{f}:{tomb_rel}")
         out["snapshots"] = (not missing,
                             f"{len(missing)} dangling refs: "
                             f"{missing[:5]}")
