@@ -305,12 +305,23 @@ class IncrementalIndexWriter:
                 if entry.startswith("bucket=") and os.path.isdir(src):
                     move_files(src, os.path.join(self._table(table), entry))
 
-    def foreach_batch(self):
+    def foreach_batch(self, auto_merge: bool = False,
+                      segs_per_tier: int = 10):
         """Handler for ``df.writeStream.foreachBatch(...)`` — idempotent
-        under micro-batch redelivery (batch_id checkpointing)."""
+        under micro-batch redelivery (batch_id checkpointing).
+
+        ``auto_merge=True`` runs :meth:`maybe_merge` after each
+        committed batch — the ConcurrentMergeScheduler analog
+        (``index/ConcurrentMergeScheduler.java:54``: merges triggered
+        as segments accumulate), inline rather than on background
+        threads since a micro-batch boundary IS the natural merge
+        point here.  The merge is itself atomic and O(merged bytes),
+        so a crash mid-merge never loses the committed append."""
         def handle(batch_df: DataFrame, batch_id: int):
             if batch_df.take(1):
                 self.append(batch_df, batch_id=batch_id)
+                if auto_merge:
+                    self.maybe_merge(segs_per_tier=segs_per_tier)
         return handle
 
     # -- deletes / updates (IndexWriter.java:1837) ---------------------------
@@ -460,6 +471,33 @@ class IncrementalIndexWriter:
         without ever paying a full rewrite."""
         return self.merge(segs_per_tier=segs_per_tier,
                           max_merge_at_once=max_merge_at_once)
+
+    def force_merge(self, max_num_segments: int = 1,
+                    max_merge_at_once: int = 10) -> dict | None:
+        """``IndexWriter.forceMerge(maxNumSegments)``
+        (``index/IndexWriter.java:2075``): cascade selective merges
+        until at most ``max_num_segments`` remain.  Each pass merges up
+        to ``max_merge_at_once`` of the smallest segments (size caps
+        waived — forceMerge merges giants too), so the cascade is
+        logarithmic in segment count and each pass stays O(merged
+        bytes).  Returns the last pass's summary (None if already at
+        or under the target)."""
+        from lucene_1_spark.index.maintenance import (merge_segments,
+                                                      segment_sizes)
+        out = None
+        while True:
+            sizes = segment_sizes(self.dir)
+            n = len(sizes)
+            if n <= max(1, int(max_num_segments)):
+                return out
+            # merge enough smallest to hit the target in this pass if
+            # possible, else the per-pass cap
+            take = min(max_merge_at_once, n - int(max_num_segments) + 1)
+            pick = sorted(sizes, key=sizes.get)[:take]
+            res = merge_segments(self.spark, self.dir, segments=pick)
+            if res is None:
+                return out
+            out = res
 
     def maybe_compact(self, max_segments: int = 10) -> dict | None:
         """TieredMergePolicy-style trigger (~10 segments/tier,

@@ -181,6 +181,51 @@ def test_tier_policy_selects_smallest(spark, tmp_root, corpus):
                         max_merged_bytes=10 ** 9) == ["b", "c"]
 
 
+def test_force_merge_cascade(spark, tmp_root, corpus):
+    """forceMerge(1) via cascaded selective merges (bounded merge
+    width): ends at one segment with results and stats identical to
+    the pre-merge view (no deletes pending => stats unchanged)."""
+    d = os.path.join(tmp_root, "idx_mrg_force")
+    w = _build_segmented(spark, d, corpus, n_appends=4)   # 5 segments
+    s0 = IndexSearcher(IndexReader(spark, d))
+    before_hits = {q: _hits(s0, q) for q in QUERIES}
+    before_stats = dict(s0.reader.stats)
+    out = w.force_merge(max_num_segments=1, max_merge_at_once=3)
+    assert out is not None and out["segment"] == "segM2"  # 2 passes
+    sizes = segment_sizes(d)
+    assert list(sizes) == ["segM2"]
+    r = IndexReader(spark, d)
+    assert r.stats == before_stats
+    s1 = IndexSearcher(r)
+    for q in QUERIES:
+        assert _hits(s1, q) == before_hits[q], q
+    bad = (r.postings().groupBy("term")
+           .agg(F.count("*").alias("nb"), F.sum("num_docs").alias("df"))
+           .filter(F.col("nb") != F.ceil(F.col("df") / 128)).count())
+    assert bad == 0
+    # idempotent at target
+    assert w.force_merge(max_num_segments=1) is None
+
+
+def test_foreach_batch_auto_merge(spark, tmp_root, corpus):
+    """The ConcurrentMergeScheduler analog: the streaming handler with
+    auto_merge keeps the segment count at the tier budget while batches
+    land exactly once."""
+    d = os.path.join(tmp_root, "idx_mrg_auto")
+    w = IncrementalIndexWriter(spark, d, IndexConfig(**CFG))
+    handler = w.foreach_batch(auto_merge=True, segs_per_tier=2)
+    for i in range(5):
+        handler(spark.createDataFrame(corpus.iloc[i * 40:(i + 1) * 40]), i)
+    assert len(segment_sizes(d)) <= 2
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == 200
+    docs = spark.read.parquet(r.table_path("docs"))
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # redelivery after merges is still a no-op
+    handler(spark.createDataFrame(corpus.iloc[160:200]), 4)
+    assert IndexReader(spark, d).stats["n_docs"] == 200
+
+
 def test_merge_keeps_snapshot_readable(spark, tmp_root, corpus):
     """A snapshot retained before the merge still reads its exact
     commit point afterwards (old generation dirs are protected; hard
