@@ -41,6 +41,61 @@ def test_all_ones_freq_block_is_tiny():
     assert len(buf) <= 1 + 128 // 8  # 1 bit per doc + header
 
 
+def test_pfor_patches_outliers():
+    """PForUtil semantics: a handful of outliers must not inflate the
+    whole block's width — they get patched."""
+    f = np.ones(128, dtype=np.int64)
+    f[17] = 300                      # one outlier
+    buf = codecs.encode_freqs(f)
+    assert buf[0] & 0x80             # patched format chosen
+    assert len(buf) < 40             # vs 145 bytes at full 9-bit width
+    np.testing.assert_array_equal(codecs.decode_freqs(buf, 128), f)
+    # seven outliers (the budget) still patch; eight of nine distinct
+    # magnitudes may not — either way the round-trip is exact
+    g = np.ones(128, dtype=np.int64)
+    g[:7] = [300, 301, 65000, 2**20, 2**33, 5, 7]
+    buf2 = codecs.encode_freqs(g)
+    assert len(buf2) < 1 + (128 * 35 + 7) // 8
+    np.testing.assert_array_equal(codecs.decode_freqs(buf2, 128), g)
+
+
+def test_pfor_adversarial_roundtrips():
+    cases = [
+        np.array([2**62], dtype=np.int64),                # huge single
+        np.array([0] * 200 + [2**62, 2**62], dtype=np.int64),  # tied giants
+        np.array([1, 2, 4, 8, 16, 32, 64, 128, 256], dtype=np.int64),
+        np.arange(3000, dtype=np.int64) % 3 + 1,          # big cell (positions)
+        np.concatenate([np.zeros(3000, dtype=np.int64),
+                        np.array([2**40] * 7)]),          # exceptions at tail
+    ]
+    for arr in cases:
+        out = codecs.bitunpack(codecs.bitpack(arr), len(arr))
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_pfor_prefix_decode():
+    """Callers may decode only the first n values of a longer cell
+    (the positions kernel does); patches beyond the prefix must be
+    ignored, patches inside it applied."""
+    arr = np.ones(500, dtype=np.int64)
+    arr[3] = 2**30      # patched, inside the prefix
+    arr[450] = 2**35    # patched, beyond the prefix
+    buf = codecs.bitpack(arr)
+    assert buf[0] & 0x80
+    np.testing.assert_array_equal(codecs.bitunpack(buf, 100), arr[:100])
+    np.testing.assert_array_equal(codecs.bitunpack(buf, 500), arr)
+
+
+def test_plain_for_cells_still_decode():
+    """Pre-patching cells (width byte <= 64, no flag) decode unchanged —
+    indexes written before PFoR landed stay readable."""
+    v = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.uint64)
+    bw = 4
+    legacy = bytes([bw]) + codecs._pack_at(v, bw)
+    np.testing.assert_array_equal(codecs.bitunpack(legacy, len(v)),
+                                  v.astype(np.int64))
+
+
 # ---------------------------------------------------------------------------
 # DateTools (document/DateTools.java): sortable UTC date strings
 # ---------------------------------------------------------------------------
