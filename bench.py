@@ -158,6 +158,53 @@ def high_partition_build(n_docs: int, cores: int, n_parts: int = 512) -> dict:
     }
 
 
+def streaming_maintenance(n_batches: int = 10, batch_docs: int = 2000,
+                          cores: int = 8) -> dict:
+    """Continuous-ingestion maintenance cost: append ``n_batches``
+    micro-batches through the auto-merging foreachBatch handler
+    (TieredMergePolicy tier budget 4) and report append+merge
+    throughput, the merge pass count, and the final segment count —
+    the O(merged bytes) sustainability story, measured."""
+    from lucene_1_spark import corpus as corpus_mod
+    from lucene_1_spark.index import IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.index.maintenance import segment_sizes
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.session import get_spark
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+    spark = get_spark("bench-stream", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = corpus_mod.generate(n_batches * batch_docs)
+    d = os.path.join(tempfile.gettempdir(), "l1s_bench_stream_idx")
+    shutil.rmtree(d, ignore_errors=True)
+    w = IncrementalIndexWriter(
+        spark, d, IndexConfig(n_buckets=min(cores, 32),
+                              n_doc_partitions=cores))
+    merges = 0
+    t0 = time.time()
+    for i in range(n_batches):
+        w.append(spark.createDataFrame(
+            pdf.iloc[i * batch_docs:(i + 1) * batch_docs]), batch_id=i)
+        if w.maybe_merge(segs_per_tier=4) is not None:
+            merges += 1
+    total = time.time() - t0
+    n_segs = len(segment_sizes(d))
+    s = IndexSearcher(IndexReader(spark, d))
+    top = s.search("tok0 tok1", k=10)
+    spark.stop()
+    return {
+        "batches": n_batches,
+        "docs_per_batch": batch_docs,
+        "append_plus_merge_sec": round(total, 2),
+        "docs_per_sec": round(n_batches * batch_docs / total, 1),
+        "merge_passes": merges,
+        "final_segments": n_segs,
+        "query_ok": len(top) == 10,
+    }
+
+
 def driver_table_queries(sf_dir: str, cores: int) -> dict:
     """Timings for a representative subset of the __spark_entry__ suite."""
     import __spark_entry__ as entrymod
@@ -377,6 +424,7 @@ def main():
         "index_build": main_run,
         "high_partition_build": parts,
         "queries": table_q,
+        "streaming_maintenance": streaming_maintenance(cores=cores),
     }
 
     if os.environ.get("BENCH_SCALING") == "1":
