@@ -529,7 +529,11 @@ def merge_segments(spark: SparkSession, index_dir: str,
     if not sel_docs and not sel_post:
         shutil.rmtree(staging, ignore_errors=True)
         return None
-    old_docs = spark.read.parquet(*sel_docs) if sel_docs else None
+    # mergeSchema: segments appended AFTER a doc-values fold lack the
+    # folded-in columns; without schema merge the rewrite could bake
+    # in whichever file's schema inference sampled (dropping a column)
+    old_docs = (spark.read.option("mergeSchema", "true")
+                .parquet(*sel_docs)) if sel_docs else None
 
     # reclaimable = tombstones whose doc ROW is in the merged slice
     # (exactly the set the docs rewrite below drops)
