@@ -771,6 +771,17 @@ class IndexBuilder:
 
         # ONE read-back agg over the staged files feeds lineage and the
         # per-bucket staged checkpoints
+        if not any(fn.endswith(".parquet")
+                   for _r, _d, fns in os.walk(staging) for fn in fns):
+            # every remaining bucket holds no terms (sparse vocabulary /
+            # empty corpus): checkpoint them done so resumes terminate
+            self._write_checkpoints([
+                (int(b), "postings_staged", "done", 0) for b in todo])
+            self._write_checkpoints([
+                (int(b), "postings", "done", 0) for b in todo])
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         agg_rows = (self.spark.read.parquet(staging).groupBy("bucket")
                     .agg(F.count("*").alias("blocks"),
                          F.approx_count_distinct("term").alias("terms"),
@@ -796,6 +807,15 @@ class IndexBuilder:
                 "sum_doc_freq": int(sum(r["content_postings"]
                                         for r in agg_rows))})
         self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
+        # buckets in this pass that produced NO blocks are still done --
+        # without a checkpoint they are re-packed on every resume
+        packed = {int(r["bucket"]) for r in agg_rows}
+        empty = set(int(b) for b in todo) - packed
+        if empty:
+            self._write_checkpoints([
+                (b, "postings_staged", "done", 0) for b in sorted(empty)])
+            self._write_checkpoints([
+                (b, "postings", "done", 0) for b in sorted(empty)])
 
     # -- stage 3: stats ------------------------------------------------------
     def build_stats(self) -> None:
@@ -927,8 +947,22 @@ class IndexBuilder:
 
         block_staging = os.path.join(staging, "kind=block") \
             if not docs_done else staging
-        if not os.path.isdir(block_staging):
-            return  # degenerate: no blocks produced (empty corpus)
+        has_blocks = os.path.isdir(block_staging) and any(
+            fn.endswith(".parquet")
+            for _r, _d, fns in os.walk(block_staging) for fn in fns)
+        if not has_blocks:
+            # no blocks produced — empty corpus, or a resume where every
+            # remaining bucket legitimately holds no terms (sparse
+            # vocabulary): checkpoint those buckets as done (0 blocks)
+            # so the next resume doesn't re-pack forever
+            if todo:
+                self._write_checkpoints([
+                    (int(b), "postings_staged", "done", 0) for b in todo])
+                self._write_checkpoints([
+                    (int(b), "postings", "done", 0) for b in todo])
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         agg_rows = (self.spark.read.parquet(block_staging).groupBy("bucket")
                     .agg(F.count("*").alias("blocks"),
                          F.approx_count_distinct("term").alias("terms"),
@@ -950,6 +984,15 @@ class IndexBuilder:
                 "sum_doc_freq": int(sum(r["content_postings"]
                                         for r in agg_rows))})
         self._promote_staged_postings({int(r["bucket"]) for r in agg_rows})
+        # buckets in this pass that produced NO blocks are still done --
+        # without a checkpoint they are re-packed on every resume
+        packed = {int(r["bucket"]) for r in agg_rows}
+        empty = set(int(b) for b in todo) - packed
+        if empty:
+            self._write_checkpoints([
+                (b, "postings_staged", "done", 0) for b in sorted(empty)])
+            self._write_checkpoints([
+                (b, "postings", "done", 0) for b in sorted(empty)])
 
     # -- orchestration -------------------------------------------------------
     def build(self, source: DataFrame) -> None:

@@ -163,6 +163,34 @@ def test_staged_postings_resume_completes_commit(spark, tmp_root, corpus):
     assert ts_a == ts_b
 
 
+def test_sparse_vocab_build_resume_terminates(spark, tmp_root):
+    """A corpus whose distinct terms hash into FEWER buckets than
+    n_buckets leaves some buckets legitimately empty; a re-invoked
+    build (resume path) must recognize them as done instead of
+    re-packing forever and crashing on the empty staging read."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "repo": [f"r{i % 3}" for i in range(60)],
+        "path": [f"p{i}" for i in range(60)],
+        "commit": ["c0"] * 60,
+        "lang": ["py"] * 60,
+        # 3 distinct terms only -> most of the 16 buckets stay empty
+        "content": ["alpha beta", "beta gamma", "alpha gamma"] * 20,
+    })
+    d = os.path.join(tmp_root, "idx_sparse_resume")
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_buckets=16, n_doc_partitions=2)
+    IndexBuilder(spark, d, cfg).build(src)
+    # resume in a fresh builder (the cross-process re-open path)
+    IndexBuilder(spark, d, cfg).build(src)
+    s = IndexSearcher(IndexReader(spark, d))
+    assert s.count("alpha") == 40
+    assert s.count("beta") == 40
+    docs = spark.read.parquet(os.path.join(d, "docs"))
+    assert docs.count() == 60
+    assert docs.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
 def test_streaming_batch_replay_is_idempotent(spark, tmp_root, corpus):
     d = os.path.join(tmp_root, "idx_replay")
     w = IncrementalIndexWriter(spark, d,
