@@ -251,10 +251,19 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         _clustered_embeddings(spark), query_ids=[0, 1, 2, 3, 4], k=10), 3)
     out["ann_recall_eval_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
-    cents = ivf_fit(emb, n_centroids=16, iters=2)
+    cents = ivf_fit(emb, n_centroids=16, iters=5)
     out["ivf_recall_at_10"] = round(ann_recall_at_k(
         emb, query_ids=[0, 1, 2, 3, 4], k=10,
         method="ivf", centroids=cents, nprobe=4), 3)
+    # IVF's design regime: clustered embeddings (random vectors have no
+    # cluster structure for the coarse quantizer to exploit — the ~0.5
+    # random-vector recall above is the honest adversarial floor;
+    # the LSH+multiprobe path is the random-vector serving answer)
+    cemb = _clustered_embeddings(spark)
+    ccents = ivf_fit(cemb, n_centroids=16, iters=5)
+    out["ivf_recall_at_10_clustered"] = round(ann_recall_at_k(
+        cemb, query_ids=[0, 1, 2, 3, 4], k=10,
+        method="ivf", centroids=ccents, nprobe=4), 3)
     out["ivf_recall_eval_sec"] = round(time.time() - t0, 3)
 
     out["quality"] = quality_metrics(spark, sf_dir)
