@@ -282,6 +282,55 @@ def _merge_searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+_ADDIDX_SEARCHERS: dict[str, object] = {}
+
+
+def _addidx_searcher(spark: SparkSession, sf_dir: str):
+    """The addIndexes scenario (``index/IndexWriter.java:2931``): two
+    shard indexes built INDEPENDENTLY over doc_id %% 2 == 0 / 1, then
+    composed with ``add_indexes`` (docID rebase only, no re-analysis)
+    — the build-shards-in-parallel-then-combine path.  Engine docID
+    order is shard order (evens in doc_id order, then odds)."""
+    import shutil
+
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+
+    key = os.path.abspath(sf_dir)
+    if key in _ADDIDX_SEARCHERS:
+        return _ADDIDX_SEARCHERS[key]
+    root = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_addidx_v1",
+        hashlib.md5(key.encode()).hexdigest()[:12])
+    dest = os.path.join(root, "dest")
+    marker = os.path.join(dest, "ADDIDX_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = _docs(spark, sf_dir).select(
+            F.lit("docs").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.pmod(F.col("doc_id"), F.lit(2)).alias("_m"),
+        )
+        cfg = IndexConfig(analyzer="whitespace", similarity="bm25_double",
+                          n_buckets=8, n_doc_partitions=4)
+        other = os.path.join(root, "shard1")
+        build_index(spark, corpus.filter(F.col("_m") == 0).drop("_m"),
+                    dest, cfg)
+        build_index(spark, corpus.filter(F.col("_m") == 1).drop("_m"),
+                    other, cfg)
+        IncrementalIndexWriter(spark, dest, cfg).add_indexes([other])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    s = IndexSearcher(IndexReader(spark, dest))
+    _ADDIDX_SEARCHERS[key] = s
+    return s
+
+
 def _merge_topk(spark, sf_dir, qtext: str, k: int = 10) -> DataFrame:
     se = _merge_searcher(spark, sf_dir)
     top = se.search_df(qtext, k=k).withColumn(
@@ -1638,6 +1687,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 3 appended segments + deletes, merged selectively, queried
     q["ft_merge_topk"] = lambda s, d: _merge_topk(s, d, "spark merge")
 
+    def ft_add_indexes_topk(s, d, k: int = 10):
+        """addIndexes: two independently-built shard indexes composed
+        without re-analysis; BM25 over the combined index."""
+        se = _addidx_searcher(s, d)
+        top = se.search_df("spark merge", k=k).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_add_indexes_topk"] = ft_add_indexes_topk
+
     def ft_live_doc_count(s, d):
         from lucene_1_spark.search.query import MatchAllDocsQuery
         se = _mut_searcher(s, d)
@@ -2747,6 +2810,26 @@ WHERE term >= 'merge' AND term <= 'part'"""
     o["ft_upsert_topk"] = _mut_bm25_sql(["graftmarker", "merge"])
     o["ft_delete_topk"] = _mut_bm25_sql(["spark", "merge"])
     o["ft_merge_topk"] = _merge_bm25_sql(["spark", "merge"])
+    # addIndexes oracle: full corpus BM25; engine docID order is shard
+    # order (doc_id % 2 == 0 first, each shard in doc_id order)
+    o["ft_add_indexes_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY s DESC, (doc_id % 2) ASC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
     o["ft_live_doc_count"] = f"""
 WITH {_MUT_CTES}
 SELECT count(*)::BIGINT AS n FROM corpus

@@ -722,6 +722,139 @@ def merge_segments(spark: SparkSession, index_dir: str,
             "collection_stats": cs}
 
 
+def add_indexes(spark: SparkSession, dest_dir: str,
+                source_dirs: list[str]) -> dict:
+    """``IndexWriter.addIndexes(Directory...)``
+    (``index/IndexWriter.java:2931``): bulk-append independently-built
+    indexes as new segments of ``dest_dir`` WITHOUT re-analysis — the
+    shard-then-combine path (build 1000 shards in parallel on 1000
+    executors, each over its slice, then compose; tokenization never
+    runs twice).
+
+    docIDs are global here, so absorbing a source is pure column
+    arithmetic: every source docID shifts by the destination's current
+    ``n_docs`` — and since posting blocks delta-encode docIDs, a
+    uniform shift touches ONLY the ``first_doc``/``last_doc``/
+    ``doc_id`` columns (one JVM column rewrite per table, no Python
+    kernel, no shuffle, packed cells byte-identical).  Collection and
+    per-field stats add (they are sums).
+
+    Requirements, as the reference enforces compatibility: identical
+    index config (analyzer, similarity, buckets, block size,
+    positions, fields), no pending deletes or doc-values deltas in the
+    source (compact/fold it first — ``IndexWriter.addIndexes`` likewise
+    refuses an open-for-write source).  Duplicate (repo, path, commit)
+    keys are NOT checked (same as addDocument).
+
+    Staged like the streaming append (stage -> checkpoint -> promote ->
+    manifest commit, ``n_segments`` the commit marker), so a crash at
+    any point replays to exactly-once.  Returns the new collection
+    stats."""
+    from lucene_1_spark.index.builder import IndexBuilder, IndexConfig
+
+    b = IndexBuilder(spark, dest_dir, IndexConfig())
+    for src_dir in source_dirs:
+        dm = _manifest(dest_dir)
+        src = IndexReader(spark, src_dir)
+        sm = src.manifest
+        for key in ("analyzer", "similarity", "n_buckets", "block_size",
+                    "positions", "norms_encoding", "keyword_fields",
+                    "text_fields", "k1", "b"):
+            if dm["config"].get(key) != sm["config"].get(key):
+                raise ValueError(
+                    f"addIndexes: config mismatch on '{key}': "
+                    f"{dm['config'].get(key)!r} != {sm['config'].get(key)!r}")
+        if src.has_deletes:
+            raise ValueError("addIndexes: source has pending deletes — "
+                             "compact it first")
+        if sm.get("dv_fields"):
+            raise ValueError("addIndexes: source has pending doc-values "
+                             "updates — fold_doc_values it first")
+
+        base = int(dm["collection_stats"]["n_docs"])
+        seg_id = int(dm.get("n_segments", 1))
+        stage_name = f"addidx_staged_{seg_id}"
+        staging = os.path.join(dest_dir, "addidx_staging")
+        if not b._stage_done(stage_name):
+            shutil.rmtree(staging, ignore_errors=True)
+            # docs: shift doc_id (full physical schema preserved)
+            (spark.read.parquet(src.table_path("docs"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+             .write.mode("overwrite")
+             .parquet(os.path.join(staging, "docs")))
+            # postings: shift the block range columns only — the
+            # delta-packed cells are unchanged by a uniform shift
+            (src.postings()
+             .withColumn("first_doc", F.col("first_doc") + F.lit(base))
+             .withColumn("last_doc", F.col("last_doc") + F.lit(base))
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(os.path.join(staging, "postings")))
+            # term stats: per-segment delta rows, summed at read
+            (src.term_stats_raw()
+             .groupBy("bucket", "term")
+             .agg(F.sum("doc_freq").alias("doc_freq"),
+                  F.sum("total_term_freq").alias("total_term_freq"))
+             .sortWithinPartitions("term")
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(os.path.join(staging, "term_stats")))
+            b._write_json(f"addidx_seg_{seg_id}.json", {
+                "collection_stats": sm["collection_stats"],
+                "field_stats": sm.get("field_stats", {}),
+            })
+            b._write_checkpoint(-1, stage_name, "done",
+                                int(sm["collection_stats"]["n_docs"]))
+
+        # promote (idempotent os.replace moves, seg<id>- names)
+        for sub in ("docs", "postings", "term_stats"):
+            root = os.path.join(staging, sub)
+            if not os.path.isdir(root):
+                continue
+            dst_table = os.path.join(
+                dest_dir, dm.get(f"{sub}_path", sub))
+            for r, _d, files in os.walk(root):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(r, root)
+                    dd = dst_table if rel_dir == "." \
+                        else os.path.join(dst_table, rel_dir)
+                    os.makedirs(dd, exist_ok=True)
+                    os.replace(os.path.join(r, fn),
+                               os.path.join(dd, f"seg{seg_id}-{fn}"))
+
+        # commit: stats add, n_segments is the marker (replay-safe)
+        dm = _manifest(dest_dir)
+        if int(dm.get("n_segments", 1)) <= seg_id:
+            deltas = b._read_json(f"addidx_seg_{seg_id}.json") or {}
+            scs = deltas.get("collection_stats", {})
+            cs = dm["collection_stats"]
+            for key in ("n_docs", "doc_count", "sum_total_term_freq",
+                        "sum_doc_freq"):
+                cs[key] = int(cs[key]) + int(scs.get(key, 0))
+            fs = dm.get("field_stats", {})
+            for fld, d in (deltas.get("field_stats") or {}).items():
+                cur = fs.get(fld, {"doc_count": 0,
+                                   "sum_total_term_freq": 0})
+                fs[fld] = {
+                    "doc_count": cur["doc_count"] + d["doc_count"],
+                    "sum_total_term_freq": cur["sum_total_term_freq"]
+                    + d["sum_total_term_freq"],
+                }
+            dm["collection_stats"] = cs
+            if fs:
+                dm["field_stats"] = fs
+            dm["n_segments"] = seg_id + 1
+            dm["committed_at"] = time.time()
+            b._write_json("docs_stats.json", {
+                k: cs[k] for k in ("n_docs", "doc_count",
+                                   "sum_total_term_freq")})
+            b._write_json("postings_stats.json",
+                          {"sum_doc_freq": cs["sum_doc_freq"]})
+            _write_manifest(dest_dir, dm)
+        shutil.rmtree(staging, ignore_errors=True)
+    return _manifest(dest_dir)["collection_stats"]
+
+
 def attach_features(spark: SparkSession, index_dir: str,
                     features: DataFrame, mode: str = "merge") -> list[str]:
     """Bulk-load static ranking features — the loading side of the

@@ -448,6 +448,14 @@ class IncrementalIndexWriter:
         fold_doc_values(self.spark, self.dir)
         return out
 
+    def add_indexes(self, source_dirs: list[str]) -> dict:
+        """``IndexWriter.addIndexes(Directory...)``: absorb
+        independently-built compatible indexes as new segments without
+        re-analysis (docID rebase is pure column arithmetic) — see
+        ``index.maintenance.add_indexes``."""
+        from lucene_1_spark.index.maintenance import add_indexes
+        return add_indexes(self.spark, self.dir, source_dirs)
+
     def merge(self, segments: list[str] | None = None,
               **kw) -> dict | None:
         """Selective segment merge (TieredMergePolicy +

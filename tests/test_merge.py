@@ -226,6 +226,44 @@ def test_foreach_batch_auto_merge(spark, tmp_root, corpus):
     assert IndexReader(spark, d).stats["n_docs"] == 200
 
 
+def test_add_indexes_equals_union_build(spark, tmp_root, corpus):
+    """addIndexes: two shard indexes built independently compose into
+    one whose stats and scores equal a fresh build over the union —
+    with zero re-analysis (docID rebase is column arithmetic)."""
+    cfg = IndexConfig(**CFG)
+    d_a = os.path.join(tmp_root, "idx_shard_a")
+    d_b = os.path.join(tmp_root, "idx_shard_b")
+    IndexBuilder(spark, d_a, cfg).build(
+        spark.createDataFrame(corpus.iloc[:120]))
+    IndexBuilder(spark, d_b, cfg).build(
+        spark.createDataFrame(corpus.iloc[120:260]))
+    w = IncrementalIndexWriter(spark, d_a, cfg)
+    stats = w.add_indexes([d_b])
+    assert stats["n_docs"] == 260
+
+    d_ref = os.path.join(tmp_root, "idx_union_ref")
+    IndexBuilder(spark, d_ref, cfg).build(
+        spark.createDataFrame(corpus.iloc[:260]))
+    s, s2 = (IndexSearcher(IndexReader(spark, d_a)),
+             IndexSearcher(IndexReader(spark, d_ref)))
+    assert s.reader.stats == s2.reader.stats
+    for q in QUERIES:
+        assert _hits(s, q) == _hits(s2, q), q
+    # absorbed segments participate in merging like any other
+    out = w.merge(segments=sorted(segment_sizes(d_a)))
+    assert out is not None
+    s3 = IndexSearcher(IndexReader(spark, d_a))
+    for q in QUERIES:
+        assert _hits(s3, q) == _hits(s2, q), q
+    # config mismatch is refused (the reference's compatibility check)
+    d_c = os.path.join(tmp_root, "idx_shard_c")
+    IndexBuilder(spark, d_c, IndexConfig(n_buckets=8, n_doc_partitions=2,
+                                         positions=True)).build(
+        spark.createDataFrame(corpus.iloc[:40]))
+    with pytest.raises(ValueError, match="config mismatch"):
+        w.add_indexes([d_c])
+
+
 def test_merge_keeps_snapshot_readable(spark, tmp_root, corpus):
     """A snapshot retained before the merge still reads its exact
     commit point afterwards (old generation dirs are protected; hard
