@@ -29,10 +29,15 @@ lives in the block's ``num_docs`` column, so it is not repeated:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 BLOCK_SIZE = 128      # docs per posting block, as ForUtil.BLOCK_SIZE
-MAX_EXCEPTIONS = 7    # patch budget per cell, as PForUtil.MAX_EXCEPTIONS
+# patch budget per cell, as PForUtil.MAX_EXCEPTIONS; env knob so
+# operators can A/B the encode cost (0 disables patching — decode is
+# format-flagged per cell, so mixed indexes are always readable)
+MAX_EXCEPTIONS = int(os.environ.get("L1S_PFOR_MAX_EXCEPTIONS", "7"))
 
 
 def _pack_at(v: np.ndarray, bw: int) -> bytes:
