@@ -870,6 +870,10 @@ class IndexBuilder:
             },
             "collection_stats": stats,
             "field_stats": field_stats,
+            # id high-water mark (max assigned + 1): the append /
+            # addIndexes rebase base, preserved by reclaiming
+            # compactions/merges where n_docs would under-count
+            "next_doc_id": stats["n_docs"],
             "committed_at": time.time(),
         }
         with open(self.path("manifest.json"), "w") as fh:

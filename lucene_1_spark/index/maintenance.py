@@ -25,10 +25,17 @@ Each compaction writes new table generations (``postings_v<g>`` etc.)
 and atomically swaps the manifest pointers — readers opened before the
 swap keep a consistent older view (the Iceberg-snapshot analog).
 
-Scale note: the tombstone set is collected and broadcast into the
-repack kernel (fine to ~10^7 ids).  Beyond that, run the decode as an
-exploded (term, doc_id) anti-join before repacking — one extra shuffle,
-same output; the kernel below is the common path.
+Scale note: tombstoned doc_ids are delivered to the repack kernel as a
+per-block ``dead_ids`` array column built by a chunk-pigeonholed range
+join (tombstone chunk == block [first_doc, last_doc] chunk span) — no
+driver-side materialization at any delete count; an index with 10^9
+tombstones compacts with the same plan shape as one with 10.
+
+docID allocation: the manifest carries ``next_doc_id`` (max assigned
+id + 1), advanced by build/append/addIndexes and PRESERVED by
+compact/merge — reclaiming tombstones shrinks ``n_docs`` without
+renumbering survivors, so ``n_docs`` is NOT a safe append base after
+any reclaim (ids would collide with live docs).
 """
 
 from __future__ import annotations
@@ -52,6 +59,15 @@ from lucene_1_spark.index.reader import IndexReader
 def _manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         return json.load(fh)
+
+
+def next_doc_id(manifest: dict) -> int:
+    """The next free docID (max assigned + 1).  Falls back to
+    ``n_docs`` for pre-``next_doc_id`` manifests, which is exact there:
+    only reclaiming compactions/merges ever make ``n_docs`` lag the id
+    high-water mark, and those now persist the key."""
+    return int(manifest.get("next_doc_id",
+                            manifest["collection_stats"]["n_docs"]))
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
@@ -121,6 +137,8 @@ def _snapshot_protected(index_dir: str) -> set[str]:
             m = json.load(fh)
         for name in ("postings", "docs", "term_stats"):
             out.add(m.get(f"{name}_path", name))
+        if m.get("features_path"):
+            out.add(m["features_path"])
         if m.get("has_deletes"):
             out.add(m.get("tombstones_path", "tombstones"))
         if m.get("dv_fields"):
@@ -194,22 +212,40 @@ def append_tombstones(spark: SparkSession, index_dir: str,
     return n
 
 
-def _dead_doc_ids(reader: IndexReader) -> np.ndarray:
-    """Sorted tombstoned doc_ids as a broadcastable numpy array (the
-    liveDocs bitset handed to ``SegmentMerger``)."""
-    if not reader.has_deletes:
-        return np.zeros(0, dtype=np.int64)
-    return np.sort(np.array(
-        [r["doc_id"] for r in reader.tombstones().collect()],
-        dtype=np.int64))
+_DEAD_CHUNK = 1 << 16  # docIDs per pigeonhole chunk for the dead-doc join
 
 
-def _make_repack(block_size: int, exact_norms: bool, want_positions: bool,
-                 dead: np.ndarray):
+def _attach_dead(posts: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Attach a sorted ``dead_ids`` array column (tombstoned doc_ids
+    falling inside each block's ``[first_doc, last_doc]`` range) to
+    every posting-block row — the liveDocs bitset handed to
+    ``SegmentMerger``, DISTRIBUTED: a chunk-pigeonholed range join
+    (each tombstone equi-joins the chunks a block's range spans)
+    instead of a driver-side collect, so delete count never touches
+    driver memory.  ``(bucket, term, first_doc)`` is a unique block
+    key: a term's block runs partition its postings by doc range."""
+    t = (tombstones.select(F.col("doc_id").cast("long").alias("_t_doc"))
+         .distinct()
+         .withColumn("_chunk",
+                     (F.col("_t_doc") / _DEAD_CHUNK).cast("long")))
+    cand = (posts.select("bucket", "term", "first_doc", "last_doc")
+            .withColumn("_chunk", F.explode(F.sequence(
+                (F.col("first_doc") / _DEAD_CHUNK).cast("long"),
+                (F.col("last_doc") / _DEAD_CHUNK).cast("long"))))
+            .join(t, "_chunk")
+            .filter((F.col("_t_doc") >= F.col("first_doc"))
+                    & (F.col("_t_doc") <= F.col("last_doc")))
+            .groupBy("bucket", "term", "first_doc")
+            .agg(F.sort_array(F.collect_set("_t_doc")).alias("dead_ids")))
+    return posts.join(cand, ["bucket", "term", "first_doc"], "left")
+
+
+def _make_repack(block_size: int, exact_norms: bool, want_positions: bool):
     """Build the (bucket, term)-grouped repack kernel shared by full
     compaction and selective segment merges: decode every block run of
-    the group in first_doc order, drop tombstoned docs, re-encode into
-    full ``block_size`` blocks (``index/SegmentMerger.java:113-244``
+    the group in first_doc order, drop docs listed in the row's
+    ``dead_ids`` column (absent/null = none), re-encode into full
+    ``block_size`` blocks (``index/SegmentMerger.java:113-244``
     mergeTerms)."""
     length_table = LENGTH_TABLE
     block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
@@ -217,6 +253,7 @@ def _make_repack(block_size: int, exact_norms: bool, want_positions: bool,
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, term = int(key[0]), key[1]  # salt key (if any) unused
         pdf = pdf.sort_values("first_doc")
+        has_dead = "dead_ids" in pdf.columns
         dids_l, freqs_l, norms_l, possegs = [], [], [], []
         for row in pdf.itertuples(index=False):
             n = int(row.num_docs)
@@ -226,6 +263,9 @@ def _make_repack(block_size: int, exact_norms: bool, want_positions: bool,
             norms = np.frombuffer(bytes(row.norms),
                                   dtype="<u4" if exact_norms else np.uint8)
             keep = np.ones(n, dtype=bool)
+            dv = row.dead_ids if has_dead else None
+            dead = (np.asarray(dv, dtype=np.int64) if dv is not None
+                    and len(dv) else np.zeros(0, dtype=np.int64))
             if len(dead):
                 pos = np.searchsorted(dead, dids)
                 pos[pos >= len(dead)] = len(dead) - 1
@@ -308,11 +348,12 @@ def compact_index(spark: SparkSession, index_dir: str,
 
     tomb_path = os.path.join(
         index_dir, reader.manifest.get("tombstones_path", "tombstones"))
-    dead = _dead_doc_ids(reader)
-    repack = _make_repack(block_size, exact_norms, want_positions, dead)
+    repack = _make_repack(block_size, exact_norms, want_positions)
 
     group_keys = ["bucket", "term"]
     posts = reader.postings()
+    if reader.has_deletes:
+        posts = _attach_dead(posts, reader.tombstones())
     if salt_docs is not None:
         posts = posts.withColumn(
             "_salt", (F.col("first_doc") / int(salt_docs)).cast("long"))
@@ -362,13 +403,34 @@ def compact_index(spark: SparkSession, index_dir: str,
         spark.read.parquet(os.path.join(index_dir, docs_name)),
         cfg.get("keyword_fields"), cfg.get("text_fields"))
 
+    # features side table: drop reclaimed doc rows, else FeatureQuery
+    # would resurface deleted docs as ghost hits once the tombstone
+    # mask clears (has_deletes=False below)
+    feat_name = old_feat = None
+    if reader.has_deletes and reader.manifest.get("features_path"):
+        old_feat = reader.manifest["features_path"]
+        fgen = int(reader.manifest.get("features_generation", 0)) + 1
+        feat_name = f"features_gen{fgen}"
+        (spark.read.parquet(os.path.join(index_dir, old_feat))
+         .join(reader.tombstones(), "doc_id", "left_anti")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, feat_name)))
+
     m = _manifest(index_dir)
     old = {name: m.get(f"{name}_path", name)
            for name in ("postings", "docs", "term_stats")}
+    # id high-water mark BEFORE the stats swap shrinks n_docs:
+    # survivors keep their ids, so future appends must not reuse the
+    # reclaimed range
+    m["next_doc_id"] = next_doc_id(m)
     m["postings_path"] = postings_name
     m["docs_path"] = docs_name
     m["term_stats_path"] = ts_name
     m["generation"] = gen
+    if feat_name is not None:
+        m["features_path"] = feat_name
+        m["features_generation"] = int(
+            m.get("features_generation", 0)) + 1
     m["collection_stats"] = stats
     if field_stats:
         m["field_stats"] = field_stats
@@ -389,6 +451,10 @@ def compact_index(spark: SparkSession, index_dir: str,
             if path != m[f"{name}_path"] and path not in protected \
                     and os.path.exists(full):
                 shutil.rmtree(full, ignore_errors=True)
+        if old_feat and old_feat != feat_name \
+                and old_feat not in protected:
+            shutil.rmtree(os.path.join(index_dir, old_feat),
+                          ignore_errors=True)
     # keep the builder's stage stats coherent for later appends/resumes
     with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
         json.dump({k: stats[k] for k in
@@ -446,13 +512,24 @@ def select_merge(sizes: dict[str, int], segs_per_tier: int = 10,
     enough to bring the count back under budget, never more than
     ``max_merge_at_once`` — and never pick a segment already larger
     than ``max_merged_bytes`` (big segments stay untouched, so merge
-    cost tracks the small-segment tail, not the index)."""
+    cost tracks the small-segment tail, not the index).  The cap also
+    bounds the merged TOTAL: candidates stop accumulating before their
+    sum would exceed ``max_merged_bytes``
+    (``TieredMergePolicy.java:655-668`` totAfterMergeBytes guard) —
+    without it, ten 4.9 GB picks would produce a ~49 GB segment, 10×
+    the advertised cap."""
     if len(sizes) <= segs_per_tier:
         return None
     eligible = sorted((s for s in sizes if sizes[s] <= max_merged_bytes),
                       key=lambda s: sizes[s])
     n_over = len(sizes) - segs_per_tier + 1
-    pick = eligible[:min(max_merge_at_once, max(2, n_over))]
+    pick: list[str] = []
+    total = 0
+    for s in eligible[:min(max_merge_at_once, max(2, n_over))]:
+        if pick and total + sizes[s] > max_merged_bytes:
+            break
+        pick.append(s)
+        total += sizes[s]
     if len(pick) < 2:
         return None
     return pick
@@ -536,14 +613,12 @@ def merge_segments(spark: SparkSession, index_dir: str,
                 .parquet(*sel_docs)) if sel_docs else None
 
     # reclaimable = tombstones whose doc ROW is in the merged slice
-    # (exactly the set the docs rewrite below drops)
+    # (exactly the set the docs rewrite below drops); stays a
+    # DataFrame — never driver-materialized
+    reclaimed = None
     if had_deletes and old_docs is not None:
-        dead = np.sort(np.array(
-            [r["doc_id"] for r in reader.tombstones()
-             .join(old_docs.select("doc_id"), "doc_id", "semi")
-             .collect()], dtype=np.int64))
-    else:
-        dead = np.zeros(0, dtype=np.int64)
+        reclaimed = reader.tombstones().select("doc_id") \
+            .join(old_docs.select("doc_id"), "doc_id", "semi")
 
     # ---- merge the selected postings (only their files are read) ----
     block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
@@ -551,9 +626,12 @@ def merge_segments(spark: SparkSession, index_dir: str,
         repack = _make_repack(
             int(cfg["block_size"]),
             cfg.get("norms_encoding", "byte4") == "exact32",
-            bool(cfg.get("positions", False)), dead)
-        (spark.read.option("basePath", tables["postings"])
-         .parquet(*sel_post).select(*block_cols)
+            bool(cfg.get("positions", False)))
+        merged_in = (spark.read.option("basePath", tables["postings"])
+                     .parquet(*sel_post).select(*block_cols))
+        if reclaimed is not None:
+            merged_in = _attach_dead(merged_in, reclaimed)
+        (merged_in
          .groupBy("bucket", "term").applyInPandas(repack, BLOCKS_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(staging, "postings")))
@@ -659,6 +737,20 @@ def merge_segments(spark: SparkSession, index_dir: str,
                     os.replace(os.path.join(root, fn),
                                os.path.join(dd, f"segM{gen}-{fn}"))
 
+    # features side table: drop the reclaimed docs' rows so
+    # FeatureQuery can't resurface them once their tombstones are gone
+    feat_name = old_feat = None
+    if reclaimed is not None \
+            and _manifest(index_dir).get("features_path"):
+        old_feat = _manifest(index_dir)["features_path"]
+        fgen = int(_manifest(index_dir)
+                   .get("features_generation", 0)) + 1
+        feat_name = f"features_gen{fgen}"
+        (spark.read.parquet(os.path.join(index_dir, old_feat))
+         .join(reclaimed, "doc_id", "left_anti")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, feat_name)))
+
     # ---- atomic commit: swap every pointer + adjusted stats at once ----
     m = _manifest(index_dir)
     old_paths = {name: m.get(f"{name}_path", name) for name in new_names}
@@ -666,6 +758,12 @@ def merge_segments(spark: SparkSession, index_dir: str,
     for name, new_name in new_names.items():
         m[f"{name}_path"] = new_name
     m["merge_gen"] = gen
+    # id high-water mark survives the reclaim (ids are never reused)
+    m["next_doc_id"] = next_doc_id(m)
+    if feat_name is not None:
+        m["features_path"] = feat_name
+        m["features_generation"] = int(
+            m.get("features_generation", 0)) + 1
     cs = dict(m["collection_stats"])
     cs["n_docs"] = int(cs["n_docs"]) + (n_n - o_n)
     cs["doc_count"] = int(cs["doc_count"]) + (n_ne - o_ne)
@@ -709,6 +807,10 @@ def merge_segments(spark: SparkSession, index_dir: str,
         if had_deletes and old_tomb != m.get("tombstones_path") \
                 and old_tomb not in protected:
             shutil.rmtree(os.path.join(index_dir, old_tomb),
+                          ignore_errors=True)
+        if old_feat and old_feat != feat_name \
+                and old_feat not in protected:
+            shutil.rmtree(os.path.join(index_dir, old_feat),
                           ignore_errors=True)
     # keep the builder's stage stats coherent for later appends/resumes
     with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
@@ -771,7 +873,11 @@ def add_indexes(spark: SparkSession, dest_dir: str,
             raise ValueError("addIndexes: source has pending doc-values "
                              "updates — fold_doc_values it first")
 
-        base = int(dm["collection_stats"]["n_docs"])
+        # rebase by the id high-water mark, NOT n_docs: after a
+        # reclaiming compact/merge n_docs < max(doc_id)+1 and an
+        # n_docs base would collide new ids with live docs
+        base = next_doc_id(dm)
+        src_span = next_doc_id(sm)  # source ids live in [0, src_span)
         seg_id = int(dm.get("n_segments", 1))
         stage_name = f"addidx_staged_{seg_id}"
         staging = os.path.join(dest_dir, "addidx_staging")
@@ -800,6 +906,7 @@ def add_indexes(spark: SparkSession, dest_dir: str,
             b._write_json(f"addidx_seg_{seg_id}.json", {
                 "collection_stats": sm["collection_stats"],
                 "field_stats": sm.get("field_stats", {}),
+                "next_doc_id_after": base + src_span,
             })
             b._write_checkpoint(-1, stage_name, "done",
                                 int(sm["collection_stats"]["n_docs"]))
@@ -822,11 +929,22 @@ def add_indexes(spark: SparkSession, dest_dir: str,
                     os.replace(os.path.join(r, fn),
                                os.path.join(dd, f"seg{seg_id}-{fn}"))
 
+        # absorb the source's features side table, ids shifted by base
+        # (attach_features is an atomic generation swap; the merge is
+        # idempotent, so a crash-replay that re-runs it is safe)
+        if sm.get("features_path") \
+                and int(_manifest(dest_dir).get("n_segments", 1)) <= seg_id:
+            src_feat = (spark.read.parquet(
+                os.path.join(src_dir, sm["features_path"]))
+                .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
+            attach_features(spark, dest_dir, src_feat, mode="merge")
+
         # commit: stats add, n_segments is the marker (replay-safe)
         dm = _manifest(dest_dir)
         if int(dm.get("n_segments", 1)) <= seg_id:
             deltas = b._read_json(f"addidx_seg_{seg_id}.json") or {}
             scs = deltas.get("collection_stats", {})
+            fallback_next = next_doc_id(dm) + int(scs.get("n_docs", 0))
             cs = dm["collection_stats"]
             for key in ("n_docs", "doc_count", "sum_total_term_freq",
                         "sum_doc_freq"):
@@ -843,6 +961,8 @@ def add_indexes(spark: SparkSession, dest_dir: str,
             dm["collection_stats"] = cs
             if fs:
                 dm["field_stats"] = fs
+            dm["next_doc_id"] = int(
+                deltas.get("next_doc_id_after", fallback_next))
             dm["n_segments"] = seg_id + 1
             dm["committed_at"] = time.time()
             b._write_json("docs_stats.json", {

@@ -178,7 +178,11 @@ class IncrementalIndexWriter:
         if not b._stage_done(stage_name, cp_id):
             # ---- 1. STAGE (a crashed partial staging is discarded) ----
             shutil.rmtree(staging, ignore_errors=True)
-            base = int(manifest["collection_stats"]["n_docs"])
+            # id high-water mark, NOT n_docs: after a reclaiming
+            # compact/merge n_docs lags max(doc_id)+1 and would
+            # collide new ids with surviving docs
+            from lucene_1_spark.index.maintenance import next_doc_id
+            base = next_doc_id(manifest)
             keyed, offsets = range_partition(docs_df, self.cfg, base=base)
             pack_blocks_df(keyed, offsets, self.cfg, emit_docs=True) \
                 .write.mode("overwrite").partitionBy("kind", "bucket") \
@@ -220,6 +224,7 @@ class IncrementalIndexWriter:
                 "sum_total_term_freq": int(drow["len"] or 0),
                 "sum_doc_freq": sum_df_delta,
                 "field_stats_delta": fs_delta,
+                "next_doc_id_after": base + int(drow["n"]),
             })
             b._write_checkpoint(cp_id, stage_name, "done", int(drow["n"]))
 
@@ -244,6 +249,10 @@ class IncrementalIndexWriter:
         if int(manifest.get("n_segments", 1)) > seg_id:
             return  # already committed
         deltas = b._read_json(seg_json) or {}
+        from lucene_1_spark.index.maintenance import next_doc_id
+        manifest["next_doc_id"] = int(deltas.get(
+            "next_doc_id_after",
+            next_doc_id(manifest) + deltas.get("n_docs", 0)))
         cs = manifest["collection_stats"]
         cs = {
             "n_docs": int(cs["n_docs"]) + deltas.get("n_docs", 0),

@@ -203,3 +203,43 @@ def test_attach_features_merge_refresh(spark, tmp_root):
         with pytest.raises(ValueError):
             attach_features(spark, d, ids.withColumn("lang", F.lit(1.0)))
     test_rejects()
+
+
+def test_feature_no_ghosts_after_reclaim(spark, tmp_root):
+    """After compact/merge reclaims tombstones (mask gone), the
+    features side table must not resurface deleted docs as ghost
+    FeatureQuery hits — compaction rewrites the table dropping
+    reclaimed doc_ids."""
+    from lucene_1_spark.index.maintenance import (attach_features,
+                                                  compact_index)
+    from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
+    pdf = corpus_mod.generate(90)
+    d = os.path.join(tmp_root, "idx_feature_ghost")
+    cfg = IndexConfig(n_buckets=4, n_doc_partitions=2)
+    IndexBuilder(spark, d, cfg).build(spark.createDataFrame(pdf))
+    docs = IndexReader(spark, d).docs().select("doc_id")
+    attach_features(spark, d, docs.withColumn(
+        "rankf", ((F.col("doc_id") % 7) + 1).cast("double")))
+
+    w = IncrementalIndexWriter(spark, d, cfg)
+    n_del = w.delete_by_term("tok3")
+    assert n_del > 0
+    # pending deletes: already masked by the tombstone anti-join
+    s = IndexSearcher(IndexReader(spark, d))
+    live_pending = {r["doc_id"] for r in
+                    s.search_df(FeatureQuery("rankf", "linear"),
+                                k=None).collect()}
+    compact_index(spark, d)
+    r2 = IndexReader(spark, d)
+    assert not r2.has_deletes
+    live_ids = {r["doc_id"] for r in
+                r2.docs().select("doc_id").collect()}
+    # the features table itself holds no reclaimed rows
+    feat_ids = {r["doc_id"] for r in
+                r2.features().select("doc_id").collect()}
+    assert feat_ids <= live_ids
+    hits = {r["doc_id"] for r in
+            IndexSearcher(r2).search_df(FeatureQuery("rankf", "linear"),
+                                        k=None).collect()}
+    assert hits <= live_ids            # no ghosts
+    assert hits == live_pending        # same matches as the masked view

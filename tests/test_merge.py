@@ -283,3 +283,95 @@ def test_merge_keeps_snapshot_readable(spark, tmp_root, corpus):
     assert rs.stats["n_docs"] == pre_n
     assert not rs.has_deletes
     assert _hits(IndexSearcher(rs), "tok1") == pre_hits
+
+
+def test_select_merge_total_size_cap():
+    """The merged TOTAL respects max_merged_bytes
+    (``TieredMergePolicy.java:655-668`` totAfterMergeBytes): picks stop
+    accumulating before the sum exceeds the cap."""
+    sizes = {f"s{i}": 4 for i in range(12)}
+    pick = select_merge(sizes, segs_per_tier=2, max_merge_at_once=10,
+                        max_merged_bytes=10)
+    assert pick is not None and len(pick) == 2
+    assert sum(sizes[s] for s in pick) <= 10
+    # a cap too small for even two picks still merges two (progress
+    # beats the cap, as the reference also always merges >= 2)
+    pick2 = select_merge(sizes, segs_per_tier=2, max_merge_at_once=10,
+                         max_merged_bytes=3)
+    assert pick2 is None  # nothing eligible (each segment > cap)
+
+
+def test_append_after_reclaiming_merge_no_id_collision(
+        spark, tmp_root, corpus):
+    """The ADVICE-high regression: a reclaiming merge shrinks n_docs
+    without renumbering survivors; a later append must rebase off the
+    persisted ``next_doc_id`` high-water mark, not n_docs — otherwise
+    new docs collide with live ids."""
+    from lucene_1_spark.index.maintenance import next_doc_id
+    d = os.path.join(tmp_root, "idx_hwm_append")
+    w = _build_segmented(spark, d, corpus, n_appends=2)  # 180 docs
+    w.delete_by_term("tok9")
+    assert w.merge(segments=sorted(segment_sizes(d))) is not None
+    r = IndexReader(spark, d)
+    n_live = r.stats["n_docs"]
+    assert n_live < 180                      # reclaim happened
+    assert next_doc_id(r.manifest) == 180    # high-water mark kept
+
+    w.append(spark.createDataFrame(corpus.iloc[180:220]), batch_id=99)
+    r2 = IndexReader(spark, d)
+    ids = r2.docs().select("doc_id")
+    assert ids.count() == n_live + 40
+    assert ids.distinct().count() == n_live + 40  # no collisions
+    assert next_doc_id(r2.manifest) == 220
+
+    # composed index == fresh build over the live union (stats+scores)
+    import pandas as pd
+    live = corpus.iloc[:180]
+    live = live[[("tok9" not in _tokens(c)) for c in live["content"]]]
+    union = pd.concat([live, corpus.iloc[180:220]])
+    d_ref = os.path.join(tmp_root, "idx_hwm_append_ref")
+    IndexBuilder(spark, d_ref, IndexConfig(**CFG)).build(
+        spark.createDataFrame(union))
+    s, s_ref = (IndexSearcher(IndexReader(spark, d)),
+                IndexSearcher(IndexReader(spark, d_ref)))
+    assert s.reader.stats == s_ref.reader.stats
+    for q in QUERIES:
+        assert _hits(s, q) == _hits(s_ref, q), q
+
+
+def test_add_indexes_after_reclaiming_compact(spark, tmp_root, corpus):
+    """addIndexes after a reclaiming compaction rebases by the id
+    high-water mark — absorbed docs must not collide with survivors."""
+    from lucene_1_spark.index.maintenance import next_doc_id
+    cfg = IndexConfig(**CFG)
+    d_a = os.path.join(tmp_root, "idx_hwm_dest")
+    d_b = os.path.join(tmp_root, "idx_hwm_src")
+    IndexBuilder(spark, d_a, cfg).build(
+        spark.createDataFrame(corpus.iloc[:120]))
+    IndexBuilder(spark, d_b, cfg).build(
+        spark.createDataFrame(corpus.iloc[120:180]))
+    w = IncrementalIndexWriter(spark, d_a, cfg)
+    w.delete_by_term("tok9")
+    w.compact()
+    r = IndexReader(spark, d_a)
+    n_live = r.stats["n_docs"]
+    assert n_live < 120 and next_doc_id(r.manifest) == 120
+
+    stats = w.add_indexes([d_b])
+    assert stats["n_docs"] == n_live + 60
+    r2 = IndexReader(spark, d_a)
+    ids = r2.docs().select("doc_id")
+    assert ids.count() == ids.distinct().count() == n_live + 60
+    assert next_doc_id(r2.manifest) == 180
+
+    import pandas as pd
+    live = corpus.iloc[:120]
+    live = live[[("tok9" not in _tokens(c)) for c in live["content"]]]
+    union = pd.concat([live, corpus.iloc[120:180]])
+    d_ref = os.path.join(tmp_root, "idx_hwm_dest_ref")
+    IndexBuilder(spark, d_ref, cfg).build(spark.createDataFrame(union))
+    s, s_ref = (IndexSearcher(IndexReader(spark, d_a)),
+                IndexSearcher(IndexReader(spark, d_ref)))
+    assert s.reader.stats == s_ref.reader.stats
+    for q in QUERIES:
+        assert _hits(s, q) == _hits(s_ref, q), q
