@@ -994,11 +994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dv_update_range_count(s, d):
         """In-place doc-values update (IndexWriter.updateNumericDocValue):
-        bootstrap an index over documents, set the stored token-count
-        field ``length`` to 99999 for every doc containing 'window'
-        WITHOUT re-indexing postings, then count through
-        DocValuesRangeQuery — the updated docs appear in the high range
-        and have left the low range (scoring norms untouched)."""
+        bootstrap an index over documents, then set a brand-new numeric
+        field ``priority`` in two generations WITHOUT re-indexing
+        postings — 7 for every doc containing 'data', then 99999 for
+        every doc containing 'window' (latest generation wins on the
+        overlap) — and count through DocValuesRangeQuery.  Updating a
+        RESERVED index column (e.g. ``length``) is correctly refused
+        (round-5 RESERVED_DOC_COLS guard), so the entry exercises the
+        supported path: dv updates to a real doc-values field."""
         import shutil
 
         from lucene_1_spark.index import IndexReader
@@ -1008,8 +1011,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
 
         key = os.path.abspath(d)
+        # v2: versioned cache key — v1 indexes predate the reserved-
+        # column rejection and the priority-field entry, and a stale
+        # DV_DONE must never mask a behavior change again
         idx_dir = os.path.join(
-            tempfile.gettempdir(), "l1s_driver_dv_v1",
+            tempfile.gettempdir(), "l1s_driver_dv_v2",
             hashlib.md5(key.encode()).hexdigest()[:12])
         marker = os.path.join(idx_dir, "DV_DONE")
         if not os.path.exists(marker):
@@ -1025,13 +1031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               n_buckets=8, n_doc_partitions=8)
             w = IncrementalIndexWriter(s, idx_dir, cfg)
             w.append(corpus)
-            w.update_numeric_doc_value("window", "length", 99999)
+            w.update_numeric_doc_value("data", "priority", 7)
+            w.update_numeric_doc_value("window", "priority", 99999)
             with open(marker, "w") as fh:
                 fh.write("ok")
         se = IndexSearcher(IndexReader(s, idx_dir))
-        hi = se.search_df(DocValuesRangeQuery("length", 99999, None),
+        hi = se.search_df(DocValuesRangeQuery("priority", 99999, None),
                           k=None).count()
-        lo = se.search_df(DocValuesRangeQuery("length", None, 50),
+        lo = se.search_df(DocValuesRangeQuery("priority", None, 50),
                           k=None).count()
         return s.createDataFrame([(hi, lo)], "updated_n long, small_n long")
     q["dv_update_range_count"] = dv_update_range_count
@@ -3247,17 +3254,17 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 ) WHERE rank <= 10
 """
 
-    # DV update: updated docs enter the high length range, leave the
-    # low one; engine length == whitespace token count
+    # DV update, latest generation wins: priority=7 for docs with
+    # 'data' then 99999 for docs with 'window'; high range == window
+    # docs, low range == data docs that are NOT window docs
     o["dv_update_range_count"] = f"""
 WITH {_TOKS},
-dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
-win AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+win AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window'),
+dat AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
 SELECT
   (SELECT count(*) FROM win)::BIGINT AS updated_n,
-  (SELECT count(*) FROM dl
-   WHERE len <= 50
-     AND doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
+  (SELECT count(*) FROM dat
+   WHERE doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
 """
 
     o["ft_term_vector"] = f"""

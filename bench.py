@@ -265,6 +265,16 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         cemb, query_ids=[0, 1, 2, 3, 4], k=10,
         method="ivf", centroids=ccents, nprobe=4), 3)
     out["ivf_recall_eval_sec"] = round(time.time() - t0, 3)
+    # serving policy: the router prices the quantizer (ivf_quality)
+    # and must send unclustered vectors to LSH, clustered to IVF
+    from lucene_1_spark.pipeline.similarity import (choose_ann_route,
+                                                    ivf_quality)
+    out["ivf_quality_random"] = round(ivf_quality(emb, cents), 3)
+    out["ivf_quality_clustered"] = round(ivf_quality(cemb, ccents), 3)
+    out["ann_route_random"] = choose_ann_route(
+        emb, cents, quality=out["ivf_quality_random"])
+    out["ann_route_clustered"] = choose_ann_route(
+        cemb, ccents, quality=out["ivf_quality_clustered"])
 
     out["quality"] = quality_metrics(spark, sf_dir)
     spark.stop()
@@ -442,7 +452,40 @@ def main():
             hi_cores=int(os.environ.get("BENCH_SCALING_4N", "4")),
             reps=int(os.environ.get("BENCH_SCALING_REPS", "2")))
 
+    # The driver tail-captures only the LAST ~2000 chars of stdout, so
+    # the FINAL line must be a complete, compact JSON headline (the r5
+    # full dump overflowed the tail and the round lost its headline).
+    # Full detail goes first on stdout AND to a sidecar file.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
+    ib = main_run
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "build_sec": ib["build_sec"],
+        "files_per_sec": ib["files_per_sec"],
+        "query_p50_sec": ib["query_p50_sec"],
+        "query_p99_sec": ib["query_p99_sec"],
+        "batch_30q_sec": ib["batch_30q_sec"],
+        "hi_part_build_sec": parts["build_sec"],
+        "queries": {k: v for k, v in table_q.items()
+                    if isinstance(v, (int, float))},
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "scaling" in result:
+        sc = result["scaling"]
+        compact["scaling"] = {k: sc[k] for k in
+                              ("n_cores", "n_build_sec", "four_n_cores",
+                               "four_n_build_sec", "efficiency") if k in sc}
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guard: never overflow the tail again
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -80,12 +80,19 @@ def lookup(suggestions: DataFrame, text: str, k: int = 5,
     cand = suggestions.filter(F.col("analyzed_key").startswith(p))
     exact = (F.col("analyzed_key") == p).cast("int") \
         if exact_first else F.lit(0)
-    ranked = cand.withColumn(
+    # top-k via orderBy().limit(k) — TakeOrderedAndProject, a per-
+    # partition heap + tiny driver merge; a global row_number window
+    # would funnel EVERY candidate of a broad 1-2 char prefix through
+    # one task.  rank is then assigned over the k survivors only.
+    top = (cand.withColumn("_exact", exact)
+           .orderBy(F.desc("_exact"), F.desc("weight"),
+                    F.asc("suggestion"))
+           .limit(k))
+    ranked = top.withColumn(
         "rank", F.row_number().over(
-            W.orderBy(F.desc(exact), F.desc("weight"),
+            W.orderBy(F.desc("_exact"), F.desc("weight"),
                       F.asc("suggestion"))).cast("long"))
-    return ranked.select("suggestion", "weight", "rank") \
-                 .filter(F.col("rank") <= k)
+    return ranked.select("suggestion", "weight", "rank")
 
 
 def lookup_fuzzy(suggestions: DataFrame, text: str, k: int = 5,
@@ -117,8 +124,9 @@ def lookup_fuzzy(suggestions: DataFrame, text: str, k: int = 5,
     cand = (suggestions.filter(pred)
             .withColumn("dist", dist)
             .filter(F.col("dist") <= max_edits))
-    ranked = cand.withColumn(
+    # TakeOrderedAndProject (see lookup) — never a global window
+    top = cand.orderBy(F.desc("weight"), F.asc("suggestion")).limit(k)
+    ranked = top.withColumn(
         "rank", F.row_number().over(
             W.orderBy(F.desc("weight"), F.asc("suggestion"))).cast("long"))
-    return ranked.select("suggestion", "weight", "rank") \
-                 .filter(F.col("rank") <= k)
+    return ranked.select("suggestion", "weight", "rank")

@@ -411,3 +411,37 @@ def test_perturbation_probe_sequence():
         assert np.allclose(sorted(got_costs), want_costs)
         # emitted in nondecreasing cost order
         assert all(a <= b + 1e-12 for a, b in zip(got_costs, got_costs[1:]))
+
+
+def test_ann_serving_policy_router(spark):
+    """VERDICT r5 #4: nothing routed callers away from IVF on
+    unclustered vectors (0.52 recall, silently).  The serving router
+    prices the quantizer via ivf_quality and must pick LSH on
+    adversarial/random vectors and IVF on clustered ones."""
+    import numpy as np
+    from lucene_1_spark.pipeline.similarity import (ann_serving_topk,
+                                                    choose_ann_route,
+                                                    cosine_topk,
+                                                    ivf_fit, ivf_quality)
+    # adversarial: unit Gaussians, no cluster structure
+    rng = np.random.RandomState(11)
+    rand = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.normal(size=(300, 32)))],
+        "vec_id long, embedding array<double>")
+    clus = _clustered_embeddings(spark)
+    c_rand = ivf_fit(rand, n_centroids=8, iters=2)
+    c_clus = ivf_fit(clus, n_centroids=8, iters=2)
+    q_rand = ivf_quality(rand, c_rand)
+    q_clus = ivf_quality(clus, c_clus)
+    assert q_clus > q_rand
+    assert choose_ann_route(rand, c_rand, quality=q_rand) == "lsh"
+    assert choose_ann_route(clus, c_clus, quality=q_clus) == "ivf"
+    assert choose_ann_route(rand, None) == "lsh"
+    # the routed result on the adversarial fixture is the LSH path:
+    # recall vs exact must not collapse to IVF's ~0.5 floor
+    qv = [float(x) for x in rng.normal(size=32)]
+    exact = {r["vec_id"] for r in cosine_topk(rand, qv, 10).collect()}
+    served = {r["vec_id"] for r in ann_serving_topk(
+        rand, qv, 10, centroids=c_rand, quality=q_rand).collect()}
+    assert len(exact & served) / 10 >= 0.9

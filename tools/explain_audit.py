@@ -160,6 +160,19 @@ def main() -> int:
     ok &= audit("geo_box_pushdown", p,
                 ["GreaterThanOrEqual(lat", "LessThanOrEqual(lon"])
 
+    # 12. suggester lookup: top-k is TakeOrderedAndProject over the
+    # prefix candidates — a broad 1-2 char prefix must NOT funnel every
+    # candidate through a single global-window task (the final
+    # row_number over the k survivors is bounded and fine)
+    from lucene_1_spark.search.suggest import build_suggestions, lookup
+    sugg_src = spark.range(2000).select(
+        F.concat(F.lit("to"), (F.col("id") % 97).cast("string"))
+        .alias("term"),
+        (F.col("id") % 53 + 1).alias("weight"))
+    sugg = build_suggestions(sugg_src, "term", "weight")
+    p = plan_of(lookup(sugg, "to", k=5))
+    ok &= audit("suggest_take_ordered", p, ["TakeOrderedAndProject"])
+
     print("ALL PASS" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
