@@ -1203,7 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = os.path.abspath(d)
         if key not in _RU_SEARCHERS:
             idx_dir = os.path.join(
-                tempfile.gettempdir(), "l1s_driver_ru_v1",
+                tempfile.gettempdir(), "l1s_driver_ru_v2",
                 hashlib.md5(key.encode()).hexdigest()[:12])
             ru = F.translate(
                 F.regexp_replace(
@@ -3284,16 +3284,103 @@ SELECT
    WHERE term LIKE 'st%')::BIGINT AS n_st
 """
 
-    # russian chain: stop filter inlined, light stemmer generated as a
-    # longest-suffix CASE chain, BM25 over the stems
-    from lucene_1_spark.analysis.languages import (RUSSIAN_STOP, _RU_SUF,
-                                                   russian_stem)
-    _ru_stem_case = "CASE " + " ".join(
-        f"WHEN ends_with(term, '{suf}') AND length(term) - {len(suf)} >= 3"
-        f" THEN substr(term, 1, length(term) - {len(suf)})"
-        for suf in _RU_SUF) + " ELSE term END"
+    # russian chain: stop filter inlined, the SNOWBALL stemmer (the
+    # reference default since r6 — ru/RussianAnalyzer.java:114)
+    # generated as a CTE chain of region-windowed suffix CASEs that
+    # mirrors analysis/snowball.py step by step
+    from lucene_1_spark.analysis.languages import RUSSIAN_STOP
+    from lucene_1_spark.analysis import snowball as _sb
     _ru_stops = ", ".join(f"'{w}'" for w in sorted(RUSSIAN_STOP))
-    _ru_qstem = russian_stem("scan".translate(_RU_TRANS))
+    _ru_qstem = _sb.russian_snowball_stem("scan".translate(_RU_TRANS))
+
+    _RUV = "аеиоуыэюя"
+
+    def _sb_chain(w: str, entries) -> str:
+        """find_among_b as a CASE: longest suffix (inside the RV
+        window) first; a group-1 entry whose preceding-а/я condition
+        fails yields NULL (class fails, NO shorter-suffix fallback)."""
+        parts = []
+        for suf, kind in sorted(entries, key=lambda e: (-len(e[0]), e[0])):
+            n = len(suf)
+            match = f"ends_with({w},'{suf}') AND length({w})-{n} >= pv"
+            strip = f"substr({w},1,length({w})-{n})"
+            if kind == "g1":
+                prec = f"substr({w},length({w})-{n},1)"
+                parts.append(
+                    f"WHEN {match} THEN (CASE WHEN length({w})-{n}-1 >= pv"
+                    f" AND {prec} IN ('а','я') THEN {strip} END)")
+            else:
+                parts.append(f"WHEN {match} THEN {strip}")
+        return "(CASE " + " ".join(parts) + " END)"
+
+    def _sb_mixed(g1, g2):
+        return [(s, "g1") for s in g1] + [(s, "del") for s in g2]
+
+    def _sb_undouble_nn(expr: str, length: str) -> str:
+        return (f"CASE WHEN ends_with({expr},'нн') AND {length}-2 >= pv"
+                f" THEN substr({expr},1,{length}-1) ELSE {expr} END")
+
+    _ru_pg = _sb_chain("w", _sb_mixed(_sb._RU_PG1, _sb._RU_PG2))
+    _ru_refl = ("CASE WHEN (ends_with(w,'ся') OR ends_with(w,'сь'))"
+                " AND length(w)-2 >= pv THEN substr(w,1,length(w)-2)"
+                " ELSE w END")
+    _ru_adj = _sb_chain("wr", [(s, "del") for s in _sb._RU_ADJ])
+    _ru_verb = _sb_chain("wr", _sb_mixed(_sb._RU_VERB1, _sb._RU_VERB2))
+    _ru_noun = _sb_chain("wr", [(s, "del") for s in _sb._RU_NOUN])
+    _ru_part = _sb_chain("adj", _sb_mixed(_sb._RU_PART1, _sb._RU_PART2))
+    _ru_tidy = (
+        "CASE"
+        " WHEN ends_with(w,'ейше') AND length(w)-4 >= pv THEN "
+        + _sb_undouble_nn("substr(w,1,length(w)-4)", "length(w)-4")
+        + " WHEN ends_with(w,'ейш') AND length(w)-3 >= pv THEN "
+        + _sb_undouble_nn("substr(w,1,length(w)-3)", "length(w)-3")
+        + " WHEN ends_with(w,'н') AND length(w)-1 >= pv THEN"
+        "  (CASE WHEN ends_with(w,'нн') AND length(w)-2 >= pv"
+        "   THEN substr(w,1,length(w)-1) ELSE w END)"
+        " WHEN ends_with(w,'ь') AND length(w)-1 >= pv"
+        "  THEN substr(w,1,length(w)-1)"
+        " ELSE w END")
+    # region markers (0-based: pv = after first vowel; p2 = after the
+    # first non-vowel following a vowel inside R1); prefix indices
+    # survive suffix slicing so they are computed once on the token
+    _ru_snowball_ctes = f"""
+sn0 AS (SELECT doc_id, replace(term,'ё','е') AS w FROM toks0),
+sn1 AS (SELECT doc_id, w,
+  CASE WHEN regexp_matches(w,'[{_RUV}]')
+       THEN length(regexp_extract(w,'^[^{_RUV}]*[{_RUV}]'))
+       ELSE 9999 END AS pv,
+  CASE WHEN regexp_matches(w,'^[^{_RUV}]*[{_RUV}]+[^{_RUV}]')
+       THEN length(regexp_extract(w,'^[^{_RUV}]*[{_RUV}]+[^{_RUV}]'))
+       ELSE 9999 END AS p1
+  FROM sn0),
+sn2 AS (SELECT doc_id, w, pv,
+  CASE WHEN p1 < 9999
+        AND regexp_matches(substr(w,p1+1),'^[^{_RUV}]*[{_RUV}]+[^{_RUV}]')
+       THEN p1 + length(regexp_extract(substr(w,p1+1),
+                                       '^[^{_RUV}]*[{_RUV}]+[^{_RUV}]'))
+       ELSE 9999 END AS p2
+  FROM sn1),
+sn3 AS (SELECT doc_id, pv, p2, {_ru_pg} AS pg, {_ru_refl} AS wr
+        FROM sn2),
+sn4 AS (SELECT doc_id, pv, p2, pg, wr, {_ru_adj} AS adj,
+        {_ru_verb} AS vrb, {_ru_noun} AS nn FROM sn3),
+sn5 AS (SELECT doc_id, pv, p2,
+        COALESCE(pg, CASE WHEN adj IS NOT NULL
+                          THEN COALESCE({_ru_part}, adj)
+                          ELSE COALESCE(vrb, nn, wr) END) AS w FROM sn4),
+sn6 AS (SELECT doc_id, pv, p2,
+        CASE WHEN ends_with(w,'и') AND length(w)-1 >= pv
+             THEN substr(w,1,length(w)-1) ELSE w END AS w FROM sn5),
+sn7 AS (SELECT doc_id, pv,
+  CASE WHEN ends_with(w,'ость') AND length(w)-4 >= pv
+            AND length(w)-4 >= p2 THEN substr(w,1,length(w)-4)
+       WHEN ends_with(w,'ост') AND length(w)-3 >= pv
+            AND length(w)-3 >= p2 THEN substr(w,1,length(w)-3)
+       ELSE w END AS w FROM sn6),
+stems AS MATERIALIZED (SELECT doc_id, {_ru_tidy} AS term FROM sn7)"""
+    # MATERIALIZED stops DuckDB inlining the whole sn-chain into every
+    # consumer (tf + dl) — without it the expression tree duplication
+    # makes planning/execution blow up from 0.5 s to minutes
     o["ft_ru_stem_topk"] = f"""
 WITH rudocs AS (
   SELECT doc_id,
@@ -3305,7 +3392,7 @@ toks0 AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id, unnest(string_split_regex(ru, ' +')) AS t FROM rudocs
   ) WHERE t <> '' AND t NOT IN ({_ru_stops})),
-stems AS (SELECT doc_id, {_ru_stem_case} AS term FROM toks0),
+{_ru_snowball_ctes},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM stems
        GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM stems GROUP BY 1),

@@ -32,6 +32,8 @@ stemming, Larkey, Ballesteros & Connell 2002)."""
 
 from __future__ import annotations
 
+from lucene_1_spark.analysis import snowball as _snow
+
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -1174,10 +1176,21 @@ LANGUAGE_ANALYZERS = {
     "italian": ("italian", ITALIAN_STOP, italian_stem),
     "portuguese": ("portuguese", PORTUGUESE_STOP, portuguese_stem),
     "dutch": ("dutch", DUTCH_STOP, dutch_stem),
-    "russian": ("russian", RUSSIAN_STOP, russian_stem),
-    "swedish": ("swedish", SWEDISH_STOP, swedish_stem),
-    "norwegian": ("norwegian", NORWEGIAN_STOP, norwegian_stem),
-    "danish": ("danish", DANISH_STOP, danish_stem),
+    # ru/sv/no/da default to SNOWBALL stemmers, matching the reference
+    # analyzers' defaults (ru/RussianAnalyzer.java:114 ->
+    # org.tartarus.snowball.ext.RussianStemmer, likewise sv/no/da);
+    # the Savoy-light variants stay registered as *_light, the
+    # reference's *LightStemFilter alternatives
+    "russian": ("russian", RUSSIAN_STOP, _snow.russian_snowball_stem),
+    "swedish": ("swedish", SWEDISH_STOP, _snow.swedish_snowball_stem),
+    "norwegian": ("norwegian", NORWEGIAN_STOP,
+                  _snow.norwegian_snowball_stem),
+    "danish": ("danish", DANISH_STOP, _snow.danish_snowball_stem),
+    "russian_light": ("russian_light", RUSSIAN_STOP, russian_stem),
+    "swedish_light": ("swedish_light", SWEDISH_STOP, swedish_stem),
+    "norwegian_light": ("norwegian_light", NORWEGIAN_STOP,
+                        norwegian_stem),
+    "danish_light": ("danish_light", DANISH_STOP, danish_stem),
     "finnish": ("finnish", FINNISH_STOP, finnish_stem),
     "hungarian": ("hungarian", HUNGARIAN_STOP, hungarian_stem),
     "czech": ("czech", CZECH_STOP, czech_stem),

@@ -185,5 +185,89 @@ def test_end_to_end_index_with_russian_analyzer(spark, tmp_root):
     assert hits == {0, 1}
     hits2 = {r["doc_id"] for r in s.search_df("книгами", k=None).collect()}
     assert hits2 == {0, 1}
+    # Snowball artifact the reference shares (RussianStemmer.java a_4
+    # 'л' group-1): журнал ends verb-like -ал so it stems to 'журна',
+    # while журналы takes the noun rule to 'журнал' — the two forms do
+    # NOT conflate under genuine Snowball (the light stemmer did)
     hits3 = {r["doc_id"] for r in s.search_df("журналы", k=None).collect()}
-    assert hits3 == {1, 2}
+    assert hits3 == {1}
+    hits4 = {r["doc_id"] for r in s.search_df("журнал", k=None).collect()}
+    assert hits4 == {2}
+
+
+def test_snowball_stemmers_match_reference_goldens():
+    """ru/sv/no/da default chains now run SNOWBALL stemmers, matching
+    the reference analyzers' defaults (ru/RussianAnalyzer.java:114 ->
+    org.tartarus.snowball.ext.RussianStemmer, likewise sv/no/da).
+    Goldens are the reference's own analyzer tests
+    (TestRussianAnalyzer.java:36-41, TestSwedishAnalyzer.java:34-35,
+    TestNorwegianAnalyzer.java:34-35, TestDanishAnalyzer.java:34-35)."""
+    from lucene_1_spark.analysis.snowball import (danish_snowball_stem,
+                                                  norwegian_snowball_stem,
+                                                  russian_snowball_stem,
+                                                  swedish_snowball_stem)
+    ru = {"вместе": "вмест", "силе": "сил",
+          "электромагнитной": "электромагнитн", "энергии": "энерг",
+          "имели": "имел", "представление": "представлен",
+          "знание": "знан", "это": "эт", "хранилось": "хран",
+          "тайне": "тайн"}
+    for w, e in ru.items():
+        assert russian_snowball_stem(w) == e, w
+    assert swedish_snowball_stem("jaktkarlarne") == "jaktkarl"
+    assert swedish_snowball_stem("jaktkarlens") == "jaktkarl"
+    assert norwegian_snowball_stem("havnedistriktene") == "havnedistrikt"
+    assert norwegian_snowball_stem("havnedistrikter") == "havnedistrikt"
+    assert danish_snowball_stem("undersøgelse") == "undersøg"
+    assert danish_snowball_stem("undersøg") == "undersøg"
+    # full analyzer chain (stop filter + snowball), reference golden
+    from lucene_1_spark.analysis import get_analyzer
+    assert get_analyzer("russian").tokens(
+        "Вместе с тем о силе электромагнитной энергии имели "
+        "представление еще") == ["вмест", "сил", "электромагнитн",
+                                 "энерг", "имел", "представлен"]
+    # the Savoy-light variants stay available (the reference's
+    # *LightStemFilter alternatives)
+    assert get_analyzer("russian_light").tokens("книгами") == ["книг"]
+
+
+def test_ru_snowball_sql_twin_matches_python():
+    """The generated DuckDB CTE chain in oracle_sql()['ft_ru_stem_topk']
+    must reproduce analysis/snowball.russian_snowball_stem exactly —
+    property-checked over random words from the transliteration
+    alphabet plus adversarial shapes (vowel-free, vowel-only, group-1
+    preconditions, R2-gated derivational, нн tidy-up)."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from lucene_1_spark.analysis.snowball import russian_snowball_stem
+
+    sql = entrymod.oracle_sql()["ft_ru_stem_topk"]
+    pre, rest = sql.split("sn0 AS", 1)
+    snpart = "WITH sn0 AS" + rest.split(",\ntf AS")[0]
+    rng = random.Random(42)
+    alpha = "абвгдежзиклмнопрстуфхцчшщыя"
+    words = ["", "б", "ост", "ость", "красивость", "честность",
+             "нн", "сильнн", "читавшая", "читавши", "увшись",
+             "большейше", "стон", "окно", "ёлками"]
+    words += ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+              for _ in range(600)]
+    # append real suffixes to random stems so every class fires
+    from lucene_1_spark.analysis import snowball as sb
+    sufs = (sb._RU_PG1 + sb._RU_PG2 + sb._RU_ADJ + sb._RU_VERB1
+            + sb._RU_VERB2 + sb._RU_NOUN + ("ость", "ейше", "нн", "ь"))
+    words += ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+              + rng.choice(sufs) for _ in range(600)]
+    words = sorted({w for w in words if w})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks0x (doc_id BIGINT, term VARCHAR)")
+    con.executemany("INSERT INTO toks0x VALUES (?, ?)",
+                    list(enumerate(words)))
+    q = (snpart.replace("FROM toks0)", "FROM toks0x)")
+         + "\nSELECT t.term, s.term FROM stems s JOIN toks0x t "
+           "USING (doc_id)")
+    bad = [(raw, got, russian_snowball_stem(raw))
+           for raw, got in con.execute(q).fetchall()
+           if got != russian_snowball_stem(raw)]
+    assert not bad, bad[:10]
