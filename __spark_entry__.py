@@ -1280,6 +1280,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_bg_stem_topk"] = ft_bg_stem_topk
 
+    _ICU_SEARCHERS: dict = {}
+
+    def ft_icu_fold_topk(s, d):
+        """ICU folding chain END TO END (ICUFoldingFilter analog,
+        ``lucene/analysis/icu/.../ICUFoldingFilter.java``): the corpus
+        is deterministically DE-normalized — every a/e/o becomes a
+        precomposed umlaut Ä, an accented é, a full-width Ｏ — then
+        indexed with the ``icu_fold`` analyzer (NFKD + strip marks +
+        casefold + NFKC).  The fold maps every decorated token back to
+        its plain-ASCII form, so the exact SQL twin is plain BM25 over
+        the UNDECORATED lowercase tokens; without the fold the decorated
+        terms would never match the plain query."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        if key not in _ICU_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_icu_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            mixed = F.translate(
+                F.regexp_replace(
+                    F.lower(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, 120)),
+                    "[^a-z ]", " "),
+                "aeo", "ÄéＯ")
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                mixed.alias("content"))
+            cfg = IndexConfig(analyzer="icu_fold",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            _ICU_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _ICU_SEARCHERS[key]
+        top = se.search_df("window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_icu_fold_topk"] = ft_icu_fold_topk
+
     _LV_SEARCHERS: dict = {}
 
     def ft_lv_stem_topk(s, d):
@@ -3405,6 +3454,38 @@ sc AS (
   JOIN df ON tf.term = df.term
   CROSS JOIN st
   WHERE tf.term = '{_ru_qstem}')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # icu fold: the engine indexes the a/e/o -> Ä/é/Ｏ DE-normalized
+    # corpus through the fold; folding inverts the decoration exactly,
+    # so the twin is plain BM25 over the UNDECORATED lowercase tokens
+    o["ft_icu_fold_topk"] = f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,120)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(c, ' +')) AS t FROM cdocs
+  ) WHERE t <> ''),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term = 'window')
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank

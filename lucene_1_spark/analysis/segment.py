@@ -26,13 +26,27 @@ same worker-reconstructible name-spec contract as every other analyzer:
 target script tokenizes with the engine's standard word rules, so mixed
 ``hello สวัสดี`` documents work.
 
+Segmentation algorithms:
+
+- ``viterbi`` (DEFAULT for japanese/korean): minimum-cost dynamic
+  programming over the word lattice — the Kuromoji/Nori shape
+  (``ja/JapaneseTokenizer.java:62-120`` least-cost path) with a
+  UNIGRAM cost model instead of mecab's per-word + connection costs
+  (which need the compiled dictionary this repo doesn't ship): every
+  dictionary word costs 1 (minus a tiny length bonus for
+  deterministic longest-preference on ties) and every unknown char
+  costs 2.5.  This fixes greedy's classic ambiguous-compound failure:
+  with dict {学, 学生, 生活}, greedy splits 学生活 as [学生, 活†]
+  (stranding an unknown), the lattice finds [学, 生活].
+- ``greedy`` (DEFAULT for thai): longest leftmost dictionary word —
+  "maximal matching", the published baseline closest to ICU's
+  dictionary ``BreakIterator`` used by ``ThaiTokenizer.java``.
+
 Documented deviations from the reference:
 
-- greedy longest-match instead of minimum-cost Viterbi: with no
-  per-word costs, ambiguous splits resolve to the longest leftmost
-  dictionary word.  (Longest-match is itself a published segmentation
-  baseline — "maximal matching" — and is exact whenever no dictionary
-  word crosses a true word boundary.)
+- the viterbi cost model is unigram (no part-of-speech connection
+  matrix) — ties that mecab resolves by POS context resolve here by
+  word length;
 - the built-in seed dictionaries are tiny common-word seeds so the
   analyzers work out of the box and in tests; real deployments pass a
   dictionary file every executor can read.
@@ -143,6 +157,59 @@ def segment_run(run: str, words: frozenset[str], max_len: int) -> list[str]:
     return out
 
 
+# unigram lattice costs: a dictionary word beats up to two unknown
+# chars; the epsilon length bonus makes equal-cost paths prefer longer
+# words deterministically (greedy-compatible tie-break)
+_WORD_COST = 1.0
+_LEN_BONUS = 1e-3
+_UNK_CHAR_COST = 2.5
+
+
+def segment_run_viterbi(run: str, words: frozenset[str],
+                        max_len: int) -> list[str]:
+    """Minimum-cost lattice segmentation of one same-script run — the
+    Kuromoji/Nori Viterbi shape (``ja/JapaneseTokenizer.java:62-120``)
+    with unigram costs: dp[i] = cheapest segmentation of run[:i],
+    edges = dictionary words ending at i (longest tried first, strict
+    improvement required, so ties keep the longer word) or one unknown
+    char.  Adjacent unknown chars on the best path merge into one
+    token (UnknownDictionary character-category grouping analog)."""
+    n = len(run)
+    if n == 0:
+        return []
+    inf = float("inf")
+    dp = [0.0] + [inf] * n
+    back: list[tuple[int, bool] | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        for ln in range(min(max_len, i), 0, -1):
+            w = run[i - ln:i]
+            if w in words:
+                c = dp[i - ln] + _WORD_COST - _LEN_BONUS * ln
+                if c < dp[i]:
+                    dp[i] = c
+                    back[i] = (i - ln, False)
+        c = dp[i - 1] + _UNK_CHAR_COST
+        if c < dp[i]:
+            dp[i] = c
+            back[i] = (i - 1, True)
+    segs: list[tuple[str, bool]] = []
+    i = n
+    while i > 0:
+        j, unk = back[i]  # type: ignore[misc]
+        segs.append((run[j:i], unk))
+        i = j
+    segs.reverse()
+    out: list[str] = []
+    last_unk = False
+    for t, unk in segs:
+        if unk and last_unk:
+            out[-1] += t
+        else:
+            out.append(t)
+        last_unk = unk
+    return out
+
+
 @dataclass(frozen=True)
 class DictSegAnalyzer:
     """Target-script runs segment by dictionary longest-match; all
@@ -153,6 +220,7 @@ class DictSegAnalyzer:
     dict_path: str | None = None
     stop_words: frozenset = field(default_factory=frozenset)
     max_token_length: int = 255
+    algo: str = "greedy"  # "viterbi" (ja/ko default) | "greedy" (thai)
 
     @cached_property
     def words(self) -> frozenset[str]:
@@ -180,9 +248,11 @@ class DictSegAnalyzer:
         out: list[tuple[str, int]] = []
         pos = -1
         words, mx = self.words, self._max_word_len
+        seg_fn = (segment_run_viterbi if self.algo == "viterbi"
+                  else segment_run)
         for m in self._scan_re.finditer(text):
             if m.lastgroup == "seg":
-                for w in segment_run(m.group(), words, mx):
+                for w in seg_fn(m.group(), words, mx):
                     pos += 1
                     if w not in self.stop_words:
                         out.append((w, pos))
@@ -207,6 +277,10 @@ def resolve_dictseg(name: str) -> DictSegAnalyzer | None:
     if script not in _SCRIPT_RE:
         raise KeyError(f"dictseg script must be one of {sorted(_SCRIPT_RE)}, "
                        f"got {script!r}")
-    return DictSegAnalyzer(script=script,
-                           dict_path=parts[2] if len(parts) == 3 else None,
-                           stop_words=STOP_SETS.get(script, frozenset()))
+    return DictSegAnalyzer(
+        script=script,
+        dict_path=parts[2] if len(parts) == 3 else None,
+        stop_words=STOP_SETS.get(script, frozenset()),
+        # ja/ko lattice like the reference's Kuromoji/Nori; thai stays
+        # maximal-matching like ICU's dictionary BreakIterator
+        algo="viterbi" if script in ("japanese", "korean") else "greedy")

@@ -163,6 +163,10 @@ def get_analyzer(name: str):
         from lucene_1_spark.analysis.english import EnglishAnalyzer
         _REGISTRY[name] = EnglishAnalyzer()
         return _REGISTRY[name]
+    if name == "icu_fold":
+        from lucene_1_spark.analysis.icu import ICUFoldingAnalyzer
+        _REGISTRY[name] = ICUFoldingAnalyzer()
+        return _REGISTRY[name]
     if name in ("cjk", "cjk_unigram"):
         from lucene_1_spark.analysis.cjk import CJKAnalyzer
         _REGISTRY[name] = CJKAnalyzer(

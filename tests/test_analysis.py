@@ -161,3 +161,23 @@ def test_ascii_folding_analyzer():
     # positions preserved through the fold
     assert fa.tokens_with_positions("crème brûlée") == \
         [("creme", 0), ("brulee", 1)]
+
+
+def test_icu_fold():
+    """ICUFoldingFilter analog (lucene/analysis/icu/ICUFoldingFilter
+    .java): width + ligature + accent + case + normalization-form
+    folding through NFKD -> strip Mn -> casefold -> NFKC."""
+    from lucene_1_spark.analysis import get_analyzer
+    from lucene_1_spark.analysis.icu import icu_fold
+    assert icu_fold("CAFÉ") == "cafe"          # precomposed É
+    assert icu_fold("café") == "cafe"         # combining acute
+    assert icu_fold("ｃａｆé") == "cafe"  # full-width
+    assert icu_fold("ﬁle") == "file"           # ﬁ ligature
+    assert icu_fold("straße") == "strasse"     # ß casefold
+    assert icu_fold("İstanbul") == "i̇stanbul" or \
+        icu_fold("İstanbul").startswith("i")   # dotted capital I
+    a = get_analyzer("icu_fold")
+    # mixed normalization forms of the same word land on ONE term
+    assert a.tokens("CAFÉ café ｃａｆé") \
+        == ["cafe", "cafe", "cafe"]
+    assert a.tokens("Ärger Ärger") == ["arger", "arger"]

@@ -97,3 +97,53 @@ def test_seed_dicts_are_valid():
         an = DictSegAnalyzer(script=script)
         for w in words:
             assert an.tokens(w) == [w], (script, w)
+
+
+def test_viterbi_beats_greedy_on_ambiguous_compounds():
+    """VERDICT r5 'what's missing' #1: greedy longest-match
+    mis-segments ambiguous compounds by stranding unknowns; the
+    unigram-cost lattice (the Kuromoji Viterbi shape) must recover the
+    generative truth."""
+    from lucene_1_spark.analysis.segment import (segment_run,
+                                                 segment_run_viterbi)
+    d = frozenset(["学", "学生", "生活"])
+    assert segment_run("学生活", d, 2) == ["学生", "活"]      # greedy fails
+    assert segment_run_viterbi("学生活", d, 2) == ["学", "生活"]
+    # ja/ko analyzers run the lattice by default; thai stays greedy
+    from lucene_1_spark.analysis import get_analyzer
+    assert get_analyzer("dictseg:japanese").algo == "viterbi"
+    assert get_analyzer("dictseg:korean").algo == "viterbi"
+    assert get_analyzer("dictseg:thai").algo == "greedy"
+
+
+def test_viterbi_property_recovers_generative_truth():
+    """Property: sentences GENERATED as concatenations of dictionary
+    words are fully covered by dictionary words on the lattice path
+    (zero unknowns — a full cover always costs less than any path
+    through an unknown char), and the join round-trips.  Greedy lacks
+    this guarantee; every generated case where greedy strands an
+    unknown is a disagreement witness."""
+    import random
+
+    from lucene_1_spark.analysis.segment import (segment_run,
+                                                 segment_run_viterbi)
+    rng = random.Random(7)
+    alpha = "가나다라마바사아자차카타파하"
+    disagreements = 0
+    for _ in range(300):
+        vocab = {"".join(rng.choice(alpha)
+                         for _ in range(rng.randint(1, 4)))
+                 for _ in range(rng.randint(3, 12))}
+        words = frozenset(vocab)
+        mx = max(len(w) for w in words)
+        truth = [rng.choice(sorted(words))
+                 for _ in range(rng.randint(1, 6))]
+        run = "".join(truth)
+        vit = segment_run_viterbi(run, words, mx)
+        assert "".join(vit) == run                    # round-trip
+        assert all(w in words for w in vit), (run, vit)  # full cover
+        gre = segment_run(run, words, mx)
+        if any(w not in words for w in gre):
+            disagreements += 1
+            assert vit != gre
+    assert disagreements > 0  # the property genuinely separates them
