@@ -1329,6 +1329,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_icu_fold_topk"] = ft_icu_fold_topk
 
+    _PAY_SEARCHERS: dict = {}
+
+    def ft_payload_score_topk(s, d):
+        """Per-position payload scoring END TO END
+        (``queries/payloads/PayloadScoreQuery.java`` — the .pay-file
+        slice): every token of the cleaned corpus gets the
+        deterministic payload (position % 5 + 1) via attach_payloads,
+        and the query scores docs containing 'window' by the MAX
+        payload over the term's matching positions.  Exact SQL twin:
+        positions are 0-based ordinals over the nonempty whitespace
+        tokens."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.index.maintenance import attach_payloads
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.search.query import PayloadScoreQuery
+
+        key = os.path.abspath(d)
+        if key not in _PAY_SEARCHERS:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_pay_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            clean = F.regexp_replace(
+                F.lower(F.substring(F.coalesce(F.col("text"),
+                                               F.lit("")), 1, 200)),
+                "[^a-z ]", " ")
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"), F.col("lang"),
+                clean.alias("content"))
+            cfg = IndexConfig(analyzer="whitespace",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8,
+                              positions=True)
+            build_index(s, corpus, idx_dir, cfg)
+            r = IndexReader(s, idx_dir)
+            # payload = position % 5 + 1 at every token position
+            toks = (corpus
+                    .select("path",
+                            F.posexplode(F.split("content", r"\s+"))
+                            .alias("_i", "_t"))
+                    .filter(F.col("_t") != ""))
+            from pyspark.sql import Window as _W
+            pos = F.row_number().over(
+                _W.partitionBy("path").orderBy("_i")).cast("long") - 1
+            prow = toks.withColumn("position", pos).select(
+                "path", "position",
+                ((F.col("position") % 5) + 1).cast("double")
+                .alias("payload"))
+            keyed = r.docs().select("doc_id", "path")
+            attach_payloads(s, idx_dir,
+                            prow.join(keyed, "path")
+                            .select("doc_id", "position", "payload"))
+            _PAY_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
+        se = _PAY_SEARCHERS[key]
+        top = se.search_df(PayloadScoreQuery("window", "max"), k=10) \
+            .withColumn("rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        docs = se.reader.docs().select(
+            "doc_id", F.col("path").cast("bigint").alias("orig_id"))
+        return (top.join(docs, "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_payload_score_topk"] = ft_payload_score_topk
+
     _LV_SEARCHERS: dict = {}
 
     def ft_lv_stem_topk(s, d):
@@ -3486,6 +3553,34 @@ sc AS (
   JOIN df ON tf.term = df.term
   CROSS JOIN st
   WHERE tf.term = 'window')
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+    # payload score: per-position payload (pos % 5 + 1), max over the
+    # positions where the term matches; positions are 0-based ordinals
+    # over nonempty whitespace tokens of the cleaned text
+    o["ft_payload_score_topk"] = """
+WITH cdocs AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,200)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+raw AS (
+  SELECT doc_id, unnest(string_split_regex(c, ' ')) AS term,
+         generate_subscripts(string_split_regex(c, ' '), 1) AS i
+  FROM cdocs),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+           AS position
+  FROM raw WHERE term <> ''),
+sc AS (
+  SELECT doc_id, max((position % 5) + 1)::DOUBLE AS s
+  FROM toks WHERE term = 'window' GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank

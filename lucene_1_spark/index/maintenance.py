@@ -137,8 +137,9 @@ def _snapshot_protected(index_dir: str) -> set[str]:
             m = json.load(fh)
         for name in ("postings", "docs", "term_stats"):
             out.add(m.get(f"{name}_path", name))
-        if m.get("features_path"):
-            out.add(m["features_path"])
+        for side in ("features_path", "payloads_path"):
+            if m.get(side):
+                out.add(m[side])
         if m.get("has_deletes"):
             out.add(m.get("tombstones_path", "tombstones"))
         if m.get("dv_fields"):
@@ -403,18 +404,22 @@ def compact_index(spark: SparkSession, index_dir: str,
         spark.read.parquet(os.path.join(index_dir, docs_name)),
         cfg.get("keyword_fields"), cfg.get("text_fields"))
 
-    # features side table: drop reclaimed doc rows, else FeatureQuery
-    # would resurface deleted docs as ghost hits once the tombstone
-    # mask clears (has_deletes=False below)
-    feat_name = old_feat = None
-    if reader.has_deletes and reader.manifest.get("features_path"):
-        old_feat = reader.manifest["features_path"]
-        fgen = int(reader.manifest.get("features_generation", 0)) + 1
-        feat_name = f"features_gen{fgen}"
-        (spark.read.parquet(os.path.join(index_dir, old_feat))
-         .join(reader.tombstones(), "doc_id", "left_anti")
-         .write.mode("overwrite")
-         .parquet(os.path.join(index_dir, feat_name)))
+    # features/payloads side tables: drop reclaimed doc rows, else
+    # FeatureQuery/PayloadScoreQuery would resurface deleted docs as
+    # ghost hits once the tombstone mask clears (has_deletes=False)
+    side_swaps: dict[str, tuple[str, str]] = {}  # kind -> (old, new)
+    if reader.has_deletes:
+        for kind in ("features", "payloads"):
+            old_side = reader.manifest.get(f"{kind}_path")
+            if not old_side:
+                continue
+            sgen = int(reader.manifest.get(f"{kind}_generation", 0)) + 1
+            new_side = f"{kind}_gen{sgen}"
+            (spark.read.parquet(os.path.join(index_dir, old_side))
+             .join(reader.tombstones(), "doc_id", "left_anti")
+             .write.mode("overwrite")
+             .parquet(os.path.join(index_dir, new_side)))
+            side_swaps[kind] = (old_side, new_side)
 
     m = _manifest(index_dir)
     old = {name: m.get(f"{name}_path", name)
@@ -427,10 +432,9 @@ def compact_index(spark: SparkSession, index_dir: str,
     m["docs_path"] = docs_name
     m["term_stats_path"] = ts_name
     m["generation"] = gen
-    if feat_name is not None:
-        m["features_path"] = feat_name
-        m["features_generation"] = int(
-            m.get("features_generation", 0)) + 1
+    for kind, (_old_side, new_side) in side_swaps.items():
+        m[f"{kind}_path"] = new_side
+        m[f"{kind}_generation"] = int(m.get(f"{kind}_generation", 0)) + 1
     m["collection_stats"] = stats
     if field_stats:
         m["field_stats"] = field_stats
@@ -451,10 +455,10 @@ def compact_index(spark: SparkSession, index_dir: str,
             if path != m[f"{name}_path"] and path not in protected \
                     and os.path.exists(full):
                 shutil.rmtree(full, ignore_errors=True)
-        if old_feat and old_feat != feat_name \
-                and old_feat not in protected:
-            shutil.rmtree(os.path.join(index_dir, old_feat),
-                          ignore_errors=True)
+        for _kind, (old_side, new_side) in side_swaps.items():
+            if old_side != new_side and old_side not in protected:
+                shutil.rmtree(os.path.join(index_dir, old_side),
+                              ignore_errors=True)
     # keep the builder's stage stats coherent for later appends/resumes
     with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
         json.dump({k: stats[k] for k in
@@ -737,19 +741,23 @@ def merge_segments(spark: SparkSession, index_dir: str,
                     os.replace(os.path.join(root, fn),
                                os.path.join(dd, f"segM{gen}-{fn}"))
 
-    # features side table: drop the reclaimed docs' rows so
-    # FeatureQuery can't resurface them once their tombstones are gone
-    feat_name = old_feat = None
-    if reclaimed is not None \
-            and _manifest(index_dir).get("features_path"):
-        old_feat = _manifest(index_dir)["features_path"]
-        fgen = int(_manifest(index_dir)
-                   .get("features_generation", 0)) + 1
-        feat_name = f"features_gen{fgen}"
-        (spark.read.parquet(os.path.join(index_dir, old_feat))
-         .join(reclaimed, "doc_id", "left_anti")
-         .write.mode("overwrite")
-         .parquet(os.path.join(index_dir, feat_name)))
+    # features/payloads side tables: drop the reclaimed docs' rows so
+    # FeatureQuery/PayloadScoreQuery can't resurface them once their
+    # tombstones are gone
+    side_swaps: dict[str, tuple[str, str]] = {}
+    if reclaimed is not None:
+        mm = _manifest(index_dir)
+        for kind in ("features", "payloads"):
+            old_side = mm.get(f"{kind}_path")
+            if not old_side:
+                continue
+            sgen = int(mm.get(f"{kind}_generation", 0)) + 1
+            new_side = f"{kind}_gen{sgen}"
+            (spark.read.parquet(os.path.join(index_dir, old_side))
+             .join(reclaimed, "doc_id", "left_anti")
+             .write.mode("overwrite")
+             .parquet(os.path.join(index_dir, new_side)))
+            side_swaps[kind] = (old_side, new_side)
 
     # ---- atomic commit: swap every pointer + adjusted stats at once ----
     m = _manifest(index_dir)
@@ -760,10 +768,9 @@ def merge_segments(spark: SparkSession, index_dir: str,
     m["merge_gen"] = gen
     # id high-water mark survives the reclaim (ids are never reused)
     m["next_doc_id"] = next_doc_id(m)
-    if feat_name is not None:
-        m["features_path"] = feat_name
-        m["features_generation"] = int(
-            m.get("features_generation", 0)) + 1
+    for kind, (_old_side, new_side) in side_swaps.items():
+        m[f"{kind}_path"] = new_side
+        m[f"{kind}_generation"] = int(m.get(f"{kind}_generation", 0)) + 1
     cs = dict(m["collection_stats"])
     cs["n_docs"] = int(cs["n_docs"]) + (n_n - o_n)
     cs["doc_count"] = int(cs["doc_count"]) + (n_ne - o_ne)
@@ -808,10 +815,10 @@ def merge_segments(spark: SparkSession, index_dir: str,
                 and old_tomb not in protected:
             shutil.rmtree(os.path.join(index_dir, old_tomb),
                           ignore_errors=True)
-        if old_feat and old_feat != feat_name \
-                and old_feat not in protected:
-            shutil.rmtree(os.path.join(index_dir, old_feat),
-                          ignore_errors=True)
+        for _kind, (old_side, new_side) in side_swaps.items():
+            if old_side != new_side and old_side not in protected:
+                shutil.rmtree(os.path.join(index_dir, old_side),
+                              ignore_errors=True)
     # keep the builder's stage stats coherent for later appends/resumes
     with open(os.path.join(index_dir, "docs_stats.json"), "w") as fh:
         json.dump({k: cs[k] for k in
@@ -1037,3 +1044,84 @@ def attach_features(spark: SparkSession, index_dir: str,
         shutil.rmtree(os.path.join(index_dir, old_path),
                       ignore_errors=True)
     return [f.name for f in cols]
+
+
+def attach_payloads(spark: SparkSession, index_dir: str,
+                    payloads: DataFrame) -> int:
+    """Bulk-load per-position payloads — the ``.pay``-file analog
+    (``codecs/lucene912/Lucene912PostingsWriter`` payload stream;
+    produced at analysis time by ``DelimitedPayloadTokenFilter``):
+    a (doc_id, position, payload double) side table beside the index,
+    served to ``search.query.PayloadScoreQuery``.  Replaces any
+    previous payload table; atomic generation swap (written fully
+    before the manifest commit).  Returns the row count."""
+    for c in ("doc_id", "position", "payload"):
+        if c not in payloads.columns:
+            raise ValueError("payloads needs (doc_id, position, payload)")
+    rows = payloads.select(F.col("doc_id").cast("long"),
+                           F.col("position").cast("long"),
+                           F.col("payload").cast("double"))
+    m = _manifest(index_dir)
+    gen = int(m.get("payloads_generation", 0)) + 1
+    name = f"payloads_gen{gen}"
+    rows.write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, name))
+    n = spark.read.parquet(os.path.join(index_dir, name)).count()
+    old_path = m.get("payloads_path")
+    m["payloads_path"] = name
+    m["payloads_generation"] = gen
+    m["committed_at"] = time.time()
+    _write_manifest(index_dir, m)
+    if old_path and old_path != name \
+            and old_path not in _snapshot_protected(index_dir):
+        shutil.rmtree(os.path.join(index_dir, old_path),
+                      ignore_errors=True)
+    return n
+
+
+def split_delimited_payloads(docs_df: DataFrame,
+                             content_col: str = "content",
+                             delim: str = "|",
+                             key_cols: tuple = ("repo", "path", "commit")):
+    """``DelimitedPayloadTokenFilter`` analog
+    (``analysis/common/.../payloads/DelimitedPayloadTokenFilter.java``):
+    whitespace tokens shaped ``term|payload`` split into the clean term
+    (what gets indexed) and a float payload recorded at the token's
+    0-based position.  Pair with the ``whitespace`` analyzer so the
+    recorded positions equal the indexed ones; after the build, map the
+    key columns to doc_ids and :func:`attach_payloads`.
+
+    Returns ``(clean_df, payload_rows)`` — ``clean_df`` is ``docs_df``
+    with the payload markers stripped from ``content_col``;
+    ``payload_rows`` carries ``key_cols + (position, payload)``.  All
+    JVM expressions, no Python kernels."""
+    from pyspark.sql import Window as W
+
+    esc = re.escape(delim)
+    base = (docs_df
+            .select(*key_cols,
+                    F.posexplode(F.split(F.col(content_col), r"\s+"))
+                    .alias("_i", "_tok"))
+            .filter(F.col("_tok") != ""))
+    toks = (base
+            .withColumn("position",
+                        F.row_number().over(
+                            W.partitionBy(*key_cols).orderBy("_i"))
+                        .cast("long") - 1)
+            .withColumn("term", F.substring_index("_tok", delim, 1))
+            .withColumn("payload", F.when(
+                F.col("_tok").rlike(esc),
+                F.substring_index("_tok", delim, -1).cast("double"))))
+    cleaned = (toks.groupBy(*key_cols)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_i", "term"))),
+                       lambda s: s["term"]), " ").alias("_clean")))
+    clean_df = (docs_df.join(cleaned, list(key_cols), "left")
+                .withColumn(content_col,
+                            F.coalesce("_clean", F.col(content_col)))
+                .drop("_clean"))
+    payload_rows = (toks.filter(F.col("payload").isNotNull())
+                    .select(*key_cols, "position", "payload"))
+    return clean_df, payload_rows

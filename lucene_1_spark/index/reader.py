@@ -76,6 +76,15 @@ class IndexReader:
             return None
         return self.spark.read.parquet(os.path.join(self.dir, name))
 
+    def payloads(self) -> DataFrame | None:
+        """The per-position payload side table (the ``.pay``-file
+        analog, ``maintenance.attach_payloads``): (doc_id, position,
+        payload double); ``None`` when none attached."""
+        name = self.manifest.get("payloads_path")
+        if name is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.dir, name))
+
     def docs(self) -> DataFrame:
         return self._overlay_doc_values(
             self.spark.read.parquet(self.table_path("docs"))

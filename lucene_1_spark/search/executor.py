@@ -46,7 +46,8 @@ from lucene_1_spark.search.query import (
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
     CombinedFieldQuery, FeatureQuery, MultiTermQuery, Occur,
-    PhraseQuery, PrefixQuery, Query, RegexpQuery, SynonymQuery,
+    PayloadScoreQuery, PhraseQuery, PrefixQuery, Query, RegexpQuery,
+    SynonymQuery,
     TermInSetQuery, TermQuery, TermRangeQuery, WildcardQuery, parse_query,
     rewrite_fixpoint,
 )
@@ -519,6 +520,8 @@ class IndexSearcher:
             return self._combined_field_search(query, k, after)
         if isinstance(query, FeatureQuery):
             return self._feature_search(query, k, after)
+        if isinstance(query, PayloadScoreQuery):
+            return self._payload_search(query, k, after)
         if isinstance(query, DisjunctionMaxQuery):
             return self._dismax_search(query, k, after)
         if isinstance(query, TermInSetQuery):
@@ -1608,6 +1611,71 @@ class IndexSearcher:
             return pd.Series(out)
 
         scored = vals.select("doc_id", fscore("_v").alias("score"))
+        if after is not None:
+            sa, da = after
+            scored = scored.filter(
+                (F.col("score") < float(sa))
+                | ((F.col("score") == float(sa))
+                   & (F.col("doc_id") > int(da))))
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _payload_search(self, q, k: int | None,
+                        after: tuple[float, int] | None) -> DataFrame:
+        """PayloadScoreQuery execution
+        (``queries/payloads/PayloadScoreQuery.java`` +
+        ``PayloadFunction.java``): decode the term's positions (block
+        decode, same kernel as intervals), join the (doc_id, position,
+        payload) side table, fold per doc with min/max/sum/first, and
+        score payload-alone or payload x BM25 (includeSpanScore).
+        Positions without payloads contribute nothing; a doc whose
+        matched positions carry none scores 0 (PayloadFunction.docScore
+        with zero payloads seen).  Needs a positions=True index."""
+        if self.reader.cfg.get("positions") is not True:
+            raise ValueError("PayloadScoreQuery needs a positions=True "
+                             "index")
+        pay = self.reader.payloads()
+        if pay is None:
+            raise ValueError("no payloads attached — see "
+                             "maintenance.attach_payloads")
+        dtype = "double" if self.double_mode else "float"
+        empty = self.spark.createDataFrame([], f"doc_id long, score {dtype}")
+        term = q.term
+        if q.field != "content":  # composite term key (_resolve_fields)
+            if q.field not in self.keyword_fields \
+                    and q.field not in self.text_fields:
+                raise ValueError(f"field '{q.field}' is not indexed")
+            term = f"{q.field}{FIELD_SEP}{q.term}"
+        stats = self.reader.term_statistics([term])
+        if term not in stats:
+            return empty
+        dec = self._blocks_for([term]).mapInPandas(
+            self._decode_positions_kernel(), POSITIONS_SCHEMA)
+        matched = dec.select(
+            "doc_id", F.explode("positions").alias("position"))
+        joined = matched.join(
+            pay.select("doc_id", F.col("position").cast("int")
+                       .alias("position"), "payload"),
+            ["doc_id", "position"], "left")
+        agg = {"min": F.min("payload"), "max": F.max("payload"),
+               "sum": F.sum("payload"),
+               "first": F.min_by("payload", F.when(
+                   F.col("payload").isNotNull(), F.col("position")))
+               }[q.function]
+        per_doc = joined.groupBy("doc_id").agg(
+            F.coalesce(agg, F.lit(0.0)).alias("_p"))
+        boost = float(q.boost)
+        if q.include_span_score:
+            base = self._search_inner(TermQuery(term), k=None,
+                                       prune=False)
+            scored = per_doc.join(base, "doc_id").select(
+                "doc_id", (F.lit(boost) * F.col("_p") * F.col("score"))
+                .cast(dtype).alias("score"))
+        else:
+            scored = per_doc.select(
+                "doc_id",
+                (F.lit(boost) * F.col("_p")).cast(dtype).alias("score"))
         if after is not None:
             sa, da = after
             scored = scored.filter(

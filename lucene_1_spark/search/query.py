@@ -109,6 +109,35 @@ class FeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """Per-position payload scoring —
+    ``queries/payloads/PayloadScoreQuery.java`` +
+    ``PayloadFunction.java`` (Min/Max/Sum + first): the term's matching
+    positions look up their payload values (attached as a (doc_id,
+    position, payload) side table — ``maintenance.attach_payloads``,
+    the ``.pay``-file analog), the chosen function folds them per doc,
+    and the score is the payload score alone or multiplied into the
+    term's BM25 score (``include_span_score``, the reference's
+    includeSpanScore flag).  Docs whose matched positions carry no
+    payloads score 0, as ``PayloadFunction.docScore`` does with zero
+    payloads seen.
+
+    ``function``: ``min`` | ``max`` | ``sum`` | ``first`` (payload at
+    the earliest matching position)."""
+    term: str
+    function: str = "max"
+    include_span_score: bool = False
+    field: str = "content"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.function not in ("min", "max", "sum", "first"):
+            raise ValueError(
+                f"unknown payload function {self.function!r} "
+                f"(min|max|sum|first)")
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F-style multi-field scoring — the terms are scored against
     a SYNTHETIC combined field (``sandbox/search/CombinedFieldQuery.
