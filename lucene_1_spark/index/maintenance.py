@@ -213,27 +213,45 @@ def append_tombstones(spark: SparkSession, index_dir: str,
     return n
 
 
-_DEAD_CHUNK = 1 << 16  # docIDs per pigeonhole chunk for the dead-doc join
+# multi-granularity pigeonhole for the dead-doc range join: chunk
+# sizes 2^16, 2^24, ... 2^56.  A block picks the SMALLEST level whose
+# chunk count for its [first_doc, last_doc] span stays <= 257, so a
+# rare term's 128-doc block spanning the whole id space replicates
+# into a few coarse chunks instead of millions of fine ones; each
+# tombstone replicates once per level (6 rows).  Join key =
+# (level, chunk); the exact range filter runs after the equi-join.
+_DEAD_LEVELS = [1 << 16, 1 << 24, 1 << 32, 1 << 40, 1 << 48, 1 << 56]
 
 
 def _attach_dead(posts: DataFrame, tombstones: DataFrame) -> DataFrame:
     """Attach a sorted ``dead_ids`` array column (tombstoned doc_ids
     falling inside each block's ``[first_doc, last_doc]`` range) to
     every posting-block row — the liveDocs bitset handed to
-    ``SegmentMerger``, DISTRIBUTED: a chunk-pigeonholed range join
-    (each tombstone equi-joins the chunks a block's range spans)
-    instead of a driver-side collect, so delete count never touches
-    driver memory.  ``(bucket, term, first_doc)`` is a unique block
-    key: a term's block runs partition its postings by doc range."""
+    ``SegmentMerger``, DISTRIBUTED: a multi-granularity pigeonholed
+    range join instead of a driver-side collect, so neither the delete
+    count nor a block's id SPAN ever touches driver memory or blows up
+    row counts.  ``(bucket, term, first_doc)`` is a unique block key:
+    a term's block runs partition its postings by doc range."""
+    lvl_lits = F.array(*[F.lit(c).cast("long") for c in _DEAD_LEVELS])
     t = (tombstones.select(F.col("doc_id").cast("long").alias("_t_doc"))
          .distinct()
+         .withColumn("_lvl", F.explode(lvl_lits))
          .withColumn("_chunk",
-                     (F.col("_t_doc") / _DEAD_CHUNK).cast("long")))
+                     (F.col("_t_doc") / F.col("_lvl")).cast("long")))
+    span_chunks = [((F.col("last_doc") / c).cast("long")
+                    - (F.col("first_doc") / c).cast("long") + 1, c)
+                   for c in _DEAD_LEVELS]
+    # smallest level keeping the block's chunk fan-out bounded
+    lvl = F.lit(_DEAD_LEVELS[-1]).cast("long")
+    for n_chunks, c in reversed(span_chunks):
+        lvl = F.when(n_chunks <= 257, F.lit(c).cast("long")) \
+            .otherwise(lvl)
     cand = (posts.select("bucket", "term", "first_doc", "last_doc")
+            .withColumn("_lvl", lvl)
             .withColumn("_chunk", F.explode(F.sequence(
-                (F.col("first_doc") / _DEAD_CHUNK).cast("long"),
-                (F.col("last_doc") / _DEAD_CHUNK).cast("long"))))
-            .join(t, "_chunk")
+                (F.col("first_doc") / F.col("_lvl")).cast("long"),
+                (F.col("last_doc") / F.col("_lvl")).cast("long"))))
+            .join(t, ["_lvl", "_chunk"])
             .filter((F.col("_t_doc") >= F.col("first_doc"))
                     & (F.col("_t_doc") <= F.col("last_doc")))
             .groupBy("bucket", "term", "first_doc")
