@@ -2191,6 +2191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_topk(e, qv, k=10)
     q["sim_ann_topk"] = sim_ann_topk
 
+    def sim_hnsw_topk(s, d):  # approximate — rows-only check (no oracle)
+        """Per-partition HNSW graphs (Lucene99HnswVectorsFormat's
+        per-segment model): deterministic hash-level graphs built via
+        applyInPandas, beam search per graph + TakeOrdered merge;
+        recall@10 quantified per-round in BENCH on the clustered AND
+        random fixtures."""
+        from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        g = hnsw_build(e, m=8, ef_construction=64, n_partitions=4)
+        return hnsw_search(g, qv, k=10, ef=64)
+    q["sim_hnsw_topk"] = sim_hnsw_topk
+
     def knn_filtered_topk(s, d):
         """Pre-filtered kNN (KnnFloatVectorQuery.java:46): exact cosine
         top-k among docs whose text contains 'spark' (vec_id == doc_id

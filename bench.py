@@ -275,6 +275,28 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         emb, cents, quality=out["ivf_quality_random"])
     out["ann_route_clustered"] = choose_ann_route(
         cemb, ccents, quality=out["ivf_quality_clustered"])
+    # per-partition HNSW (Lucene's per-segment graph model)
+    from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+    from lucene_1_spark.pipeline.similarity import cosine_topk
+    t0 = time.time()
+    for tag, e in (("random", emb), ("clustered", cemb)):
+        g = hnsw_build(e, m=8, ef_construction=64, n_partitions=4)
+        g = g.persist()
+        g.count()
+        tot = 0.0
+        qids = [0, 1, 2, 3, 4]
+        qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                 for r in e.filter(F.col("vec_id").isin(qids)).collect()}
+        for qid in qids:
+            qv = qrows[qid]
+            exact = {r["vec_id"]
+                     for r in cosine_topk(e, qv, 10).collect()}
+            approx = {r["vec_id"]
+                      for r in hnsw_search(g, qv, 10, ef=64).collect()}
+            tot += len(exact & approx) / 10
+        g.unpersist()
+        out[f"hnsw_recall_at_10_{tag}"] = round(tot / len(qids), 3)
+    out["hnsw_recall_eval_sec"] = round(time.time() - t0, 3)
 
     out["quality"] = quality_metrics(spark, sf_dir)
     spark.stop()

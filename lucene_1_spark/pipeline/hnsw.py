@@ -1,0 +1,243 @@
+"""Per-partition HNSW graphs — the Lucene99HnswVectorsFormat analog
+(``lucene/core/.../codecs/lucene99/Lucene99HnswVectorsFormat.java``,
+``util/hnsw/HnswGraphBuilder.java`` / ``HnswGraphSearcher.java``).
+
+Lucene builds one HNSW graph PER SEGMENT and searches every segment's
+graph, merging top-k — the same shape maps directly onto Spark: one
+graph per PARTITION, built inside an ``applyInPandas`` kernel, stored
+as a parquet table (node rows carry their vector + per-level neighbor
+lists), searched by a ``mapInPandas`` beam search per partition with a
+global TakeOrdered merge.  Partition count bounds per-graph memory
+exactly as Lucene's segment size bounds its graph — at 10^9 vectors,
+1000 partitions of ~10^6 nodes each search in parallel, no single
+machine ever holds the whole dataset.
+
+Clean-room implementation of the published algorithm (Malkov &
+Yashunin, "Efficient and robust approximate nearest neighbor search
+using Hierarchical Navigable Small World graphs", 2016):
+
+- level assignment ``floor(-ln(u) * mL)`` with ``mL = 1/ln(M)`` —
+  ``u`` derives from a hash of the vector id, NOT an RNG, so the
+  graph is deterministic and rebuildable (the repo-wide no-RNG-in-job
+  rule);
+- insertion: greedy descent from the entry point to ``level+1``, then
+  ``ef_construction`` beam search per level, closest-``M`` neighbor
+  selection, bidirectional links, degree pruned to ``M`` (``2M`` at
+  level 0) keeping closest — the simple-select variant (Lucene's
+  diversity heuristic = documented simplification);
+- search: greedy descent to level 1, beam of ``ef`` at level 0.
+
+Cosine similarity throughout (vectors normalized once at build).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+GRAPH_SCHEMA = T.StructType([
+    T.StructField("gpart", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("vec", T.ArrayType(T.DoubleType())),
+    T.StructField("level", T.IntegerType()),
+    # neighbor lists, one per level 0..level (flattened as list of
+    # lists; parquet nested arrays)
+    T.StructField("nbrs", T.ArrayType(T.ArrayType(T.LongType()))),
+])
+
+_HASH_MOD = 1 << 52
+
+
+def _hash_u(vid: int) -> float:
+    """Deterministic uniform (0,1] from the vector id (splitmix-style
+    mix — stable across runs/machines, no RNG in the job)."""
+    x = (int(vid) + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return ((x % _HASH_MOD) + 1) / _HASH_MOD
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _build_graph(ids: np.ndarray, vecs: np.ndarray, m: int,
+                 ef_construction: int):
+    """In-memory HNSW build over one partition's vectors.  Returns
+    {local_idx: [nbr_lists per level]} and levels array."""
+    ml = 1.0 / math.log(m)
+    n = len(ids)
+    levels = np.array([int(-math.log(_hash_u(int(v))) * ml)
+                       for v in ids], dtype=np.int32)
+    nbrs: list[list[list[int]]] = [
+        [[] for _ in range(levels[i] + 1)] for i in range(n)]
+    max0 = 2 * m
+
+    def sims_to(q: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        return vecs[cand] @ q
+
+    entry = -1
+    top_level = -1
+    for i in range(n):  # insert in deterministic (sorted-id) order
+        li = int(levels[i])
+        if entry < 0:
+            entry, top_level = i, li
+            continue
+        q = vecs[i]
+        ep = entry
+        # greedy descent through levels above the new node's level
+        for lvl in range(top_level, li, -1):
+            changed = True
+            while changed:
+                changed = False
+                cand = np.array(nbrs[ep][lvl], dtype=np.int64)
+                if len(cand):
+                    s = sims_to(q, cand)
+                    j = int(np.argmax(s))
+                    if s[j] > float(vecs[ep] @ q):
+                        ep = int(cand[j])
+                        changed = True
+        # beam per level from min(li, top_level) down to 0
+        for lvl in range(min(li, top_level), -1, -1):
+            cap = max0 if lvl == 0 else m
+            # ef_construction beam search at this level
+            visited = {ep}
+            ep_sim = float(vecs[ep] @ q)
+            candidates = [(-ep_sim, ep)]           # max-heap by sim
+            best: list[tuple[float, int]] = [(ep_sim, ep)]  # min-heap
+            while candidates:
+                cs, c = heapq.heappop(candidates)
+                if -cs < best[0][0] and len(best) >= ef_construction:
+                    break
+                for nb in nbrs[c][lvl] if lvl < len(nbrs[c]) else ():
+                    if nb in visited:
+                        continue
+                    visited.add(nb)
+                    s = float(vecs[nb] @ q)
+                    if len(best) < ef_construction or s > best[0][0]:
+                        heapq.heappush(candidates, (-s, nb))
+                        heapq.heappush(best, (s, nb))
+                        if len(best) > ef_construction:
+                            heapq.heappop(best)
+            chosen = [b for _, b in sorted(best, reverse=True)[:m]]
+            nbrs[i][lvl] = list(chosen)
+            for nb in chosen:  # bidirectional + degree prune
+                lst = nbrs[nb][lvl]
+                lst.append(i)
+                limit = max0 if lvl == 0 else m
+                if len(lst) > limit:
+                    arr = np.array(lst, dtype=np.int64)
+                    s = sims_to(vecs[nb], arr)
+                    keep = arr[np.argsort(-s)[:limit]]
+                    nbrs[nb][lvl] = [int(x) for x in keep]
+            ep = chosen[0] if chosen else ep
+        if li > top_level:
+            entry, top_level = i, li
+    return levels, nbrs
+
+
+def hnsw_build(embeddings: DataFrame, m: int = 8,
+               ef_construction: int = 64, n_partitions: int | None = None,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Build the per-partition graph table.  ``n_partitions`` bounds
+    each graph's memory (the Lucene segment-size analog) — size it so
+    a partition's vectors + links fit one executor; the result is a
+    plain DataFrame to persist with ``partitionBy('gpart')`` so a
+    search reads all graphs in parallel with partition pruning."""
+    nparts = int(n_partitions or embeddings.rdd.getNumPartitions() or 4)
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(nparts)))
+        .cast("int").alias("gpart"))
+
+    mm, efc = int(m), int(ef_construction)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = _unit(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+        levels, nbrs = _build_graph(ids, vecs, mm, efc)
+        return pd.DataFrame({
+            "gpart": np.full(len(ids), int(key[0]), dtype=np.int32),
+            "vec_id": ids,
+            "vec": list(pdf["vec"]),
+            "level": levels,
+            "nbrs": [[[int(ids[x]) for x in lst] for lst in nbrs[i]]
+                     for i in range(len(ids))],
+        })
+
+    return src.groupBy("gpart").applyInPandas(build, GRAPH_SCHEMA)
+
+
+def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
+                ef: int = 64) -> DataFrame:
+    """Search every partition graph (one beam search per graph, in
+    parallel) and TakeOrdered-merge the per-graph top-k — exactly
+    Lucene's per-segment HNSW search + TopDocs.merge.  Returns
+    (vec_id, score) with cosine scores, ties broken by vec_id."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    kk, eff = int(k), max(int(ef), int(k))
+
+    def search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for g, grp in pdf.groupby("gpart"):
+                grp = grp.reset_index(drop=True)
+                ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                pos = {int(v): i for i, v in enumerate(ids)}
+                vecs = _unit(np.stack(grp["vec"].to_numpy())
+                             .astype(np.float64))
+                sims = vecs @ q
+                levels = grp["level"].to_numpy(dtype=np.int32)
+                entry = int(np.argmax(levels))
+                nbrs = grp["nbrs"]
+                ep = entry
+                for lvl in range(int(levels[entry]), 0, -1):
+                    changed = True
+                    while changed:
+                        changed = False
+                        lst = nbrs[ep]
+                        cand = ([pos[int(x)] for x in lst[lvl]]
+                                if lvl < len(lst) else [])
+                        for c in cand:
+                            if sims[c] > sims[ep]:
+                                ep = c
+                                changed = True
+                # beam of ef at level 0
+                visited = {ep}
+                candidates = [(-float(sims[ep]), ep)]
+                best = [(float(sims[ep]), ep)]
+                while candidates:
+                    cs, c = heapq.heappop(candidates)
+                    if -cs < best[0][0] and len(best) >= eff:
+                        break
+                    for x in (nbrs[c][0] if len(nbrs[c]) else ()):
+                        i = pos[int(x)]
+                        if i in visited:
+                            continue
+                        visited.add(i)
+                        s = float(sims[i])
+                        if len(best) < eff or s > best[0][0]:
+                            heapq.heappush(candidates, (-s, i))
+                            heapq.heappush(best, (s, i))
+                            if len(best) > eff:
+                                heapq.heappop(best)
+                top = sorted(best, key=lambda b: (-b[0], ids[b[1]]))[:kk]
+                yield pd.DataFrame({
+                    "vec_id": [int(ids[i]) for _, i in top],
+                    "score": [s for s, _ in top]})
+
+    out = graph.mapInPandas(search, "vec_id long, score double")
+    return out.orderBy(F.desc("score"), F.asc("vec_id")).limit(kk)

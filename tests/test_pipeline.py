@@ -445,3 +445,45 @@ def test_ann_serving_policy_router(spark):
     served = {r["vec_id"] for r in ann_serving_topk(
         rand, qv, 10, centroids=c_rand, quality=q_rand).collect()}
     assert len(exact & served) / 10 >= 0.9
+
+
+def test_hnsw_recall_and_determinism(spark):
+    """Per-partition HNSW (Lucene99HnswVectorsFormat's per-segment
+    model): recall@10 vs exact cosine >= 0.9 on BOTH the clustered
+    and the adversarial random fixtures; the hash-derived level
+    assignment makes the graph deterministic (two builds identical)."""
+    import numpy as np
+    from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+    from lucene_1_spark.pipeline.similarity import cosine_topk
+
+    def recall(emb, n_queries=5):
+        g = hnsw_build(emb, m=8, ef_construction=64, n_partitions=4)
+        g = g.persist()
+        g.count()
+        qs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+              for r in emb.filter(F.col("vec_id") < n_queries).collect()}
+        tot = 0.0
+        for qid, qv in qs.items():
+            exact = {r["vec_id"] for r in
+                     cosine_topk(emb, qv, 10).collect()}
+            approx = {r["vec_id"] for r in
+                      hnsw_search(g, qv, 10, ef=64).collect()}
+            tot += len(exact & approx) / 10
+        g.unpersist()
+        return tot / len(qs)
+
+    clus = _clustered_embeddings(spark)
+    assert recall(clus) >= 0.9
+    rng = np.random.RandomState(3)
+    rand = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.normal(size=(400, 24)))],
+        "vec_id long, embedding array<double>")
+    assert recall(rand) >= 0.9
+    # determinism: identical graphs across builds
+    g1 = hnsw_build(clus, m=8, ef_construction=32, n_partitions=2) \
+        .orderBy("vec_id").collect()
+    g2 = hnsw_build(clus, m=8, ef_construction=32, n_partitions=2) \
+        .orderBy("vec_id").collect()
+    assert [(r["vec_id"], r["level"], r["nbrs"]) for r in g1] == \
+           [(r["vec_id"], r["level"], r["nbrs"]) for r in g2]
