@@ -1331,20 +1331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _PAY_SEARCHERS: dict = {}
 
-    def ft_payload_score_topk(s, d):
-        """Per-position payload scoring END TO END
-        (``queries/payloads/PayloadScoreQuery.java`` — the .pay-file
-        slice): every token of the cleaned corpus gets the
-        deterministic payload (position % 5 + 1) via attach_payloads,
-        and the query scores docs containing 'window' by the MAX
-        payload over the term's matching positions.  Exact SQL twin:
-        positions are 0-based ordinals over the nonempty whitespace
-        tokens."""
+    def _pos_ws_searcher(s, d):
+        """Shared bootstrap: whitespace positions=True index over the
+        200-char cleaned text with per-token payloads attached (used by
+        ft_payload_score_topk and ft_complex_phrase_count)."""
         from lucene_1_spark.index import IndexReader, build_index
         from lucene_1_spark.index.builder import IndexConfig
         from lucene_1_spark.index.maintenance import attach_payloads
         from lucene_1_spark.search import IndexSearcher
-        from lucene_1_spark.search.query import PayloadScoreQuery
 
         key = os.path.abspath(d)
         if key not in _PAY_SEARCHERS:
@@ -1367,7 +1361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               positions=True)
             build_index(s, corpus, idx_dir, cfg)
             r = IndexReader(s, idx_dir)
-            # payload = position % 5 + 1 at every token position
             toks = (corpus
                     .select("path",
                             F.posexplode(F.split("content", r"\s+"))
@@ -1385,7 +1378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             prow.join(keyed, "path")
                             .select("doc_id", "position", "payload"))
             _PAY_SEARCHERS[key] = IndexSearcher(IndexReader(s, idx_dir))
-        se = _PAY_SEARCHERS[key]
+        return _PAY_SEARCHERS[key]
+
+    def ft_payload_score_topk(s, d):
+        """Per-position payload scoring END TO END
+        (``queries/payloads/PayloadScoreQuery.java`` — the .pay-file
+        slice): every token of the cleaned corpus gets the
+        deterministic payload (position % 5 + 1) via attach_payloads,
+        and the query scores docs containing 'window' by the MAX
+        payload over the term's matching positions.  Exact SQL twin:
+        positions are 0-based ordinals over the nonempty whitespace
+        tokens."""
+        from lucene_1_spark.search.query import PayloadScoreQuery
+
+        se = _pos_ws_searcher(s, d)
         top = se.search_df(PayloadScoreQuery("window", "max"), k=10) \
             .withColumn("rank", F.row_number().over(
                 W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
@@ -1395,6 +1401,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_payload_score_topk"] = ft_payload_score_topk
+
+    def ft_complex_phrase_count(s, d):
+        """ComplexPhraseQueryParser analog END TO END
+        (``queryparser/complexPhrase/ComplexPhraseQueryParser.java``):
+        wildcard atoms inside quoted phrases expand against the term
+        dictionary and run as MultiPhraseQuery adjacency.  Counts docs
+        matching '"wi* table"' and '"da* hash"'; the SQL twin checks
+        LIKE-prefixed term at position p and the literal at p+1."""
+        from lucene_1_spark.search.query import parse_complex_phrase
+
+        se = _pos_ws_searcher(s, d)
+        n1 = se.search_df(parse_complex_phrase(
+            '"wi* table"', analyzer="whitespace"), k=None).count()
+        n2 = se.search_df(parse_complex_phrase(
+            '"da* hash"', analyzer="whitespace"), k=None).count()
+        return s.createDataFrame([(n1, n2)],
+                                 "n_wi_table long, n_da_hash long")
+    q["ft_complex_phrase_count"] = ft_complex_phrase_count
 
     _LV_SEARCHERS: dict = {}
 
@@ -3601,6 +3625,31 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc
 ) WHERE rank <= 10
+"""
+
+    # complex phrase: prefix-expanded slot at position p, literal at
+    # p+1 (exact adjacency, positions = nonempty-token ordinals)
+    o["ft_complex_phrase_count"] = """
+WITH cdocs AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,200)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+raw AS (
+  SELECT doc_id, unnest(string_split_regex(c, ' ')) AS term,
+         generate_subscripts(string_split_regex(c, ' '), 1) AS i
+  FROM cdocs),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM raw WHERE term <> '')
+SELECT
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+   WHERE a.term LIKE 'wi%' AND b.term = 'table')::BIGINT AS n_wi_table,
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+   WHERE a.term LIKE 'da%' AND b.term = 'hash')::BIGINT AS n_da_hash
 """
 
     # arabic chain: normalize (translate) then prefix CASE then suffix

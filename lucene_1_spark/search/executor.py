@@ -42,7 +42,8 @@ from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.builder import FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ConstantScoreQuery,
+    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ComplexPhraseQuery,
+    ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
     CombinedFieldQuery, FeatureQuery, MultiTermQuery, Occur,
@@ -1785,6 +1786,26 @@ class IndexSearcher:
         executable — see :meth:`_flatten`)."""
         if isinstance(q, MultiTermQuery):
             return self.rewrite_multi_term(q)
+        if isinstance(q, ComplexPhraseQuery):
+            # ComplexPhraseQueryParser rewrite: expand each pattern
+            # slot against the term dictionary; an empty expansion
+            # empties the whole phrase (a required position with no
+            # matching terms can never match)
+            slots: list[tuple[str, ...]] = []
+            for s in q.slots:
+                if isinstance(s, TermQuery):
+                    slots.append((s.term,))
+                    continue
+                terms = self.expand_terms(self._multi_term_predicate(s))
+                if not terms:
+                    return MatchNoDocsQuery()
+                slots.append(tuple(terms))
+            if len(slots) == 1:
+                if len(slots[0]) == 1:
+                    return TermQuery(slots[0][0], q.boost, q.field)
+                return SynonymQuery(slots[0], q.boost)
+            return MultiPhraseQuery(tuple(slots), q.boost, q.slop,
+                                    q.field)
         if isinstance(q, BooleanQuery):
             new = tuple(Clause(self._expand_tree(c.query), c.occur)
                         for c in q.clauses)

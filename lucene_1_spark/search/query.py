@@ -293,6 +293,34 @@ class MultiPhraseQuery(Query):
         return self
 
 
+@dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """A phrase whose positions may hold UNEXPANDED multi-term atoms
+    (wildcard / prefix / fuzzy) — the
+    ``queryparser/complexPhrase/ComplexPhraseQueryParser.java`` query
+    shape (``"ja* smith"~2``).  The executor expands each pattern slot
+    against the term dictionary at rewrite time (bounded by
+    MAX_CLAUSE_COUNT, like every MultiTermQuery rewrite) and executes
+    the result as a MultiPhraseQuery; a slot whose pattern matches no
+    indexed term makes the whole phrase match nothing (the reference's
+    rewrite yields an empty disjunction there too).
+
+    ``slots``: one TermQuery or MultiTermQuery per phrase position."""
+    slots: tuple  # tuple[TermQuery | MultiTermQuery, ...]
+    slop: int = 0
+    boost: float = 1.0
+    field: str = "content"
+
+    def __post_init__(self):
+        if not self.slots:
+            raise ValueError("ComplexPhraseQuery needs >= 1 slot")
+        for s in self.slots:
+            if not isinstance(s, (TermQuery, MultiTermQuery)):
+                raise ValueError(
+                    f"slot must be TermQuery or a multi-term query, "
+                    f"got {type(s).__name__}")
+
+
 class MultiTermQuery(Query):
     """Marker base for term-dictionary-expanded queries
     (``search/MultiTermQuery.java:86-119``).  The executor rewrites a
@@ -533,6 +561,8 @@ def _apply_boost(q: Query, b: float) -> Query:
     if isinstance(q, MultiPhraseQuery):
         return MultiPhraseQuery(q.slots, q.boost * b, q.slop, q.field,
                                 q.positions)
+    if isinstance(q, ComplexPhraseQuery):
+        return ComplexPhraseQuery(q.slots, q.slop, q.boost * b, q.field)
     if isinstance(q, SynonymQuery):
         return SynonymQuery(q.terms, q.boost * b)
     if isinstance(q, ConstantScoreQuery):
@@ -676,7 +706,8 @@ def _word_atom(word: str, an, kw_fields: frozenset = frozenset(),
 
 def _parse_clauses(sc: _Scanner, an,
                    kw_fields: frozenset = frozenset(),
-                   text_fields: frozenset = frozenset()) -> Query:
+                   text_fields: frozenset = frozenset(),
+                   complex_phrases: bool = False) -> Query:
     clauses: list[Clause] = []
     pending: Occur | None = None
     last_op: str | None = None
@@ -701,7 +732,8 @@ def _parse_clauses(sc: _Scanner, an,
             break
         if ch == "(":
             sc.next()
-            sub = _parse_clauses(sc, an, kw_fields, text_fields)
+            sub = _parse_clauses(sc, an, kw_fields, text_fields,
+                                 complex_phrases)
             if sc.peek() == ")":
                 sc.next()
             _, boost = sc.read_suffix()
@@ -712,6 +744,29 @@ def _parse_clauses(sc: _Scanner, an,
             raw = sc.read_until('"')
             tilde, boost = sc.read_suffix()
             slop = max(tilde, 0) if tilde is not None else 0
+            if complex_phrases:
+                # ComplexPhraseQueryParser.java: each phrase word may
+                # be a wildcard/prefix/fuzzy atom; per-word boosts are
+                # ignored (slots carry no boost, as in MultiPhrase)
+                slots: list[Query] = []
+                for w in raw.split():
+                    a = _word_atom(w, an)
+                    if a is None:
+                        continue
+                    if isinstance(a, (TermQuery, MultiTermQuery)):
+                        slots.append(a)
+                    elif isinstance(a, BooleanQuery):
+                        slots.extend(c.query for c in a.clauses)
+                if any(isinstance(a, MultiTermQuery) for a in slots):
+                    push(ComplexPhraseQuery(tuple(slots), slop, boost))
+                elif len(slots) >= 2:
+                    push(PhraseQuery(
+                        tuple(t.term for t in slots), boost, slop))
+                elif slots:
+                    push(TermQuery(slots[0].term, boost))
+                else:
+                    push(None)
+                continue
             terms = an.tokens(raw)
             if len(terms) >= 2:
                 push(PhraseQuery(tuple(terms), boost, slop))
@@ -778,7 +833,8 @@ def _parse_clauses(sc: _Scanner, an,
 
 def parse_query(text: str, analyzer: str = "standard",
                 keyword_fields: frozenset | set | tuple = (),
-                text_fields: frozenset | set | tuple = ()) -> Query:
+                text_fields: frozenset | set | tuple = (),
+                complex_phrases: bool = False) -> Query:
     """Classic-syntax query parser — the role of
     ``queryparser/classic/QueryParser.jj:196-320`` (the reference's
     user-facing entry point, ``demo/SearchFiles.java:109-120``):
@@ -795,10 +851,24 @@ def parse_query(text: str, analyzer: str = "standard",
 
     Analyzed atoms (terms, phrases) run through the same analyzer as
     indexing; multi-term atoms (wildcard/fuzzy/range/regexp) are only
-    lowercase-normalized, as in QueryParserBase."""
+    lowercase-normalized, as in QueryParserBase.
+    With ``complex_phrases=True`` quoted phrases may embed wildcard /
+    prefix / fuzzy atoms per position
+    (``queryparser/complexPhrase/ComplexPhraseQueryParser.java`` —
+    ``"ja* smith"~2``), expanded against the term dictionary at
+    executor rewrite time into a MultiPhraseQuery."""
     return _parse_clauses(_Scanner(text), get_analyzer(analyzer),
                           frozenset(keyword_fields),
-                          frozenset(text_fields))
+                          frozenset(text_fields), complex_phrases)
+
+
+def parse_complex_phrase(text: str, analyzer: str = "standard",
+                         keyword_fields: frozenset | set | tuple = (),
+                         text_fields: frozenset | set | tuple = ()) -> Query:
+    """The ComplexPhraseQueryParser entry point: classic syntax with
+    wildcard/prefix/fuzzy atoms allowed INSIDE quoted phrases."""
+    return parse_query(text, analyzer, keyword_fields, text_fields,
+                       complex_phrases=True)
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,66 @@ def test_multiphrase_serializer_roundtrip():
     q = MultiPhraseQuery((("a", "b"), ("c",)), boost=2.0, slop=1,
                          positions=(0, 2))
     assert query_from_dict(query_to_dict(q)) == q
+
+
+def test_complex_phrase_parser_end_to_end(spark, tmp_root):
+    """ComplexPhraseQueryParser analog
+    (queryparser/complexPhrase/ComplexPhraseQueryParser.java):
+    wildcard/prefix/fuzzy atoms INSIDE quoted phrases expand against
+    the term dictionary at rewrite time and execute as a
+    MultiPhraseQuery — results equal the hand-built MultiPhraseQuery
+    over the same expansions."""
+    import os
+
+    import pandas as pd
+
+    from lucene_1_spark.index import IndexBuilder, IndexReader
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+    from lucene_1_spark.search.query import (MultiPhraseQuery,
+                                             parse_complex_phrase)
+    pdf = pd.DataFrame([
+        ("r", "d0", "c", "x", "jaguar smith hunts"),
+        ("r", "d1", "c", "x", "jammed smith stalls"),
+        ("r", "d2", "c", "x", "jaguar runs smith"),
+        ("r", "d3", "c", "x", "other jaxon smith"),
+        ("r", "d4", "c", "x", "zebra smith"),
+    ], columns=["repo", "path", "commit", "lang", "content"])
+    d = os.path.join(tmp_root, "idx_complexphrase")
+    IndexBuilder(spark, d, IndexConfig(analyzer="whitespace", n_buckets=4,
+                                       n_doc_partitions=2,
+                                       positions=True)) \
+        .build(spark.createDataFrame(pdf))
+    s = IndexSearcher(IndexReader(spark, d))
+
+    def paths(q, **kw):
+        m = s.search_df(q, k=None, **kw)
+        docs = s.reader.docs().select("doc_id", "path")
+        return {r["path"] for r in m.join(docs, "doc_id").collect()}
+
+    # exact adjacency: a ja*-term immediately before smith
+    q = parse_complex_phrase('"ja* smith"', analyzer="whitespace")
+    assert paths(q) == {"d0", "d1", "d3"}
+    # equals the hand-expanded MultiPhraseQuery (scores too)
+    mpq = MultiPhraseQuery(((("jaguar", "jammed", "jaxon"), ("smith",))))
+    got = {(r["doc_id"], round(float(r["score"]), 5))
+           for r in s.search_df(q, k=None).collect()}
+    want = {(r["doc_id"], round(float(r["score"]), 5))
+            for r in s.search_df(mpq, k=None).collect()}
+    assert got == want
+    # slop lets jaguar ... smith match at distance
+    q2 = parse_complex_phrase('"ja* smith"~1', analyzer="whitespace")
+    assert paths(q2) == {"d0", "d1", "d2", "d3"}
+    # fuzzy atom inside a phrase
+    q3 = parse_complex_phrase('"jaguar~1 smith"', analyzer="whitespace")
+    assert "d0" in paths(q3)
+    # a pattern matching NO indexed term empties the phrase
+    q4 = parse_complex_phrase('"zz* smith"', analyzer="whitespace")
+    assert paths(q4) == set()
+    # plain quoted phrase still parses as PhraseQuery semantics
+    q5 = parse_complex_phrase('"jaguar smith"', analyzer="whitespace")
+    assert paths(q5) == {"d0"}
+    # composes as a boolean clause
+    q6 = parse_complex_phrase('+"ja* smith" -stalls',
+                              analyzer="whitespace")
+    assert paths(q6) == {"d0", "d3"}
