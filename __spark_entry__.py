@@ -1420,6 +1420,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "n_wi_table long, n_da_hash long")
     q["ft_complex_phrase_count"] = ft_complex_phrase_count
 
+    def ft_span_near_count(s, d):
+        """Span queries END TO END (queries/spans facade over the
+        intervals algebra, ``queries/spans/SpanNearQuery.java``):
+        ordered near (window .. table, slop 2) + unordered near
+        (data .. hash, slop 1) doc counts; the SQL twin checks pair
+        existence over ordinal token positions (for two terms,
+        a minimal interval with <= slop gaps exists iff some position
+        pair is within slop+1)."""
+        from lucene_1_spark.search.spans import (SpanNearQuery,
+                                                 SpanTermQuery,
+                                                 span_matches)
+        se = _pos_ws_searcher(s, d)
+        n1 = span_matches(se, SpanNearQuery(
+            (SpanTermQuery("window"), SpanTermQuery("table")),
+            slop=2, in_order=True)).count()
+        n2 = span_matches(se, SpanNearQuery(
+            (SpanTermQuery("data"), SpanTermQuery("hash")),
+            slop=1, in_order=False)).count()
+        return s.createDataFrame([(n1, n2)],
+                                 "n_ordered long, n_unordered long")
+    q["ft_span_near_count"] = ft_span_near_count
+
     _LV_SEARCHERS: dict = {}
 
     def ft_lv_stem_topk(s, d):
@@ -3650,6 +3672,32 @@ SELECT
   (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
     ON a.doc_id = b.doc_id AND b.p = a.p + 1
    WHERE a.term LIKE 'da%' AND b.term = 'hash')::BIGINT AS n_da_hash
+"""
+
+    # span near: pair-existence over ordinal token positions
+    o["ft_span_near_count"] = """
+WITH cdocs AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,200)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+raw AS (
+  SELECT doc_id, unnest(string_split_regex(c, ' ')) AS term,
+         generate_subscripts(string_split_regex(c, ' '), 1) AS i
+  FROM cdocs),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM raw WHERE term <> '')
+SELECT
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   WHERE a.term = 'window' AND b.term = 'table'
+     AND b.p > a.p AND b.p - a.p <= 3)::BIGINT AS n_ordered,
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   WHERE a.term = 'data' AND b.term = 'hash'
+     AND a.p <> b.p AND abs(a.p - b.p) <= 2)::BIGINT AS n_unordered
 """
 
     # arabic chain: normalize (translate) then prefix CASE then suffix
