@@ -24,6 +24,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -329,7 +331,7 @@ def ann_serving_topk(embeddings: DataFrame, query_vec: list[float],
                      k: int = 10, centroids: np.ndarray | None = None,
                      assigned: DataFrame | None = None,
                      quality: float | None = None,
-                     min_quality: float = 0.55,
+                     min_quality: float | None = None,
                      nprobe: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      **lsh_kwargs) -> DataFrame:
@@ -356,14 +358,28 @@ def ann_serving_topk(embeddings: DataFrame, query_vec: list[float],
 def choose_ann_route(embeddings: DataFrame,
                      centroids: np.ndarray | None,
                      quality: float | None = None,
-                     min_quality: float = 0.55,
+                     min_quality: float | None = None,
                      vec_col: str = "embedding") -> str:
     """'ivf' when a quantizer exists and its :func:`ivf_quality`
-    clears ``min_quality``, else 'lsh'."""
+    clears ``min_quality``, else 'lsh'.
+
+    The default threshold ADAPTS to (C, dim): for RANDOM unit vectors
+    the expected best-of-C centroid cosine concentrates around
+    ``sqrt(2 ln C / dim)`` (the Gaussian extreme-value bound for C
+    near-orthogonal projections), so a quantizer that captured no
+    structure measures ≈ that baseline regardless of dimension — a
+    fixed absolute cutoff misreads high-dim clustered data as random
+    and low-dim random data as clustered.  Default = 1.25 × baseline:
+    quality must beat the no-structure expectation by 25% before IVF
+    probes are trusted."""
     if centroids is None:
         return "lsh"
+    cents = np.asarray(centroids, dtype=np.float64)
     if quality is None:
         quality = ivf_quality(embeddings, centroids, vec_col=vec_col)
+    if min_quality is None:
+        c, dim = max(cents.shape[0], 2), max(cents.shape[1], 1)
+        min_quality = 1.25 * math.sqrt(2.0 * math.log(c) / dim)
     return "ivf" if quality >= float(min_quality) else "lsh"
 
 

@@ -423,13 +423,15 @@ def test_ann_serving_policy_router(spark):
                                                     choose_ann_route,
                                                     cosine_topk,
                                                     ivf_fit, ivf_quality)
-    # adversarial: unit Gaussians, no cluster structure
+    # adversarial: unit Gaussians, no cluster structure (64-dim, the
+    # bench fixture shape — the adaptive threshold must separate the
+    # no-structure baseline sqrt(2 ln C / d) from real clusters)
     rng = np.random.RandomState(11)
     rand = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in
-         enumerate(rng.normal(size=(300, 32)))],
+         enumerate(rng.normal(size=(300, 64)))],
         "vec_id long, embedding array<double>")
-    clus = _clustered_embeddings(spark)
+    clus = _clustered_embeddings(spark, dim=64)
     c_rand = ivf_fit(rand, n_centroids=8, iters=2)
     c_clus = ivf_fit(clus, n_centroids=8, iters=2)
     q_rand = ivf_quality(rand, c_rand)
