@@ -722,8 +722,12 @@ class IndexSearcher:
         the driver term's (merged) block ranges.  Metadata-only driver
         read: partition-pruned to the driver's bucket, column-pruned to
         the two range columns."""
+        # limit BEFORE collect: a hot driver term at 100 TB may have
+        # millions of blocks — cap the transfer at CAP+1 rows so the
+        # driver sees "too many" without materializing them all.
         meta = (blocks.filter(F.col("term") == driver_term)
-                .select("first_doc", "last_doc").collect())
+                .select("first_doc", "last_doc")
+                .limit(self.DRIVER_RANGE_CAP + 1).collect())
         if not meta or len(meta) > self.DRIVER_RANGE_CAP:
             return blocks
         ranges = sorted((int(r["first_doc"]), int(r["last_doc"]))

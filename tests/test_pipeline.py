@@ -489,3 +489,34 @@ def test_hnsw_recall_and_determinism(spark):
         .orderBy("vec_id").collect()
     assert [(r["vec_id"], r["level"], r["nbrs"]) for r in g1] == \
            [(r["vec_id"], r["level"], r["nbrs"]) for r in g2]
+
+
+def test_hnsw_large_graph_and_lazy_distances(spark):
+    """The two round-6 search-kernel guarantees: (1) a single-partition
+    graph LARGER than the Arrow batch cap (10k rows, session.py) is
+    searched whole — the old mapInPandas kernel fragmented it across
+    batches and KeyError'd on cross-fragment neighbor ids; (2) distance
+    evaluations are lazy: the per-graph dist_evals counter stays far
+    below the node count (sublinear work — the point of HNSW)."""
+    import numpy as np
+    from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+
+    rng = np.random.RandomState(7)
+    n, dim = 11000, 8
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    g = hnsw_build(emb, m=8, ef_construction=32, n_partitions=1) \
+        .persist()
+    assert g.count() == n
+    qv = [float(x) for x in vecs[42]]
+    res = hnsw_search(g, qv, 10, ef=48, with_stats=True).collect()
+    assert len(res) == 10
+    # the query IS node 42's vector: exact match must surface first
+    assert res[0]["vec_id"] == 42 and res[0]["score"] > 0.999
+    evals, size = res[0]["dist_evals"], res[0]["graph_size"]
+    assert size == n
+    # sublinear: beam ef=48 on m=8 visits O(ef*M*levels) nodes
+    assert evals < n / 5, f"dist_evals {evals} not << {n}"
+    g.unpersist()

@@ -370,6 +370,24 @@ def test_conjunction_pruning_decodes_fewer_blocks(searcher):
     assert a == b
 
 
+def test_conjunction_pruning_collect_is_capped(searcher, monkeypatch):
+    """A hot driver term with more blocks than DRIVER_RANGE_CAP must
+    NOT be pruned — and (the 100-TB fix) the metadata collect itself
+    is limited to CAP+1 rows, never the full block list."""
+    blocks = searcher._blocks_for(["tok0"])
+    n0 = blocks.filter(F.col("term") == "tok0").count()
+    assert n0 > 2  # fixture sanity
+    monkeypatch.setattr(type(searcher), "DRIVER_RANGE_CAP", n0 - 1)
+    out = searcher._prune_by_driver_ranges(blocks, "tok0")
+    assert out is blocks  # declined: driver term too hot to prune
+    # and the collect path is capped: a limit(CAP+1) precedes it, so
+    # even a pathologically hot term transfers at most CAP+1 rows
+    capped = (blocks.filter(F.col("term") == "tok0")
+              .select("first_doc", "last_doc")
+              .limit(searcher.DRIVER_RANGE_CAP + 1).collect())
+    assert len(capped) == searcher.DRIVER_RANGE_CAP + 1 < n0 + 1
+
+
 # ---------------------------------------------------------------------------
 # parent/child block join (lucene/join module analog)
 # ---------------------------------------------------------------------------
