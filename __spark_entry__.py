@@ -2278,6 +2278,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_ann_topk(e, qv, cents, k=10, nprobe=8)
     q["sim_ivf_full_probe"] = sim_ivf_full_probe
 
+    def sim_lsh_index_topk(s, d):
+        """Persisted-bucket LSH serving (lsh_assign -> lsh_index_topk,
+        the partition-pruned L-table layout): probing ALL 2^bits
+        buckets makes the candidate set exhaustive, so the result must
+        equal the exact cosine top-k — proving the index/probe plumbing
+        end-to-end in the oracle gate (partial-probe pruning is plan-
+        audited in tools/explain_audit.py + pytest)."""
+        from lucene_1_spark.pipeline.similarity import (lsh_assign,
+                                                        lsh_index_topk)
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        dim = len(qv)
+        idx = lsh_assign(e, dim=dim, bits=4, tables=2)
+        return lsh_index_topk(idx, qv, k=10, bits=4, tables=2,
+                              multiprobe=15)  # all 16 buckets probed
+    q["sim_lsh_index_topk"] = sim_lsh_index_topk
+
     def sim_ivf_ann_topk(s, d):  # approximate — rows-only (no oracle)
         """IVF partial probe (nprobe=2 of 8 lists, ~1/4 scan)."""
         from lucene_1_spark.pipeline.similarity import ivf_ann_topk, ivf_fit
@@ -4496,6 +4515,9 @@ ORDER BY c DESC, vec_id ASC LIMIT 10"""
 
     # IVF at full probe scans every inverted list == exact cosine
     o["sim_ivf_full_probe"] = o["sim_cosine_topk"]
+
+    # LSH index probed at ALL buckets == exhaustive candidates == exact
+    o["sim_lsh_index_topk"] = o["sim_cosine_topk"]
 
     # pre-filtered kNN: exact top-k among docs containing 'spark'
     o["knn_filtered_topk"] = f"""

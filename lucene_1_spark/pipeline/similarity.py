@@ -111,6 +111,29 @@ def _perturbation_probes(qsig: int, margins: np.ndarray,
     return out
 
 
+def _query_probes(query_vec: list[float], bits: int, tables: int,
+                  multiprobe: int, seed: int) -> list[list[int]]:
+    """Per-table probe buckets for a query: its own signature plus the
+    ``multiprobe`` best perturbation-set flips (shared by the full-scan
+    and the persisted-index LSH paths, so both probe IDENTICAL
+    buckets)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    dim = len(query_vec)
+    out: list[list[int]] = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + 97 * t)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qv, p)) >= 0:
+                qsig |= 1 << i
+        probes = {qsig}
+        if multiprobe > 0:
+            margins = np.abs(planes @ qv)
+            probes.update(_perturbation_probes(qsig, margins, multiprobe))
+        out.append(sorted(int(p) for p in probes))
+    return out
+
+
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              bits: int | None = None, multiprobe: int = 8,
              tables: int | None = None,
@@ -154,25 +177,89 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     if tables is None:
         tables = 8
     dim = len(query_vec)
-    qv = np.asarray(query_vec, dtype=np.float64)
+    per_table = _query_probes(query_vec, bits, tables, multiprobe, seed)
     cond = None
     bucketed = embeddings
     for t in range(tables):
         planes = hyperplanes(dim, bits, seed + 97 * t)
-        qsig = 0
-        for i, p in enumerate(planes):
-            if float(np.dot(qv, p)) >= 0:
-                qsig |= 1 << i
-        probes = {qsig}
-        if multiprobe > 0:
-            margins = np.abs(planes @ qv)
-            probes.update(_perturbation_probes(qsig, margins, multiprobe))
         col = f"_bucket_{t}"
         bucketed = bucketed.withColumn(col, lsh_bucket_col(vec_col, planes))
-        c = F.col(col).isin([int(p) for p in probes])
+        c = F.col(col).isin(per_table[t])
         cond = c if cond is None else cond | c
     cand = bucketed.filter(cond)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_assign(embeddings: DataFrame, dim: int | None = None,
+               bits: int = 8, tables: int = 8, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               include_vec: bool = True) -> DataFrame:
+    """Persisted LSH bucket index — the :func:`ivf_assign` analog for
+    the LSH serving path: LONG-form rows (table, bucket, vec_id[, vec]),
+    all ``tables`` signatures computed in ONE scan over the base table
+    and exploded.  Write the result ``partitionBy('table', 'bucket')``:
+    every probe of every table is then a PARTITION-PRUNED read (the
+    classic L-table LSH layout), so steady-state serving never
+    full-scans signatures the way per-query :func:`ann_topk` does.
+
+    ``include_vec=True`` stores the vector beside each index row
+    (storage x ``tables`` — the classic L-table space/time trade; int8
+    quantization claws most of it back) so serving needs no join back
+    to the base table; ``False`` keeps an id-only index and serving
+    semi-joins the probed candidate ids into ``embeddings``.
+
+    ``bits``/``tables``/``seed`` must match between assign time and
+    :func:`lsh_index_topk` probe time — same contract as IVF centroids.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    entries = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + 97 * t)
+        entries.append(F.struct(
+            F.lit(t).cast("int").alias("table"),
+            lsh_bucket_col(vec_col, planes).alias("bucket")))
+    keep = [F.col(id_col)] + ([F.col(vec_col)] if include_vec else [])
+    return (embeddings
+            .select(*keep, F.explode(F.array(*entries)).alias("_tb"))
+            .select(F.col("_tb.table").alias("table"),
+                    F.col("_tb.bucket").alias("bucket"), *[
+                        F.col(id_col)] + (
+                        [F.col(vec_col)] if include_vec else [])))
+
+
+def lsh_index_topk(index: DataFrame, query_vec: list[float], k: int = 10,
+                   bits: int = 8, tables: int = 8, multiprobe: int = 8,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   embeddings: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k over a PERSISTED :func:`lsh_assign` index.
+
+    The probe predicate references ONLY the (table, bucket) partition
+    columns — a disjunction of per-table bucket-membership conjuncts —
+    so a parquet index written ``partitionBy('table','bucket')`` reads
+    just the probed directories (plan shows ``PartitionFilters``), the
+    exact analog of :func:`ivf_ann_topk` over a pre-assigned table.
+    Probes are computed by the same :func:`_query_probes` as
+    :func:`ann_topk`, so the candidate set — and therefore recall — is
+    IDENTICAL to the full-scan path at equal (bits, tables, multiprobe,
+    seed)."""
+    per_table = _query_probes(query_vec, bits, tables, multiprobe, seed)
+    cond = None
+    for t, probes in enumerate(per_table):
+        c = (F.col("table") == t) & F.col("bucket").isin(probes)
+        cond = c if cond is None else cond | c
+    cand = index.filter(cond)
+    if vec_col in index.columns:
+        cand = cand.dropDuplicates([id_col]).select(id_col, vec_col)
+        return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    if embeddings is None:
+        raise ValueError("id-only LSH index needs the base `embeddings` "
+                         "table to fetch vectors for rescoring")
+    ids = cand.select(id_col).distinct()
+    # candidate set is ~ tables*(1+multiprobe)*bucket_size — broadcast
+    fetched = embeddings.join(F.broadcast(ids), id_col, "left_semi")
+    return cosine_topk(fetched, query_vec, k, id_col, vec_col)
 
 
 def ann_recall_at_k(embeddings: DataFrame, query_ids: list[int],
@@ -333,6 +420,7 @@ def ann_serving_topk(embeddings: DataFrame, query_vec: list[float],
                      quality: float | None = None,
                      min_quality: float | None = None,
                      nprobe: int = 2,
+                     lsh_index: DataFrame | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      **lsh_kwargs) -> DataFrame:
     """SERVING POLICY router over the two ANN paths: IVF probes are
@@ -344,13 +432,26 @@ def ann_serving_topk(embeddings: DataFrame, query_vec: list[float],
     partition-pruned IVF probe.  Pass ``quality`` precomputed at fit
     time to keep serving latency probe-only; without it the score is
     measured once here (a full-scan aggregate — fit-time work leaking
-    into the first call, not the steady state)."""
+    into the first call, not the steady state).  Pass ``lsh_index`` (a
+    persisted :func:`lsh_assign` table, written
+    ``partitionBy('table','bucket')``) so the LSH route probes
+    partitions instead of full-scanning signatures — the steady-state
+    serving shape for the no-structure regime."""
     route = choose_ann_route(embeddings, centroids, quality=quality,
                              min_quality=min_quality, vec_col=vec_col)
     if route == "ivf":
         return ivf_ann_topk(embeddings, query_vec, centroids, k,
                             nprobe=nprobe, id_col=id_col,
                             vec_col=vec_col, assigned=assigned)
+    if lsh_index is not None:
+        # steady-state serving: partition-pruned probe of the
+        # persisted lsh_assign index, never a full signature scan
+        return lsh_index_topk(lsh_index, query_vec, k,
+                              id_col=id_col, vec_col=vec_col,
+                              embeddings=embeddings,
+                              **{kk_: v for kk_, v in lsh_kwargs.items()
+                                 if kk_ in ("bits", "tables", "multiprobe",
+                                            "seed")})
     return ann_topk(embeddings, query_vec, k, id_col=id_col,
                     vec_col=vec_col, **lsh_kwargs)
 

@@ -449,6 +449,55 @@ def test_ann_serving_policy_router(spark):
     assert len(exact & served) / 10 >= 0.9
 
 
+def test_lsh_persisted_index_serving(spark, tmp_path):
+    """lsh_assign (the ivf_assign analog): persisted long-form
+    (table, bucket) index, written partitionBy('table','bucket').
+    Probing it (1) is PARTITION-PRUNED — the scan plan shows
+    PartitionFilters on the probed buckets, no signature full-scan —
+    and (2) returns results IDENTICAL to the full-scan ann_topk at
+    equal (bits, tables, multiprobe, seed), so recall is unchanged."""
+    import numpy as np
+    from lucene_1_spark.pipeline.similarity import (
+        ann_serving_topk, ann_topk, lsh_assign, lsh_index_topk)
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.normal(size=(400, 16)))],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "lsh_idx")
+    lsh_assign(emb, dim=16, bits=6, tables=4) \
+        .write.partitionBy("table", "bucket").parquet(path)
+    back = spark.read.parquet(path)
+    qv = [float(x) for x in rng.normal(size=16)]
+    kw = dict(bits=6, tables=4, multiprobe=4)
+    full = [(r["vec_id"], r["cosine"]) for r in
+            ann_topk(emb, qv, 10, **kw).collect()]
+    served = [(r["vec_id"], r["cosine"]) for r in
+              lsh_index_topk(back, qv, 10, **kw).collect()]
+    assert served == full and len(full) == 10
+    # plan: the probe reads only the probed (table,bucket) partitions
+    plan = lsh_index_topk(back, qv, 10, **kw)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(table" in plan and "(bucket" in plan or \
+        "table#" in plan.split("PartitionFilters: [", 1)[1][:400]
+    # id-only index: semi-join fetch path gives the same answer
+    path2 = str(tmp_path / "lsh_idx_ids")
+    lsh_assign(emb, dim=16, bits=6, tables=4, include_vec=False) \
+        .write.partitionBy("table", "bucket").parquet(path2)
+    back2 = spark.read.parquet(path2)
+    served2 = [(r["vec_id"], r["cosine"]) for r in
+               lsh_index_topk(back2, qv, 10, embeddings=emb,
+                              **kw).collect()]
+    assert served2 == full
+    # router: no centroids + lsh_index -> the pruned path, same answer
+    routed = [(r["vec_id"], r["cosine"]) for r in
+              ann_serving_topk(emb, qv, 10, centroids=None,
+                               lsh_index=back, **kw).collect()]
+    assert routed == full
+
+
 def test_hnsw_recall_and_determinism(spark):
     """Per-partition HNSW (Lucene99HnswVectorsFormat's per-segment
     model): recall@10 vs exact cosine >= 0.9 on BOTH the clustered

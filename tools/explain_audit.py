@@ -173,6 +173,26 @@ def main() -> int:
     p = plan_of(lookup(sugg, "to", k=5))
     ok &= audit("suggest_take_ordered", p, ["TakeOrderedAndProject"])
 
+    # 13. persisted LSH index probe: the (table,bucket) disjunction is
+    # all-partition-column, so the scan partition-prunes to the probed
+    # buckets — the steady-state ANN serving shape (no signature scan)
+    from lucene_1_spark.pipeline.similarity import lsh_assign, lsh_index_topk
+    lsh_dir = os.path.join(tempfile.gettempdir(), "l1s_audit_lsh")
+    if not os.path.exists(os.path.join(lsh_dir, "_SUCCESS")):
+        emb2 = spark.range(500).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[((F.col("id") * p % 1000) / 500.0 - 1.0)
+                      for p in (7919, 104729, 1299709, 15485863)])
+            .alias("embedding"))
+        lsh_assign(emb2, dim=4, bits=4, tables=2) \
+            .write.mode("overwrite").partitionBy("table", "bucket") \
+            .parquet(lsh_dir)
+    lsh_idx = spark.read.parquet(lsh_dir)
+    p = plan_of(lsh_index_topk(lsh_idx, [0.1, -0.2, 0.3, 0.4], k=5,
+                               bits=4, tables=2, multiprobe=2))
+    ok &= audit("lsh_index_partition_pruning", p,
+                ["PartitionFilters: [", "TakeOrderedAndProject"])
+
     print("ALL PASS" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
