@@ -119,6 +119,41 @@ def _classic_searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+_LMD_SEARCHERS: dict[str, object] = {}
+
+
+def _lmd_searcher(spark: SparkSession, sf_dir: str, similarity: str):
+    """One extra index built with lm_dirichlet_double, served under any
+    requested double similarity via the searcher-level override (the
+    ``IndexSearcher.setSimilarity`` analog — all double similarities
+    share exact32 norms, so one index feeds both the LMDirichlet and
+    the BooleanSimilarity entries).  Cached per (sf_dir, similarity)."""
+    from lucene_1_spark.index import IndexReader, build_index
+    from lucene_1_spark.index.builder import IndexConfig
+    from lucene_1_spark.search import IndexSearcher
+
+    key = (os.path.abspath(sf_dir), similarity)
+    if key in _LMD_SEARCHERS:
+        return _LMD_SEARCHERS[key]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), "l1s_driver_lmd_v1",
+        hashlib.md5(key[0].encode()).hexdigest()[:12])
+    corpus = _docs(spark, sf_dir).select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    cfg = IndexConfig(analyzer="whitespace",
+                      similarity="lm_dirichlet_double",
+                      n_buckets=8, n_doc_partitions=8)
+    build_index(spark, corpus, idx_dir, cfg)
+    s = IndexSearcher(IndexReader(spark, idx_dir), similarity=similarity)
+    _LMD_SEARCHERS[key] = s
+    return s
+
+
 _MUT_SEARCHERS: dict[str, object] = {}
 
 
@@ -1722,6 +1757,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_classic_topk"] = ft_classic_topk
+
+    def ft_lmd_topk(s, d):
+        """LMDirichletSimilarity top-10 (similarities/
+        LMDirichletSimilarity.java:60-90): per term
+        max(0, ln(1 + tf/(mu*P(t|C))) + ln(mu/(len+mu))), mu=2000,
+        P(t|C) = (ttf+1)/(sumTotalTermFreq+1), summed over terms."""
+        se = _lmd_searcher(s, d, "lm_dirichlet_double")
+        top = se.search_df("spark merge window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_lmd_topk"] = ft_lmd_topk
+
+    def ft_boolean_sim_topk(s, d):
+        """BooleanSimilarity (similarities/BooleanSimilarity.java):
+        each matching clause scores exactly its boost — served from the
+        SAME index as ft_lmd_topk via the searcher-level similarity
+        override (setSimilarity analog; exact32 norms are shared)."""
+        se = _lmd_searcher(s, d, "boolean_double")
+        top = se.search_df("spark merge^2 window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_boolean_sim_topk"] = ft_boolean_sim_topk
 
     def ft_dv_range_filter(s, d):
         """Doc-values numeric range as a FILTER clause: bm25('spark')
@@ -4155,6 +4218,42 @@ sc AS (
   JOIN df ON tf.term = df.term CROSS JOIN st
   WHERE tf.term IN ('spark', 'merge', 'window')
   GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # LMDirichlet: sum over terms of
+    # max(0, ln(1 + tf/(mu*P(t|C))) + ln(mu/(len+mu))), mu=2000,
+    # P(t|C) = (ttf+1)/(sumTotalTermFreq+1)
+    o["ft_lmd_topk"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT sum(len)::DOUBLE AS tot FROM dl),
+cf AS (SELECT term, sum(freq)::DOUBLE AS ttf FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(greatest(0.0,
+             ln(1 + tf.freq / (2000.0 * ((cf.ttf + 1) / (st.tot + 1))))
+             + ln(2000.0 / (dl.len + 2000.0)))) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN cf ON tf.term = cf.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # BooleanSimilarity: each matched clause scores its boost
+    # (spark^1, merge^2, window^1)
+    o["ft_boolean_sim_topk"] = f"""
+WITH {_TOKS},
+pres AS (SELECT DISTINCT doc_id, term FROM toks
+         WHERE term IN ('spark', 'merge', 'window')),
+sc AS (SELECT doc_id,
+              sum(CASE WHEN term = 'merge' THEN 2.0 ELSE 1.0
+                  END)::DOUBLE AS s
+       FROM pres GROUP BY doc_id)
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""

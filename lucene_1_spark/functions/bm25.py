@@ -99,6 +99,41 @@ def score_term_classic(freq: np.ndarray, lengths: np.ndarray,
     return weight * np.sqrt(f) / np.sqrt(ln)
 
 
+MU_DEFAULT = 2000.0
+
+
+def collection_prob(total_term_freq: int, sum_total_term_freq: int) -> float:
+    """LM collection model P(t|C) — ``search/similarities/
+    LMSimilarity.java`` DefaultCollectionModel.computeProbability:
+    ``(totalTermFreq + 1) / (sumTotalTermFreq + 1)`` (the +1s keep the
+    probability nonzero for absent terms).  Double precision — the
+    lm_dirichlet_double similarity is SQL-oracle exact."""
+    return (float(total_term_freq) + 1.0) / \
+        (float(sum_total_term_freq) + 1.0)
+
+
+def score_term_lm_dirichlet(freq: np.ndarray, lengths: np.ndarray,
+                            weight: float, p_c: float,
+                            mu: float = MU_DEFAULT) -> np.ndarray:
+    """LM with Dirichlet smoothing — ``search/similarities/
+    LMDirichletSimilarity.java:60-90``:
+    ``boost * (log(1 + freq/(mu * P(t|C))) + log(mu/(docLen + mu)))``,
+    clamped at 0 (the reference clamps because a doc shorter than the
+    collection expectation can push the smoothed term below the
+    background model).  Exact field lengths, double precision."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.asarray(lengths, dtype=np.float64)
+    s = weight * (np.log1p(f / (mu * p_c)) + np.log(mu / (ln + mu)))
+    return np.maximum(s, 0.0)
+
+
+def score_term_boolean(n: int, weight: float) -> np.ndarray:
+    """``search/similarities/BooleanSimilarity.java``: every matching
+    doc scores exactly the query boost — frequency and length play no
+    part (the set-membership similarity)."""
+    return np.full(int(n), float(weight), dtype=np.float64)
+
+
 def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
     """Sum aligned per-term float32 score arrays in float64, cast to float32."""
     acc = np.zeros(len(per_term_scores[0]), dtype=np.float64)

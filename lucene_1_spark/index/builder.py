@@ -144,7 +144,12 @@ class IndexConfig:
     #                    SQL-oracle-reproducible similarity);
     # "classic_double" = ClassicSimilarity (TF-IDF: sqrt(tf) * idf^2 *
     #                    1/sqrt(len)) in double precision — the third
-    #                    pluggable Similarity (SURVEY.md §2.11)
+    #                    pluggable Similarity (SURVEY.md §2.11);
+    # "lm_dirichlet_double" = LMDirichletSimilarity (query-likelihood
+    #                    LM with Dirichlet smoothing, mu=2000 —
+    #                    ``similarities/LMDirichletSimilarity.java``);
+    # "boolean_double" = BooleanSimilarity (score == query boost,
+    #                    ``similarities/BooleanSimilarity.java``)
     similarity: str = "bm25_float32"
     # how the range-shuffled source is shared by the two kernel passes:
     # "persist"     — cache executor-side (MEMORY_AND_DISK).  Right for
@@ -173,8 +178,7 @@ class IndexConfig:
 
     @property
     def norms_encoding(self) -> str:
-        return "exact32" if self.similarity in ("bm25_double",
-                                                "classic_double") else "byte4"
+        return "byte4" if self.similarity == "bm25_float32" else "exact32"
 
 
 def range_partition(source: DataFrame, cfg: IndexConfig, base: int = 0):

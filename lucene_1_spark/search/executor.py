@@ -189,16 +189,41 @@ class LRUQueryCache:
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, similarity: str | None = None):
+        """``similarity`` overrides the index's build-time similarity —
+        the ``IndexSearcher.setSimilarity`` analog.  Only legal within
+        the same norms encoding: the double similarities (bm25_double /
+        classic_double / lm_dirichlet_double / boolean_double) share
+        exact uint32 lengths and are freely interchangeable;
+        bm25_float32 indexes carry byte4-quantized norms no other
+        similarity can read."""
         self.reader = reader
         self.spark = reader.spark
         st = reader.stats
-        self.similarity = reader.cfg.get("similarity", "bm25_float32")
+        built = reader.cfg.get("similarity", "bm25_float32")
+        self.similarity = similarity or built
+        if similarity and ((similarity == "bm25_float32")
+                           != (built == "bm25_float32")):
+            raise ValueError(
+                f"similarity '{similarity}' cannot read an index built "
+                f"with '{built}' (norms encodings differ: byte4 vs "
+                f"exact32)")
         # double_mode = exact uint32 norms + double arithmetic/output;
-        # classic additionally swaps the scoring curve (TF-IDF)
-        self.double_mode = self.similarity in ("bm25_double",
-                                               "classic_double")
+        # non-bm25 kinds additionally swap the scoring curve — the
+        # pluggable-Similarity registry (SURVEY.md §2.11; reference
+        # ``search/similarities/``: BM25Similarity, ClassicSimilarity,
+        # LMDirichletSimilarity, BooleanSimilarity)
+        _KINDS = {"bm25_float32": "bm25", "bm25_double": "bm25",
+                  "classic_double": "classic",
+                  "lm_dirichlet_double": "lmd",
+                  "boolean_double": "boolean"}
+        if self.similarity not in _KINDS:
+            raise ValueError(f"unknown similarity '{self.similarity}' "
+                             f"(supported: {sorted(_KINDS)})")
+        self.score_kind = _KINDS[self.similarity]
+        self.double_mode = self.similarity != "bm25_float32"
         self.classic = self.similarity == "classic_double"
+        self.mu = float(reader.cfg.get("lm_mu", bm25.MU_DEFAULT))
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
         if self.double_mode:
@@ -236,6 +261,36 @@ class IndexSearcher:
                              f"(keyword_fields={sorted(self.keyword_fields)})")
         dc = max(int(fs["doc_count"]), 1)
         return int(fs["doc_count"]), float(fs["sum_total_term_freq"]) / dc
+
+    def _idf_weight(self, boost: float, doc_freq: int, fdc: int) -> float:
+        """boost × the similarity's document-independent term factor:
+        idf for bm25, idf² for classic (TFIDFSimilarity's weight
+        value), plain boost for LM Dirichlet (its doc-independent
+        parts live in the per-doc formula) and boolean (constant
+        score == boost)."""
+        if self.score_kind == "classic":
+            return boost * bm25.idf_classic(doc_freq, fdc) ** 2
+        if self.score_kind in ("lmd", "boolean"):
+            return float(boost)
+        if self.double_mode:
+            return boost * bm25.idf_double(doc_freq, fdc)
+        return float(bm25.term_weight(doc_freq, fdc, boost))
+
+    def _collection_prob(self, term_key: str,
+                         ttf: int | None = None) -> float:
+        """P(term | collection) for the LM similarities — per-FIELD
+        sum_total_term_freq for composite keyword/text-field terms
+        (``Similarity.java:152`` per-field stats)."""
+        if ttf is None:
+            ttf = self.reader.term_statistics([term_key]).get(
+                term_key, (0, 0))[1]
+        if FIELD_SEP in term_key:
+            fld = term_key.split(FIELD_SEP, 1)[0]
+            fs = (self.reader.manifest.get("field_stats") or {}).get(fld)
+            sttf = int(fs["sum_total_term_freq"]) if fs else 0
+        else:
+            sttf = int(self.reader.stats["sum_total_term_freq"])
+        return bm25.collection_prob(int(ttf), sttf)
 
     def _per_term_field_maps(self, terms) -> tuple[dict, dict]:
         """({term: norm-cache}, {term: avgdl}) overrides for composite
@@ -370,6 +425,11 @@ class IndexSearcher:
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
         classic = self.classic
+        kind, mu = self.score_kind, self.mu
+        # LM Dirichlet needs each term's collection probability — the
+        # stats were already seeked (memoized) by the query-prep path
+        probs = {t: self._collection_prob(t) for t in weights} \
+            if (want_scores and kind == "lmd") else {}
         # per-term field overrides (keyword fields have their own avgdl
         # / norm-inverse cache); empty for content-only queries
         caches, avgdls = self._per_term_field_maps(weights) \
@@ -391,6 +451,13 @@ class IndexSearcher:
                             if classic:
                                 s = bm25.score_term_classic(
                                     freqs, lens, weights[row.term])
+                            elif kind == "lmd":
+                                s = bm25.score_term_lm_dirichlet(
+                                    freqs, lens, weights[row.term],
+                                    probs[row.term], mu)
+                            elif kind == "boolean":
+                                s = bm25.score_term_boolean(
+                                    n, weights[row.term])
                             else:
                                 s = bm25.score_term_double(
                                     freqs, lens, weights[row.term],
@@ -595,12 +662,7 @@ class IndexSearcher:
         weights: dict[str, float] = {}
         for t in scoring:
             fdc, _ = self._field_params(t.term)  # per-field docCount idf
-            if self.classic:
-                w = t.boost * bm25.idf_classic(stats[t.term][0], fdc) ** 2
-            elif self.double_mode:
-                w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
-            else:
-                w = float(bm25.term_weight(stats[t.term][0], fdc, t.boost))
+            w = self._idf_weight(t.boost, stats[t.term][0], fdc)
             weights[t.term] = weights.get(t.term, 0.0) + w
         filter_only_terms = [t for t in filters if t.term not in weights] + \
             [t for g in filter_groups for t in g if t.term not in weights]
@@ -624,11 +686,12 @@ class IndexSearcher:
         # Block-max pruning (WAND/MaxScore analog) — only where the bound
         # is sound: pure disjunctions (no complex sub-plans, whose scores
         # block metadata cannot bound) with no pagination cursor.
-        # classic (TF-IDF) scores are not bounded by the BM25 block-max
-        # ub formula, so WAND pruning stays off under that similarity
+        # non-BM25 scores (classic TF-IDF, LM Dirichlet, boolean) are
+        # not bounded by the BM25 block-max ub formula, so WAND pruning
+        # stays off under those similarities
         use_prune = (prune and k is not None and not must and not mnot
                      and not filters and not must_groups and not filter_groups
-                     and not cx_parts and not self.classic
+                     and not cx_parts and self.score_kind == "bm25"
                      and not any(FIELD_SEP in t for t in weights)
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
@@ -930,10 +993,19 @@ class IndexSearcher:
         anchor_term = slots[0][0]
         fdc, _ = self._field_params(anchor_term)
         ordered_terms = [t for s in slots for t in s]
+        lm_probs: list[float] = []
         if self.classic:
             weight = boost * sum(
                 bm25.idf_classic(stats[t][0], fdc)
                 for t in ordered_terms) ** 2
+        elif self.score_kind in ("lmd", "boolean"):
+            # LMD phrases: SimilarityBase builds one BasicStats per
+            # member term and sums per-stat scores of the SAME phrase
+            # freq (MultiSimScorer); boolean phrases score the boost
+            weight = float(boost)
+            if self.score_kind == "lmd":
+                lm_probs = [self._collection_prob(t, ttf=stats[t][1])
+                            for t in ordered_terms]
         elif self.double_mode:
             weight = boost * sum(
                 bm25.idf_double(stats[t][0], fdc) for t in ordered_terms)
@@ -1109,6 +1181,19 @@ class IndexSearcher:
             if self.classic:
                 score_d = (F.lit(weight) * F.sqrt(F.col("pf"))
                            / F.sqrt(F.greatest(ln, F.lit(1.0))))
+            elif self.score_kind == "lmd":
+                # per-member-term LMD of the phrase freq, summed
+                # (MultiSimScorer), each component clamped at 0
+                mu = self.mu
+                comps = [F.greatest(F.lit(0.0), F.lit(weight) * (
+                    F.log1p(F.col("pf") / F.lit(mu * p))
+                    + F.log(F.lit(mu) / (ln + F.lit(mu)))))
+                    for p in lm_probs]
+                score_d = comps[0]
+                for c in comps[1:]:
+                    score_d = score_d + c
+            elif self.score_kind == "boolean":
+                score_d = F.lit(weight)
             else:
                 score_d = (F.lit(weight) * F.col("pf")
                            / (F.col("pf") + k1 * ((1 - b) + b * ln / avgdl)))
@@ -1309,14 +1394,13 @@ class IndexSearcher:
         if not present:
             return empty
         merged_df = max(stats[t][0] for t in present)
-        if self.classic:
-            weight = q.boost * bm25.idf_classic(merged_df,
-                                                self.doc_count) ** 2
-        elif self.double_mode:
-            weight = q.boost * bm25.idf_double(merged_df, self.doc_count)
-        else:
-            weight = float(np.float32(np.float32(q.boost)
-                                      * bm25.idf(merged_df, self.doc_count)))
+        weight = self._idf_weight(q.boost, merged_df, self.doc_count)
+        # SynonymQuery merges term stats with totalTermFreq SUMMED
+        # (``SynonymQuery.java:212-228``) — the LM collection prob of
+        # the pseudo-term uses the merged ttf
+        syn_p = self._collection_prob(
+            present[0], ttf=sum(stats[t][1] for t in present)) \
+            if self.score_kind == "lmd" else 0.0
 
         # decode raw (doc_id, freq, norm_val) for all member terms
         FREQ_SCHEMA = T.StructType([
@@ -1354,6 +1438,7 @@ class IndexSearcher:
         from pyspark.sql.functions import pandas_udf
 
         classic = self.classic
+        kind, mu = self.score_kind, self.mu
 
         @pandas_udf("double")
         def syn_score(freq: pd.Series, norm_val: pd.Series) -> pd.Series:
@@ -1362,6 +1447,11 @@ class IndexSearcher:
                 ln = norm_val.to_numpy(dtype=np.float64)
                 if classic:
                     s = bm25.score_term_classic(f, ln, weight)
+                elif kind == "lmd":
+                    s = bm25.score_term_lm_dirichlet(f, ln, weight,
+                                                     syn_p, mu)
+                elif kind == "boolean":
+                    s = bm25.score_term_boolean(len(f), weight)
                 else:
                     s = weight * f / (f + k1 * ((1 - b) + b * ln / avgdl))
             else:
@@ -1397,7 +1487,7 @@ class IndexSearcher:
         so the plan is a semi-join + agg, no per-field re-scoring."""
         empty = self.spark.createDataFrame(
             [], f"doc_id long, score {'double' if self.double_mode else 'float'}")
-        if self.classic:
+        if self.score_kind != "bm25":
             raise NotImplementedError(
                 "CombinedFieldQuery is defined for the BM25 "
                 "similarities (reference scores through BM25's "
@@ -1896,6 +1986,12 @@ class IndexSearcher:
                 if self.classic:
                     s = float(bm25.score_term_classic(
                         np.array([freq]), np.array([norm_len]), weight)[0])
+                elif self.score_kind == "lmd":
+                    s = float(bm25.score_term_lm_dirichlet(
+                        np.array([freq]), np.array([norm_len]), weight,
+                        self._collection_prob(term_key), self.mu)[0])
+                elif self.score_kind == "boolean":
+                    s = float(weight)
                 else:
                     s = float(bm25.score_term_double(
                         np.array([freq]), np.array([norm_len]), weight,
@@ -1945,13 +2041,7 @@ class IndexSearcher:
 
             def term_weight_of(t: TermQuery) -> float:
                 fdc, _ = self._field_params(t.term)
-                if self.classic:
-                    return t.boost * bm25.idf_classic(stats[t.term][0],
-                                                      fdc) ** 2
-                if self.double_mode:
-                    return t.boost * bm25.idf_double(stats[t.term][0], fdc)
-                return float(bm25.term_weight(stats[t.term][0], fdc,
-                                              t.boost))
+                return self._idf_weight(t.boost, stats[t.term][0], fdc)
 
             for occ, terms in (("MUST", fl.must), ("SHOULD", fl.should),
                                ("FILTER", fl.filters)):
@@ -2139,14 +2229,7 @@ class IndexSearcher:
                 w_by_term: dict[str, float] = {}
                 for t in scoring:
                     fdc, _ = self._field_params(t.term)
-                    if self.classic:
-                        w = t.boost * bm25.idf_classic(stats[t.term][0],
-                                                       fdc) ** 2
-                    elif self.double_mode:
-                        w = t.boost * bm25.idf_double(stats[t.term][0], fdc)
-                    else:
-                        w = float(bm25.term_weight(stats[t.term][0],
-                                                   fdc, t.boost))
+                    w = self._idf_weight(t.boost, stats[t.term][0], fdc)
                     w_by_term[t.term] = w_by_term.get(t.term, 0.0) + w
                 req = sorted({t.term for t in must}
                              | {t.term for t in filters})
@@ -2218,6 +2301,9 @@ class IndexSearcher:
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
         classic = self.classic
+        kind, mu = self.score_kind, self.mu
+        probs = {t: self._collection_prob(t) for t in qweights} \
+            if kind == "lmd" else {}
         caches, avgdls = self._per_term_field_maps(qweights)
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2247,6 +2333,12 @@ class IndexSearcher:
                                 if classic:
                                     s = bm25.score_term_classic(
                                         freqs, lens, wgt)
+                                elif kind == "lmd":
+                                    s = bm25.score_term_lm_dirichlet(
+                                        freqs, lens, wgt,
+                                        probs[row.term], mu)
+                                elif kind == "boolean":
+                                    s = bm25.score_term_boolean(n, wgt)
                                 else:
                                     s = bm25.score_term_double(
                                         freqs, lens, wgt,
