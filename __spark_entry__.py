@@ -1786,6 +1786,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_boolean_sim_topk"] = ft_boolean_sim_topk
 
+    def ft_simple_parse_topk(s, d):
+        """SimpleQueryParser analog (queryparser/simple/
+        SimpleQueryParser.java): lenient grammar, never throws.
+        'spark + merge window' parses to (spark AND merge) OR window
+        (infix +, implicit default-OR), scored as summed BM25 of the
+        matching disjuncts."""
+        from lucene_1_spark.search.simple_parser import parse_simple
+        se = _searcher(s, d)
+        qq = parse_simple("spark + merge window", analyzer="whitespace")
+        top = se.search_df(qq, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_simple_parse_topk"] = ft_simple_parse_topk
+
     def ft_dv_range_filter(s, d):
         """Doc-values numeric range as a FILTER clause: bm25('spark')
         restricted to docs with 100 <= token length <= 300."""
@@ -4257,6 +4274,28 @@ sc AS (SELECT doc_id,
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # SimpleQueryParser 'spark + merge window' ==
+    # (spark AND merge) OR window; matching disjuncts' BM25 sums
+    o["ft_simple_parse_topk"] = f"""
+WITH {_BM25_CTES},
+sm AS (SELECT doc_id FROM tf WHERE term = 'spark'
+       INTERSECT SELECT doc_id FROM tf WHERE term = 'merge'),
+sc AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term = 'window' THEN {_score_expr()}
+                  WHEN tf.doc_id IN (SELECT doc_id FROM sm)
+                       THEN {_score_expr()}
+                  ELSE 0 END) AS s,
+         max(CASE WHEN tf.term = 'window' THEN 1 ELSE 0 END) AS hw
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc WHERE hw = 1 OR doc_id IN (SELECT doc_id FROM sm))
+WHERE rank <= 10"""
 
     # doc-values range FILTER: bm25(spark) over docs with 100<=len<=300
     o["ft_dv_range_filter"] = f"""
