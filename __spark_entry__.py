@@ -2332,6 +2332,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hnsw_search(g, qv, k=10, ef=64)
     q["sim_hnsw_topk"] = sim_hnsw_topk
 
+    def sim_hnsw_quant_topk(s, d):  # approximate — rows-only (no oracle)
+        """int8 scalar-quantized HNSW + full-precision rescore
+        (Lucene99HnswScalarQuantizedVectorsFormat.java analog,
+        pipeline/quantize.py): the graph table stores array<tinyint>
+        vectors (~8x smaller), beam distances run on dequantized
+        approximations, and the global top k*3 candidates are
+        re-scored with exact cosine against the base table."""
+        from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+        from lucene_1_spark.pipeline.quantize import scalar_quantize_fit
+        e = _emb(s, d).select("vec_id", F.col("embedding")
+                              .cast("array<double>").alias("embedding"))
+        qv = [float(x) for x in
+              e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        mn, mx = scalar_quantize_fit(e)
+        g = hnsw_build(e, m=8, ef_construction=64, n_partitions=4,
+                       quant=(mn, mx))
+        return hnsw_search(g, qv, k=10, ef=64, quant=(mn, mx), rescore=e)
+    q["sim_hnsw_quant_topk"] = sim_hnsw_quant_topk
+
     def knn_filtered_topk(s, d):
         """Pre-filtered kNN (KnnFloatVectorQuery.java:46): exact cosine
         top-k among docs whose text contains 'spark' (vec_id == doc_id

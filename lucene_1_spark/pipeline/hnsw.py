@@ -49,6 +49,17 @@ GRAPH_SCHEMA = T.StructType([
     T.StructField("nbrs", T.ArrayType(T.ArrayType(T.LongType()))),
 ])
 
+# int8 scalar-quantized variant (Lucene99HnswScalarQuantizedVectors-
+# Format analog): the vector column is 8x smaller; graph construction
+# still runs at full precision, only STORAGE is quantized
+GRAPH_SCHEMA_Q = T.StructType([
+    T.StructField("gpart", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("vec_q", T.ArrayType(T.ByteType())),
+    T.StructField("level", T.IntegerType()),
+    T.StructField("nbrs", T.ArrayType(T.ArrayType(T.LongType()))),
+])
+
 _HASH_MOD = 1 << 52
 
 
@@ -146,12 +157,21 @@ def _build_graph(ids: np.ndarray, vecs: np.ndarray, m: int,
 def hnsw_build(embeddings: DataFrame, m: int = 8,
                ef_construction: int = 64, n_partitions: int | None = None,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               quant: tuple | None = None) -> DataFrame:
     """Build the per-partition graph table.  ``n_partitions`` bounds
     each graph's memory (the Lucene segment-size analog) — size it so
     a partition's vectors + links fit one executor; the result is a
     plain DataFrame to persist with ``partitionBy('gpart')`` so a
-    search reads all graphs in parallel with partition pruning."""
+    search reads all graphs in parallel with partition pruning.
+
+    ``quant=(min, max)`` (from
+    :func:`lucene_1_spark.pipeline.quantize.scalar_quantize_fit`)
+    stores int8 scalar-quantized vectors instead of float64 — the
+    Lucene99HnswScalarQuantizedVectorsFormat analog, ~8x smaller
+    vector storage; the graph itself is still CONSTRUCTED at full
+    precision, and :func:`hnsw_search` re-scores survivors at full
+    precision when given the base table."""
     nparts = int(n_partitions or embeddings.rdd.getNumPartitions() or 4)
     src = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -160,26 +180,41 @@ def hnsw_build(embeddings: DataFrame, m: int = 8,
         .cast("int").alias("gpart"))
 
     mm, efc = int(m), int(ef_construction)
+    if quant is not None:
+        from lucene_1_spark.pipeline.quantize import quantize_np
+        qmn = np.asarray(quant[0], dtype=np.float64)
+        qmx = np.asarray(quant[1], dtype=np.float64)
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         vecs = _unit(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
         levels, nbrs = _build_graph(ids, vecs, mm, efc)
-        return pd.DataFrame({
+        out = {
             "gpart": np.full(len(ids), int(key[0]), dtype=np.int32),
             "vec_id": ids,
-            "vec": list(pdf["vec"]),
             "level": levels,
             "nbrs": [[[int(ids[x]) for x in lst] for lst in nbrs[i]]
                      for i in range(len(ids))],
-        })
+        }
+        if quant is not None:
+            q = quantize_np(vecs, qmn, qmx)
+            out["vec_q"] = [[int(b) for b in row] for row in q]
+        else:
+            out["vec"] = list(pdf["vec"])
+        return pd.DataFrame(out)
 
-    return src.groupBy("gpart").applyInPandas(build, GRAPH_SCHEMA)
+    schema = GRAPH_SCHEMA_Q if quant is not None else GRAPH_SCHEMA
+    return src.groupBy("gpart").applyInPandas(build, schema)
 
 
 def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
-                ef: int = 64, with_stats: bool = False) -> DataFrame:
+                ef: int = 64, with_stats: bool = False,
+                quant: tuple | None = None,
+                rescore: DataFrame | None = None,
+                rescore_factor: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
     """Search every partition graph (one beam search per graph, in
     parallel) and TakeOrdered-merge the per-graph top-k — exactly
     Lucene's per-segment HNSW search + TopDocs.merge
@@ -198,10 +233,22 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
       the entire point of HNSW.  ``with_stats=True`` exposes
       ``dist_evals``/``graph_size`` per graph so tests can assert
       evaluations ≪ nodes.
-    """
+
+    For an int8-quantized graph (built with ``quant``), pass the same
+    ``quant=(min, max)`` here — beam distances run on dequantized
+    approximations — and optionally ``rescore`` = the full-precision
+    base table: the global top ``k * rescore_factor`` quantized
+    candidates are then re-scored with exact cosine (the reference's
+    two-phase quantized search), so the final scores are exact."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     kk, eff = int(k), max(int(ef), int(k))
+    pool = kk * max(int(rescore_factor), 1) if rescore is not None else kk
+    eff = max(eff, pool)
+    if quant is not None:
+        from lucene_1_spark.pipeline.quantize import dequantize_np
+        qmn = np.asarray(quant[0], dtype=np.float64)
+        qmx = np.asarray(quant[1], dtype=np.float64)
 
     out_schema = ("gpart int, vec_id long, score double, "
                   "dist_evals long, graph_size long")
@@ -211,7 +258,7 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
         n = len(pdf)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         pos = {int(v): i for i, v in enumerate(ids)}
-        raw = pdf["vec"].to_numpy()
+        raw = pdf["vec_q" if quant is not None else "vec"].to_numpy()
         levels = pdf["level"].to_numpy(dtype=np.int32)
         nbrs = pdf["nbrs"].tolist()
         sims = np.full(n, np.nan, dtype=np.float64)
@@ -223,6 +270,8 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
             if todo:
                 mat = np.stack([np.asarray(raw[i], dtype=np.float64)
                                 for i in todo])
+                if quant is not None:
+                    mat = dequantize_np(mat, qmn, qmx)
                 nrm = np.linalg.norm(mat, axis=1)
                 nrm[nrm == 0] = 1.0
                 sims[todo] = (mat @ q) / nrm
@@ -267,7 +316,7 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
                     heapq.heappush(best, (s, i))
                     if len(best) > eff:
                         heapq.heappop(best)
-        top = sorted(best, key=lambda b: (-b[0], ids[b[1]]))[:kk]
+        top = sorted(best, key=lambda b: (-b[0], ids[b[1]]))[:pool]
         evals = int(np.count_nonzero(~np.isnan(sims)))
         return pd.DataFrame({
             "gpart": np.full(len(top), int(key[0]), dtype=np.int32),
@@ -278,7 +327,31 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
         })
 
     out = graph.groupBy("gpart").applyInPandas(search, out_schema)
-    res = out.orderBy(F.desc("score"), F.asc("vec_id")).limit(kk)
+    if rescore is not None:
+        # two-phase quantized search: global top pool by approximate
+        # (dequantized) score, then exact full-precision cosine on the
+        # survivors only — JVM column math, broadcast candidate join
+        cand = (out.orderBy(F.desc("score"), F.asc("vec_id"))
+                .limit(pool)
+                .select("gpart", "vec_id", "dist_evals", "graph_size"))
+        base = rescore.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"))
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        dot = F.aggregate(F.zip_with(F.col("_v"), qlit,
+                                     lambda a, b: a * b),
+                          F.lit(0.0).cast("double"),
+                          lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_v"), lambda a, b: a * b),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+        exact = (base.join(F.broadcast(cand), "vec_id")
+                 .withColumn("score",
+                             dot / F.when(nrm == 0, 1.0).otherwise(nrm))
+                 .drop("_v"))
+        res = exact.orderBy(F.desc("score"), F.asc("vec_id")).limit(kk)
+    else:
+        res = out.orderBy(F.desc("score"), F.asc("vec_id")).limit(kk)
     if with_stats:
         return res
     return res.select("vec_id", "score")

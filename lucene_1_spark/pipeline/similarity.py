@@ -340,9 +340,18 @@ def ivf_fit(embeddings: DataFrame, n_centroids: int = 16, iters: int = 3,
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               quant: tuple | None = None) -> DataFrame:
     """Add the coarse-quantizer ``cluster`` column (write the result
-    ``partitionBy('cluster')`` at scale for partition-pruned probes)."""
+    ``partitionBy('cluster')`` at scale for partition-pruned probes).
+
+    ``quant=(min, max)`` (from
+    :func:`lucene_1_spark.pipeline.quantize.scalar_quantize_fit`)
+    additionally REPLACES the float vector column with an int8
+    ``vec_q`` column (Lucene99ScalarQuantizedVectorsFormat analog):
+    the persisted posting lists are ~8x smaller, and
+    :func:`ivf_ann_topk` re-scores survivors at full precision from
+    the base table."""
     from pyspark.sql.functions import pandas_udf
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -354,14 +363,23 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
         m = _unit_rows(np.stack(vs.to_numpy()).astype(np.float64))
         return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
 
-    return embeddings.withColumn(
+    out = embeddings.withColumn(
         "cluster", nearest(F.col(vec_col).cast("array<double>")))
+    if quant is not None:
+        from lucene_1_spark.pipeline.quantize import quantize_col
+        out = (out.withColumn("vec_q",
+                              quantize_col(vec_col, quant[0], quant[1]))
+               .drop(vec_col))
+    return out
 
 
 def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
                  centroids: np.ndarray, k: int = 10, nprobe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 assigned: DataFrame | None = None) -> DataFrame:
+                 assigned: DataFrame | None = None,
+                 quant: tuple | None = None,
+                 rescore: DataFrame | None = None,
+                 rescore_factor: int = 3) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroid lists
     nearest the query, exact cosine within the probed fraction
     (~nprobe/C of the data).  ``nprobe = len(centroids)`` scans every
@@ -382,6 +400,21 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
     base = assigned if assigned is not None \
         else ivf_assign(embeddings, cents, vec_col)
     cand = base.filter(F.col("cluster").isin(probes))
+    if quant is not None and "vec_q" in cand.columns:
+        # int8 posting lists: rank probed candidates on JVM-dequantized
+        # approximations, then (optionally) exact-rescore the top pool
+        # against the full-precision base table — two-phase quantized
+        # search (Lucene99HnswScalarQuantizedVectorsFormat pattern)
+        from lucene_1_spark.pipeline.quantize import dequantize_col
+        dec = cand.withColumn("_vd", dequantize_col(
+            "vec_q", quant[0], quant[1]))
+        if rescore is None:
+            return cosine_topk(dec, query_vec, k, id_col, "_vd")
+        pool = int(k) * max(int(rescore_factor), 1)
+        approx = cosine_topk(dec, query_vec, pool, id_col, "_vd")
+        survivors = rescore.join(
+            F.broadcast(approx.select(id_col)), id_col)
+        return cosine_topk(survivors, query_vec, k, id_col, vec_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

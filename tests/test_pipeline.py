@@ -569,3 +569,137 @@ def test_hnsw_large_graph_and_lazy_distances(spark):
     # sublinear: beam ef=48 on m=8 visits O(ef*M*levels) nodes
     assert evals < n / 5, f"dist_evals {evals} not << {n}"
     g.unpersist()
+
+
+def test_scalar_quantize_roundtrip_and_column_parity(spark):
+    """int8 scalar quantization (Lucene99ScalarQuantizedVectorsFormat
+    analog, pipeline/quantize.py): (1) decode error per dim is bounded
+    by half a quantization step; (2) the JVM column encoder produces
+    byte-identical codes to the numpy mirror."""
+    import numpy as np
+    from lucene_1_spark.pipeline.quantize import (
+        scalar_quantize_fit, quantize_np, dequantize_np, quantize_col)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    mn, mx = scalar_quantize_fit(emb)
+    assert mn.shape == (16,) and np.all(mx >= mn)
+    q = quantize_np(vecs, mn, mx)
+    assert q.dtype == np.int8
+    dec = dequantize_np(q.astype(np.float64), mn, mx)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    step = (mx - mn) / 255.0
+    assert np.all(np.abs(dec - unit) <= step / 2 + 1e-9)
+    # JVM column parity with the numpy mirror
+    got = (emb.select("vec_id", quantize_col("embedding", mn, mx)
+                      .alias("q")).orderBy("vec_id").collect())
+    jvm = np.asarray([r["q"] for r in got], dtype=np.int8)
+    assert np.array_equal(jvm, q)
+
+
+def test_hnsw_quantized_recall_and_size(spark, tmp_path):
+    """Quantized HNSW (Lucene99HnswScalarQuantizedVectorsFormat
+    analog): (1) recall@10 with int8 vectors + full-precision rescore
+    >= 0.95x the unquantized recall on BOTH fixtures; (2) the stored
+    vector column is >= 4x smaller on disk; (3) with rescore= the
+    final scores are EXACT cosine (match the base table to 1e-12)."""
+    import numpy as np
+    from lucene_1_spark.pipeline.hnsw import hnsw_build, hnsw_search
+    from lucene_1_spark.pipeline.quantize import scalar_quantize_fit
+    from lucene_1_spark.pipeline.similarity import cosine_topk
+
+    def recalls(emb, n_queries=5):
+        mn, mx = scalar_quantize_fit(emb)
+        g = hnsw_build(emb, m=8, ef_construction=64,
+                       n_partitions=4).persist()
+        gq = hnsw_build(emb, m=8, ef_construction=64, n_partitions=4,
+                        quant=(mn, mx)).persist()
+        g.count(), gq.count()
+        qs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+              for r in emb.filter(F.col("vec_id") < n_queries).collect()}
+        tot_f, tot_q = 0.0, 0.0
+        for qid, qv in qs.items():
+            exact = {r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()}
+            full = {r["vec_id"] for r in hnsw_search(g, qv, 10, ef=64).collect()}
+            quant = {r["vec_id"] for r in
+                     hnsw_search(gq, qv, 10, ef=64, quant=(mn, mx),
+                                 rescore=emb).collect()}
+            tot_f += len(exact & full) / 10
+            tot_q += len(exact & quant) / 10
+        g.unpersist(); gq.unpersist()
+        return tot_f / len(qs), tot_q / len(qs), gq, (mn, mx)
+
+    clus = _clustered_embeddings(spark)
+    rf, rq, _, _ = recalls(clus)
+    assert rq >= 0.95 * rf, f"quantized recall {rq} < 0.95*{rf}"
+    rng = np.random.RandomState(5)
+    rand = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.normal(size=(400, 24)))],
+        "vec_id long, embedding array<double>")
+    rf2, rq2, _, _ = recalls(rand)
+    assert rq2 >= 0.95 * rf2, f"quantized recall {rq2} < 0.95*{rf2}"
+
+    # storage: vector column >= 4x smaller on disk (parquet)
+    mn, mx = scalar_quantize_fit(rand)
+    g = hnsw_build(rand, m=8, ef_construction=32, n_partitions=2)
+    gq = hnsw_build(rand, m=8, ef_construction=32, n_partitions=2,
+                    quant=(mn, mx))
+    pf, pq = str(tmp_path / "full"), str(tmp_path / "quant")
+    g.select("vec").write.mode("overwrite").parquet(pf)
+    gq.select("vec_q").write.mode("overwrite").parquet(pq)
+
+    def _bytes(p):
+        import os
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs
+                   if f.endswith(".parquet"))
+    bf, bq = _bytes(pf), _bytes(pq)
+    assert bf >= 4 * bq, f"full {bf}B not >= 4x quantized {bq}B"
+
+    # exact rescore: returned scores == exact cosine from the base table
+    qv = [float(x) for x in rand.filter(F.col("vec_id") == 7)
+          .first()["embedding"]]
+    gqp = gq.persist(); gqp.count()
+    got = {r["vec_id"]: r["score"] for r in
+           hnsw_search(gqp, qv, 10, ef=64, quant=(mn, mx),
+                       rescore=rand).collect()}
+    base = {r["vec_id"]: np.asarray(r["embedding"]) for r in rand.collect()}
+    qn = np.asarray(qv) / np.linalg.norm(qv)
+    for vid, s in got.items():
+        exact = float(base[vid] @ qn / np.linalg.norm(base[vid]))
+        assert abs(s - exact) < 1e-12
+    gqp.unpersist()
+
+
+def test_ivf_quantized_full_probe_with_rescore_equals_exact(spark):
+    """int8-quantized IVF posting lists + full-precision rescore: a
+    full probe (nprobe = n_centroids) with rescore= must reproduce the
+    exact cosine top-k bit-for-bit, and the assigned table must carry
+    NO float vector column (storage actually shrank)."""
+    from lucene_1_spark.pipeline.similarity import (
+        cosine_topk, ivf_ann_topk, ivf_assign, ivf_fit)
+    from lucene_1_spark.pipeline.quantize import scalar_quantize_fit
+    e = _clustered_embeddings(spark)
+    qv = [float(x) for x in e.filter("vec_id = 7").first()["embedding"]]
+    cents = ivf_fit(e, n_centroids=8, iters=2)
+    mn, mx = scalar_quantize_fit(e)
+    assigned = ivf_assign(e, cents, quant=(mn, mx))
+    assert "embedding" not in assigned.columns
+    assert "vec_q" in assigned.columns
+    assert dict(assigned.dtypes)["vec_q"] == "array<tinyint>"
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(e, qv, k=10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_ann_topk(e, qv, cents, k=10, nprobe=8,
+                                 assigned=assigned, quant=(mn, mx),
+                                 rescore=e).collect()]
+    assert got == exact
+    # without rescore the scores are approximate but ids still overlap
+    approx = {r["vec_id"] for r in
+              ivf_ann_topk(e, qv, cents, k=10, nprobe=8,
+                           assigned=assigned, quant=(mn, mx)).collect()}
+    assert len(approx & {i for i, _ in exact}) >= 9
