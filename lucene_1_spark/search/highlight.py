@@ -51,51 +51,150 @@ def query_terms(q: Query) -> set[str]:
     return set()
 
 
+def query_phrases(q: Query) -> set[tuple[str, ...]]:
+    """Exact (slop-0) phrases in a query tree — the highlighter's
+    phrase extraction (UnifiedHighlighter builds interval automata for
+    phrases instead of flattening them to terms).  Sloppy phrases
+    degrade to loose terms via :func:`query_terms`."""
+    if isinstance(q, PhraseQuery) and getattr(q, "slop", 0) == 0 \
+            and len(q.terms) > 1:
+        return {tuple(q.terms)}
+    if isinstance(q, ConstantScoreQuery):
+        return query_phrases(q.query)
+    if isinstance(q, BooleanQuery):
+        out: set[tuple[str, ...]] = set()
+        from lucene_1_spark.search.query import Occur
+        for c in q.clauses:
+            if c.occur != Occur.MUST_NOT:
+                out |= query_phrases(c.query)
+        return out
+    return set()
+
+
 def highlight(texts: DataFrame, terms: set[str] | Query,
               analyzer: str = "standard", window: int = 24,
               max_passages: int = 1, pre: str = "<b>", post: str = "</b>",
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_matches, snippet) for docs with >= 1 matching term.
+              id_col: str = "doc_id", text_col: str = "text",
+              scorer: str = "bm25", k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """(doc_id, n_matches, snippet) for docs with >= 1 matching unit.
 
-    Passages are ``window``-token sliding blocks; passages are ranked
-    by (distinct matched terms, total matches, -position).  With
-    ``max_passages > 1`` the top non-overlapping passages are rendered
-    in document order joined by ``" ... "`` — the multi-passage
-    UnifiedHighlighter contract (its PassageScorer keeps a
-    ``maxPassages`` queue).  ``terms`` may be a query tree (its
-    positive terms are extracted) — expand MultiTermQuery nodes with
-    ``searcher.rewrite_multi_term`` first if needed."""
+    Passages are ``window``-token sliding blocks ranked by the
+    UnifiedHighlighter's PassageScorer model
+    (``uhighlight/PassageScorer.java:35-110``), ``scorer="bm25"``
+    (default)::
+
+        pivot      = window                 # avgPassageLength analog
+        numDocs^   = 1 + len_tokens/pivot   # pseudo corpus of passages
+        weight(u)  = (k1+1) * ln(1 + (numDocs^ - F_u + .5)/(F_u + .5))
+        tf(f,plen) = f / (f + k1*((1-b) + b*plen/pivot))
+        score      = (1 + 1/ln(e + start)) * sum_u weight(u)*tf(f_u, plen)
+
+    so a passage holding a RARE query term outranks one stuffed with a
+    term frequent elsewhere in the document, and earlier passages win
+    ties — BM25-weighted passage ranking, not first-k spans.
+    ``scorer="count"`` keeps the legacy (distinct units, total matches,
+    -position) ordering.
+
+    With ``max_passages > 1`` the top non-overlapping passages are
+    rendered in document order joined by ``" ... "`` (the
+    ``maxPassages`` queue contract).  ``terms`` may be a query tree:
+    its positive terms AND exact phrases are extracted — a slop-0
+    PhraseQuery highlights only full consecutive occurrences (wrapped
+    as ONE span), never isolated member terms; expand MultiTermQuery
+    nodes with ``searcher.rewrite_multi_term`` first if needed."""
+    phrase_set: set[tuple[str, ...]] = set()
     if isinstance(terms, Query):
-        terms = query_terms(terms)
+        phrase_set = query_phrases(terms)
+        in_phrases = {t for p in phrase_set for t in p}
+        terms = query_terms(terms) - in_phrases
     term_set = frozenset(terms)
+    phrases = sorted(phrase_set)
     an_name = analyzer
     n_passages = max(int(max_passages), 1)
+    use_bm25 = scorer == "bm25"
+    kk1, bb = float(k1), float(b)
 
     def run(it):
+        import math
         an = get_analyzer(an_name)
         has_offsets = hasattr(an, "tokens_with_offsets")
 
-        def render(text, toks, start):
+        def find_spans(toks):
+            """Hit spans as (pos_start, pos_end, char_s, char_e, unit):
+            loose-term occurrences plus full exact-phrase occurrences
+            (consecutive positions) — ExactPhraseMatcher semantics."""
+            spans = []
+            by_pos = {}
+            for t, p, s, e in toks:
+                by_pos.setdefault(p, []).append((t, s, e))
+            for t, p, s, e in toks:
+                if t in term_set:
+                    spans.append((p, p, s, e, t))
+            for ph in phrases:
+                L = len(ph)
+                for t0, p0, s0, e0 in toks:
+                    if t0 != ph[0]:
+                        continue
+                    chars = [(s0, e0)]
+                    ok = True
+                    for off in range(1, L):
+                        nxt = [(s, e) for t, s, e in by_pos.get(p0 + off, [])
+                               if t == ph[off]]
+                        if not nxt:
+                            ok = False
+                            break
+                        chars.append(nxt[0])
+                    if ok:
+                        spans.append((p0, p0 + L - 1, chars[0][0],
+                                      chars[-1][1], " ".join(ph)))
+            spans.sort()
+            return spans
+
+        def render(text, toks, spans, start):
             win = [tk for tk in toks if start <= tk[1] < start + window]
+            wspans = [sp for sp in spans
+                      if start <= sp[0] and sp[1] < start + window]
             if has_offsets and win:
                 # exact OffsetAttribute spans: slice the source text,
-                # wrap each matched span in place (case preserved)
+                # wrap each matched span in place (case preserved);
+                # a phrase wraps as ONE contiguous span
                 c0, c1 = win[0][2], win[-1][3]
                 parts, cur = [], c0
-                for t, _, s, e in win:
-                    if t in term_set and s >= cur:
+                for _, _, s, e, _ in wspans:
+                    if s >= cur:
                         parts += [text[cur:s], pre, text[s:e], post]
-                        cur = e
+                        cur = max(cur, e)
                 parts.append(text[cur:c1])
                 return "".join(parts)
             # approximate fallback: word-split window + regex wrap
             words = text.split()
             lo = max(0, start - 2)
             passage = " ".join(words[lo:lo + window + 4])
-            for t in sorted(term_set, key=len, reverse=True):
-                passage = re.sub(f"(?i)\\b({re.escape(t)})\\b",
+            units = sorted({sp[4] for sp in wspans}, key=len, reverse=True)
+            for u in units:
+                pat = "\\s+".join(re.escape(w) for w in u.split())
+                passage = re.sub(f"(?i)\\b({pat})\\b",
                                  f"{pre}\\1{post}", passage)
             return passage
+
+        def passage_score(spans_in, start, plen, doc_freq, n_tokens):
+            if not use_bm25:
+                return (len({sp[4] for sp in spans_in}), len(spans_in),
+                        -start)
+            pivot = float(window)
+            num_docs = 1.0 + n_tokens / pivot
+            freq = {}
+            for sp in spans_in:
+                freq[sp[4]] = freq.get(sp[4], 0) + 1
+            tf_norm = kk1 * ((1.0 - bb) + bb * plen / pivot)
+            s = 0.0
+            for u, f in freq.items():
+                x = max((num_docs - doc_freq[u] + 0.5)
+                        / (doc_freq[u] + 0.5), 1e-3)
+                w = (kk1 + 1.0) * math.log(1.0 + x)
+                s += w * f / (f + tf_norm)
+            return (s * (1.0 + 1.0 / math.log(math.e + start)), -start)
 
         for pdf in it:
             ids, counts, snips = [], [], []
@@ -106,20 +205,26 @@ def highlight(texts: DataFrame, terms: set[str] | Query,
                 else:
                     toks = [(t, p, -1, -1)
                             for t, p in an.tokens_with_positions(text)]
-                n_hits = sum(1 for t, _, _, _ in toks if t in term_set)
-                if not n_hits:
+                spans = find_spans(toks)
+                if not spans:
                     continue
+                doc_freq = {}
+                for sp in spans:
+                    doc_freq[sp[4]] = doc_freq.get(sp[4], 0) + 1
                 # score every half-window start, keep the top
                 # max_passages non-overlapping windows
                 npos = max(p for _, p, _, _ in toks) + 1 if toks else 0
                 scored = []
                 for start in range(0, max(1, npos), max(window // 2, 1)):
-                    inwin = [t for t, p, _, _ in toks
-                             if start <= p < start + window and t in term_set]
+                    inwin = [sp for sp in spans
+                             if start <= sp[0] and sp[1] < start + window]
                     if inwin:
-                        scored.append(((len(set(inwin)), len(inwin), -start),
-                                       start))
-                scored.sort(reverse=True)
+                        plen = sum(1 for _, p, _, _ in toks
+                                   if start <= p < start + window)
+                        scored.append((passage_score(
+                            inwin, start, plen, doc_freq, len(toks)),
+                            start))
+                scored.sort(key=lambda x: x[0], reverse=True)
                 chosen: list[int] = []
                 for _, start in scored:
                     if len(chosen) >= n_passages:
@@ -127,10 +232,10 @@ def highlight(texts: DataFrame, terms: set[str] | Query,
                     if all(abs(start - c) >= window for c in chosen):
                         chosen.append(start)
                 chosen.sort()  # render in document order
-                passage = " ... ".join(render(text, toks, c)
+                passage = " ... ".join(render(text, toks, spans, c)
                                        for c in chosen)
                 ids.append(rid)
-                counts.append(n_hits)
+                counts.append(len(spans))
                 snips.append(passage)
             yield pd.DataFrame({"doc_id": ids, "n_matches": counts,
                                 "snippet": snips})

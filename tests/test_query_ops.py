@@ -557,3 +557,58 @@ def test_count_term_shortcut_equals_exhaustive(searcher):
                                         prune=False).count()
         assert searcher.count(TermQuery(t)) == exhaustive, t
     assert searcher.count(TermQuery("zzz_absent")) == 0
+
+
+def test_highlight_bm25_passage_order(spark):
+    """PassageScorer analog (uhighlight/PassageScorer.java): a passage
+    holding a RARE query term must outrank one stuffed with a term
+    frequent elsewhere in the document — BM25-weighted passage
+    ranking, not match counting.  The legacy count scorer picks the
+    stuffed passage; bm25 picks the rare-term one."""
+    from lucene_1_spark.search.highlight import highlight
+    filler = ["alpha beta gamma delta epsilon zeta eta theta"] * 3
+    head = "intro words then rare appears once right here okay " \
+           + " ".join(filler)
+    tail = " ".join(["common common common common pad pad pad pad"] * 6)
+    text = head + " " + tail
+    texts = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    bm = highlight(texts, {"rare", "common"}, analyzer="whitespace",
+                   window=12, scorer="bm25").collect()[0]
+    cnt = highlight(texts, {"rare", "common"}, analyzer="whitespace",
+                    window=12, scorer="count").collect()[0]
+    assert "<b>rare</b>" in bm["snippet"], bm["snippet"]
+    assert "<b>common</b>" in cnt["snippet"], cnt["snippet"]
+    assert "<b>common</b>" not in bm["snippet"]
+    # earlier-passage tie-break: two identical windows -> first wins
+    t2 = "pick me now " + " ".join(filler) + " pick me now"
+    out = highlight(spark.createDataFrame([(0, t2)],
+                                          "doc_id long, text string"),
+                    {"pick"}, analyzer="whitespace", window=8).collect()[0]
+    assert out["snippet"].startswith("<b>pick</b> me now")
+
+
+def test_highlight_phrase_aware(spark):
+    """A slop-0 PhraseQuery highlights only FULL consecutive
+    occurrences — wrapped as one span — never isolated member terms
+    (the UnifiedHighlighter phrase-interval contract)."""
+    from lucene_1_spark.search.highlight import highlight, query_phrases
+    from lucene_1_spark.search.query import PhraseQuery, parse_query
+    q = PhraseQuery(("quick", "fox"))
+    assert query_phrases(q) == {("quick", "fox")}
+    texts = spark.createDataFrame(
+        [(0, "the quick dog ran while the quick fox slept"),
+         (1, "a quick start and a lone fox"),
+         (2, "no members at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           highlight(texts, q, analyzer="standard").collect()}
+    assert set(out) == {0}                      # doc 1 has no phrase
+    assert out[0]["n_matches"] == 1
+    assert "<b>quick fox</b>" in out[0]["snippet"]
+    assert "<b>quick</b> dog" not in out[0]["snippet"]
+    # parsed quoted phrase + loose term mix
+    q2 = parse_query('"quick fox" slept')
+    r2 = highlight(texts, q2, analyzer="standard").collect()
+    d0 = [r for r in r2 if r["doc_id"] == 0][0]
+    assert "<b>quick fox</b>" in d0["snippet"]
+    assert "<b>slept</b>" in d0["snippet"]
