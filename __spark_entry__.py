@@ -1027,22 +1027,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             model, docs.filter(F.col("doc_id") < 50), text_col="text")
     q["classify_naive_bayes"] = classify_naive_bayes
 
-    def dv_update_range_count(s, d):
-        """In-place doc-values update (IndexWriter.updateNumericDocValue):
-        bootstrap an index over documents, then set a brand-new numeric
-        field ``priority`` in two generations WITHOUT re-indexing
-        postings — 7 for every doc containing 'data', then 99999 for
-        every doc containing 'window' (latest generation wins on the
-        overlap) — and count through DocValuesRangeQuery.  Updating a
-        RESERVED index column (e.g. ``length``) is correctly refused
-        (round-5 RESERVED_DOC_COLS guard), so the entry exercises the
-        supported path: dv updates to a real doc-values field."""
+    def _dv_index(s, d) -> str:
+        """Shared cached documents index with the ``priority`` dv field
+        (7 on 'data' docs, then 99999 on 'window' docs, latest
+        generation wins) — built once per sf dir, reused by the dv and
+        expression-sort entries."""
         import shutil
 
-        from lucene_1_spark.index import IndexReader
         from lucene_1_spark.index.builder import IndexConfig
-        from lucene_1_spark.search import IndexSearcher
-        from lucene_1_spark.search.query import DocValuesRangeQuery
         from lucene_1_spark.streaming.incremental import IncrementalIndexWriter
 
         key = os.path.abspath(d)
@@ -1070,6 +1062,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             w.update_numeric_doc_value("window", "priority", 99999)
             with open(marker, "w") as fh:
                 fh.write("ok")
+        return idx_dir
+
+    def dv_update_range_count(s, d):
+        """In-place doc-values update (IndexWriter.updateNumericDocValue):
+        bootstrap an index over documents, then set a brand-new numeric
+        field ``priority`` in two generations WITHOUT re-indexing
+        postings — 7 for every doc containing 'data', then 99999 for
+        every doc containing 'window' (latest generation wins on the
+        overlap) — and count through DocValuesRangeQuery.  Updating a
+        RESERVED index column (e.g. ``length``) is correctly refused
+        (round-5 RESERVED_DOC_COLS guard), so the entry exercises the
+        supported path: dv updates to a real doc-values field."""
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.search.query import DocValuesRangeQuery
+
+        idx_dir = _dv_index(s, d)
         se = IndexSearcher(IndexReader(s, idx_dir))
         hi = se.search_df(DocValuesRangeQuery("priority", 99999, None),
                           k=None).count()
@@ -1077,6 +1086,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           k=None).count()
         return s.createDataFrame([(hi, lo)], "updated_n long, small_n long")
     q["dv_update_range_count"] = dv_update_range_count
+
+    def ft_expr_sort_topk(s, d):
+        """Expressions-module sort (lucene/expressions/.../
+        ExpressionRescorer.java, SimpleBindings): hits for
+        'data stream' ordered by ``0.3*score + 0.7*ln(1+priority)``
+        where ``priority`` is the dv-UPDATED field — the binding sees
+        the latest dv generation, and Catalyst compiles the expression
+        into whole-stage codegen (the reference JITs expressions to
+        bytecode).  Docs without a priority value sort last and are
+        dropped below top-k."""
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.search import IndexSearcher
+
+        idx_dir = _dv_index(s, d)
+        se = IndexSearcher(IndexReader(s, idx_dir))
+        out = se.search_sorted_expr(
+            "data stream", "0.3*score + 0.7*ln(1 + priority)", k=10)
+        return (_orig_id(out.filter(F.col("sort_key").isNotNull()), se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("sort_key", 4).alias("sort_key")))
+    q["ft_expr_sort_topk"] = ft_expr_sort_topk
 
     def snap_point_in_time(s, d):
         """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit):
@@ -3560,6 +3590,37 @@ SELECT
   (SELECT count(*) FROM win)::BIGINT AS updated_n,
   (SELECT count(*) FROM dat
    WHERE doc_id NOT IN (SELECT doc_id FROM win))::BIGINT AS small_n
+"""
+
+    # expression sort over the dv index: BM25(bm25_double) for
+    # 'data stream' + the two-generation priority overlay (window wins)
+    # -> key = 0.3*score + 0.7*ln(1+priority), nulls drop below top-k
+    o["ft_expr_sort_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('data', 'stream')
+  GROUP BY tf.doc_id
+),
+pri AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM toks
+                              WHERE term = 'window') THEN 99999
+              WHEN doc_id IN (SELECT doc_id FROM toks
+                              WHERE term = 'data') THEN 7
+         END AS priority
+  FROM (SELECT DISTINCT doc_id FROM toks)
+)
+SELECT sc.doc_id,
+       round(0.3 * sc.s + 0.7 * ln(1 + pri.priority), 4) AS sort_key
+FROM sc JOIN pri ON sc.doc_id = pri.doc_id
+WHERE pri.priority IS NOT NULL
+ORDER BY 0.3 * sc.s + 0.7 * ln(1 + pri.priority) DESC, sc.doc_id ASC
+LIMIT 10
 """
 
     o["ft_term_vector"] = f"""

@@ -2406,3 +2406,36 @@ class IndexSearcher:
         order.append(F.asc("doc_id"))
         out = joined.orderBy(*order)
         return out.limit(k) if k is not None else out
+
+    def search_sorted_expr(self, query: Query | str, expr: str,
+                           k: int | None = 10, descending: bool = True,
+                           fields: list[str] | None = None) -> DataFrame:
+        """Expressions-module sort (``lucene/expressions/.../
+        ExpressionRescorer.java``, ``SimpleBindings``): order hits by
+        an ARBITRARY SQL expression over ``score`` and document fields
+        — e.g. ``"0.3*score + 0.7*log(1 + priority)"``.  The reference
+        JIT-compiles a JavaScript-ish expression to bytecode with
+        bindings for score and doc values; here ``F.expr`` hands the
+        string to Catalyst, which compiles it INTO whole-stage codegen
+        — same contract, the optimizer is the expression compiler.
+        Doc-values-updated fields are bound at their LATEST generation
+        (``reader.docs()`` folds the dv_updates delta).  ``fields``
+        overrides the referenced-column autodetect.  Returns
+        (doc_id, score, sort_key, *fields) top-k via
+        TakeOrderedAndProject."""
+        matches = self.search_df(query, k=None)
+        doc_cols = [c for c in self.reader.docs().columns
+                    if c != "doc_id"]
+        if fields is None:
+            import re as _re
+            idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+            fields = [c for c in doc_cols if c in idents]
+        out = matches
+        if fields:
+            docs = self.reader.docs().select("doc_id", *fields)
+            out = matches.join(docs, "doc_id")
+        out = out.withColumn("sort_key", F.expr(expr).cast("double"))
+        order = [F.desc("sort_key") if descending else F.asc("sort_key"),
+                 F.asc("doc_id")]
+        out = out.orderBy(*order)
+        return out.limit(k) if k is not None else out

@@ -151,3 +151,35 @@ def test_compact_folds_updates(spark, idx):
     # deleted docs gone; surviving docs keep the updated values
     assert all(v == before[k] for k, v in got.items())
     assert len(got) < len(before)
+
+
+def test_expression_sort_binds_score_and_dv(spark, idx):
+    """Expressions-module sort (ExpressionRescorer/SimpleBindings
+    analog): hits ordered by an arbitrary SQL expression mixing score
+    and a dv-UPDATED field — the binding must see the latest dv
+    generation, and the ordering must match a brute-force recompute."""
+    import math
+    w = _writer(spark, idx)
+    w.update_numeric_doc_value("beta", "priority", 5)
+    w.update_numeric_doc_value("delta", "priority", 50)   # d1,d2 bump
+    se = IndexSearcher(IndexReader(spark, idx))
+    expr = "0.3*score + 0.7*log(1 + priority)"
+    got = se.search_sorted_expr("beta delta", expr, k=10).collect()
+    assert [c in got[0].asDict() for c in
+            ("doc_id", "score", "sort_key", "priority")]
+    base = {r["doc_id"]: r["score"] for r in
+            se.search_df("beta delta", k=None).collect()}
+    prio = _col(spark, idx, "priority")
+    want = sorted(
+        ((0.3 * s + 0.7 * math.log(1 + prio[d]), d)
+         for d, s in base.items() if prio.get(d) is not None),
+        key=lambda x: (-x[0], x[1]))
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (key, _) in zip(got, want):
+        assert abs(r["sort_key"] - key) < 1e-9
+    # expression referencing only score: no doc join needed, still works
+    got2 = se.search_sorted_expr("beta", "score * score", k=3).collect()
+    b = sorted(((r["score"], r["doc_id"]) for r in
+                se.search_df("beta", k=None).collect()),
+               key=lambda x: (-x[0] * x[0], x[1]))
+    assert [r["doc_id"] for r in got2] == [d for _, d in b][:3]
