@@ -1816,6 +1816,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_boolean_sim_topk"] = ft_boolean_sim_topk
 
+    def _sim_topk(s, d, similarity, qtext="spark merge window"):
+        se = _lmd_searcher(s, d, similarity)
+        top = se.search_df(qtext, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+
+    def ft_lmjm_topk(s, d):
+        """LMJelinekMercerSimilarity top-10 (similarities/
+        LMJelinekMercerSimilarity.java:55-75): per term
+        ln(1 + ((1-lambda)*tf/len)/(lambda*P(t|C))), lambda=0.1,
+        summed over terms — 6th pluggable similarity, served from the
+        shared exact32 index via the setSimilarity analog."""
+        return _sim_topk(s, d, "lm_jelinek_mercer_double")
+    q["ft_lmjm_topk"] = ft_lmjm_topk
+
+    def ft_dfr_topk(s, d):
+        """DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2)
+        top-10 (similarities/DFRSimilarity.java; Amati & van
+        Rijsbergen 2002): tfn = tf*log2(1 + avgdl/len), per term
+        log2(1+(N+1)/(F+0.5)) * tfn/(1+tfn), summed."""
+        return _sim_topk(s, d, "dfr_if_l_h2_double")
+    q["ft_dfr_topk"] = ft_dfr_topk
+
+    def ft_ib_topk(s, d):
+        """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)
+        top-10 (similarities/IBSimilarity.java; Clinchant & Gaussier
+        2010): lambda = (n+1)/(N+1), per term ln(1 + tfn/lambda),
+        summed."""
+        return _sim_topk(s, d, "ib_ll_df_h2_double")
+    q["ft_ib_topk"] = ft_ib_topk
+
+    def ft_axiomatic_topk(s, d):
+        """AxiomaticF2EXP top-10 (similarities/AxiomaticF2EXP.java;
+        Fang & Zhai 2005): per term ((N+1)/n)^0.35 *
+        tf/(tf + s + s*len/avgdl), s=0.5 — executed through the
+        BM25-double pipeline with k1=2s, b=0.5 (identical tf curve),
+        so block-max pruning stays on."""
+        return _sim_topk(s, d, "axiomatic_f2exp_double")
+    q["ft_axiomatic_topk"] = ft_axiomatic_topk
+
     def ft_simple_parse_topk(s, d):
         """SimpleQueryParser analog (queryparser/simple/
         SimpleQueryParser.java): lenient grammar, never throws.
@@ -4354,6 +4397,41 @@ sc AS (SELECT doc_id,
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # round-7 similarity family — all over the same whitespace-token
+    # corpus stats as ft_lmd_topk
+    _LM_STATS = """
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+cf AS (SELECT term, sum(freq)::DOUBLE AS ttf,
+              count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1)"""
+
+    def _sim_oracle(score_sql: str) -> str:
+        return f"""
+WITH {_TOKS},{_LM_STATS},
+sc AS (
+  SELECT tf.doc_id, sum({score_sql}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN cf ON tf.term = cf.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    o["ft_lmjm_topk"] = _sim_oracle(
+        "ln(1 + (0.9 * tf.freq / greatest(dl.len, 1.0))"
+        " / (0.1 * ((cf.ttf + 1) / (st.tot + 1))))")
+    _TFN_H2 = "(tf.freq * log2(1 + (st.tot / st.n) / greatest(dl.len, 1.0)))"
+    o["ft_dfr_topk"] = _sim_oracle(
+        f"log2(1 + (st.n + 1) / (cf.ttf + 0.5))"
+        f" * {_TFN_H2} / (1 + {_TFN_H2})")
+    o["ft_ib_topk"] = _sim_oracle(
+        f"ln(1 + {_TFN_H2} / ((cf.dfreq + 1) / (st.n + 1)))")
+    o["ft_axiomatic_topk"] = _sim_oracle(
+        "pow((st.n + 1) / cf.dfreq, 0.35) * tf.freq"
+        " / (tf.freq + 0.5 + 0.5 * dl.len / (st.tot / st.n))")
 
     # SimpleQueryParser 'spark + merge window' ==
     # (spark AND merge) OR window; matching disjuncts' BM25 sums

@@ -134,6 +134,137 @@ def score_term_boolean(n: int, weight: float) -> np.ndarray:
     return np.full(int(n), float(weight), dtype=np.float64)
 
 
+LMJM_LAMBDA_DEFAULT = 0.1
+
+
+def score_term_lm_jelinek_mercer(freq: np.ndarray, lengths: np.ndarray,
+                                 weight: float, p_c: float,
+                                 lam: float = LMJM_LAMBDA_DEFAULT) \
+        -> np.ndarray:
+    """LM with Jelinek-Mercer smoothing — ``search/similarities/
+    LMJelinekMercerSimilarity.java:55-75``:
+    ``boost * log(1 + ((1-lambda) * freq/docLen) / (lambda * P(t|C)))``,
+    lambda in (0, 1] (reference default 0.1; "close to 0.1 for short
+    queries").  freq >= 1 makes the argument positive, so no clamp is
+    needed (unlike Dirichlet).  Exact field lengths, double precision
+    — SQL-oracle exact."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.maximum(np.asarray(lengths, dtype=np.float64), 1.0)
+    return weight * np.log1p((1.0 - lam) * f / ln / (lam * p_c))
+
+
+def tfn_dfr(freq: np.ndarray, lengths: np.ndarray, avgdl: float,
+            c: float = 1.0, norm: str = "h2") -> np.ndarray:
+    """DFR/IB term-frequency normalization (Amati & van Rijsbergen
+    2002; ``search/similarities/NormalizationH1.java`` / ``H2.java``):
+    H1 ``tfn = c * freq * avgdl/len`` (uniform term distribution),
+    H2 ``tfn = freq * log2(1 + c * avgdl/len)`` (density decreases
+    with length)."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.maximum(np.asarray(lengths, dtype=np.float64), 1.0)
+    if norm == "h1":
+        return c * f * avgdl / ln
+    return f * np.log2(1.0 + c * avgdl / ln)
+
+
+def dfr_weight(basic_model: str, after_effect: str, doc_freq: int,
+               total_term_freq: int, doc_count: int) -> float:
+    """Document-independent DFR factor (divergence-from-randomness,
+    Amati & van Rijsbergen 2002; ``search/similarities/
+    DFRSimilarity.java`` composes BasicModel x AfterEffect x
+    Normalization).  With the first-normalization after-effects L and
+    B, the per-doc score factors as ``weight * tfn/(1+tfn)`` where
+    weight = boost * Inf1-slope * after-effect-constant:
+
+    - basic model ``if``  (BasicModelIF):  log2(1 + (N+1)/(F+0.5))
+    - basic model ``in``  (BasicModelIN):  log2((N+1)/(n+0.5))
+    - basic model ``ine`` (BasicModelINE): log2((N+1)/(ne+0.5)),
+      ne = N * (1 - ((N-1)/N)^F)  (expected doc-frequency)
+    - after-effect ``l`` (Laplace):   1
+    - after-effect ``b`` (Bernoulli): (F+1)/n
+
+    with N = docCount, n = docFreq, F = totalTermFreq."""
+    N = max(float(doc_count), 1.0)
+    n = max(float(doc_freq), 1.0)
+    Fq = max(float(total_term_freq), 1.0)
+    if basic_model == "if":
+        a = np.log2(1.0 + (N + 1.0) / (Fq + 0.5))
+    elif basic_model == "in":
+        a = np.log2((N + 1.0) / (n + 0.5))
+    elif basic_model == "ine":
+        ne = N * (1.0 - ((N - 1.0) / N) ** Fq) if N > 1 else Fq
+        a = np.log2((N + 1.0) / (ne + 0.5))
+    else:
+        raise ValueError(f"unknown DFR basic model '{basic_model}'")
+    c_ae = 1.0 if after_effect == "l" else (Fq + 1.0) / n
+    return float(a * c_ae)
+
+
+def score_term_dfr(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                   avgdl: float, c: float = 1.0,
+                   norm: str = "h2") -> np.ndarray:
+    """DFR per-term score: ``weight * tfn/(1+tfn)`` — the Inf1 basic
+    models are linear in tfn and the L/B after-effects contribute
+    ``const/(1+tfn)``, so everything doc-independent lives in
+    ``weight`` (:func:`dfr_weight`)."""
+    tfn = tfn_dfr(freq, lengths, avgdl, c, norm)
+    return weight * tfn / (1.0 + tfn)
+
+
+def ib_lambda(lambda_kind: str, doc_freq: int, total_term_freq: int,
+              doc_count: int) -> float:
+    """IB distribution parameter (Clinchant & Gaussier 2010,
+    "Information-based models for ad hoc IR"; ``search/similarities/
+    LambdaDF.java`` / ``LambdaTTF.java``): ``(n+1)/(N+1)`` (df) or
+    ``(F+1)/(N+1)`` (ttf), clamped below 1 (the SPL distribution is
+    undefined at lambda = 1)."""
+    num = (float(doc_freq) if lambda_kind == "df"
+           else float(total_term_freq)) + 1.0
+    lam = num / (float(doc_count) + 1.0)
+    return float(min(max(lam, 1e-12), 1.0 - 1e-9))
+
+
+def score_term_ib(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                  lam: float, avgdl: float, c: float = 1.0,
+                  norm: str = "h2", dist: str = "ll") -> np.ndarray:
+    """Information-based per-term score
+    (``search/similarities/IBSimilarity.java`` composing Distribution
+    x Lambda x Normalization): ``weight * Inf(tfn | lambda)`` with
+
+    - ``ll``  (DistributionLL):  Inf = log(1 + tfn/lambda)
+    - ``spl`` (DistributionSPL): Inf =
+      -log((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
+
+    tfn from :func:`tfn_dfr` (H1/H2 shared with DFR)."""
+    tfn = tfn_dfr(freq, lengths, avgdl, c, norm)
+    if dist == "ll":
+        return weight * np.log1p(tfn / lam)
+    # SPL, cancellation-stable near lambda -> 1 (LambdaTTF exceeds 1
+    # for frequent terms and clamps): with eps = 1 - lambda,
+    # (lambda^x - lambda)/(1-lambda) = (expm1(x*log1p(-eps)) + eps)/eps
+    eps = 1.0 - lam
+    x = tfn / (tfn + 1.0)
+    inner = (np.expm1(x * np.log1p(-eps)) + eps) / eps
+    return weight * -np.log(np.maximum(inner, 1e-300))
+
+
+AX_K_DEFAULT = 0.35
+AX_S_DEFAULT = 0.5
+
+
+def axiomatic_f2exp_weight(doc_freq: int, doc_count: int,
+                           k: float = AX_K_DEFAULT) -> float:
+    """Axiomatic F2-EXP document-independent factor (Fang & Zhai 2005,
+    "An exploration of axiomatic approaches to IR";
+    ``search/similarities/AxiomaticF2EXP.java``):
+    ``((N+1)/n)^k``.  The per-doc part,
+    ``tf/(tf + s + s*len/avgdl) = tf/(tf + 2s*((1-0.5) + 0.5*len/avgdl))``,
+    is EXACTLY the BM25 tf curve with k1 = 2s and b = 0.5 — the
+    searcher reuses the whole BM25-double pipeline (incl. block-max
+    pruning, whose upper bound is the same functional form)."""
+    return float(((float(doc_count) + 1.0) / max(float(doc_freq), 1.0)) ** k)
+
+
 def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:
     """Sum aligned per-term float32 score arrays in float64, cast to float32."""
     acc = np.zeros(len(per_term_scores[0]), dtype=np.float64)

@@ -212,20 +212,52 @@ class IndexSearcher:
         # non-bm25 kinds additionally swap the scoring curve — the
         # pluggable-Similarity registry (SURVEY.md §2.11; reference
         # ``search/similarities/``: BM25Similarity, ClassicSimilarity,
-        # LMDirichletSimilarity, BooleanSimilarity)
+        # LMDirichletSimilarity, LMJelinekMercerSimilarity,
+        # BooleanSimilarity, DFRSimilarity, IBSimilarity,
+        # AxiomaticF2EXP)
         _KINDS = {"bm25_float32": "bm25", "bm25_double": "bm25",
                   "classic_double": "classic",
                   "lm_dirichlet_double": "lmd",
-                  "boolean_double": "boolean"}
-        if self.similarity not in _KINDS:
-            raise ValueError(f"unknown similarity '{self.similarity}' "
-                             f"(supported: {sorted(_KINDS)})")
-        self.score_kind = _KINDS[self.similarity]
+                  "lm_jelinek_mercer_double": "lmjm",
+                  "boolean_double": "boolean",
+                  "axiomatic_f2exp_double": "bm25"}
+        self.dfr_params: tuple | None = None   # (basic, after_eff, norm)
+        self.ib_params: tuple | None = None    # (dist, lambda_kind, norm)
+        self.axiomatic = self.similarity == "axiomatic_f2exp_double"
+        if self.similarity in _KINDS:
+            self.score_kind = _KINDS[self.similarity]
+        else:
+            import re as _re
+            m = _re.fullmatch(r"dfr_(if|in|ine)_(l|b)_(h[12])_double",
+                              self.similarity)
+            mi = _re.fullmatch(r"ib_(ll|spl)_(df|ttf)_(h[12])_double",
+                               self.similarity)
+            if m:
+                self.score_kind = "dfr"
+                self.dfr_params = (m.group(1), m.group(2), m.group(3))
+            elif mi:
+                self.score_kind = "ib"
+                self.ib_params = (mi.group(1), mi.group(2), mi.group(3))
+            else:
+                raise ValueError(
+                    f"unknown similarity '{self.similarity}' (supported:"
+                    f" {sorted(_KINDS)}, dfr_<if|in|ine>_<l|b>_<h1|h2>"
+                    f"_double, ib_<ll|spl>_<df|ttf>_<h1|h2>_double)")
         self.double_mode = self.similarity != "bm25_float32"
         self.classic = self.similarity == "classic_double"
         self.mu = float(reader.cfg.get("lm_mu", bm25.MU_DEFAULT))
+        self.lm_lambda = float(reader.cfg.get("lm_lambda",
+                                              bm25.LMJM_LAMBDA_DEFAULT))
+        self.norm_c = float(reader.cfg.get("norm_c", 1.0))
+        self.ax_k = float(reader.cfg.get("ax_k", bm25.AX_K_DEFAULT))
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
+        if self.axiomatic:
+            # F2EXP's tf part == BM25's with k1 = 2s, b = 0.5 — the
+            # whole double pipeline (incl. block-max bounds) is reused
+            ax_s = float(reader.cfg.get("ax_s", bm25.AX_S_DEFAULT))
+            self.k1 = np.float32(2.0 * ax_s)
+            self.b = np.float32(0.5)
         if self.double_mode:
             self.avgdl = st["sum_total_term_freq"] / max(st["doc_count"], 1)
         else:
@@ -262,16 +294,25 @@ class IndexSearcher:
         dc = max(int(fs["doc_count"]), 1)
         return int(fs["doc_count"]), float(fs["sum_total_term_freq"]) / dc
 
-    def _idf_weight(self, boost: float, doc_freq: int, fdc: int) -> float:
+    def _idf_weight(self, boost: float, doc_freq: int, fdc: int,
+                    ttf: int = 0) -> float:
         """boost × the similarity's document-independent term factor:
         idf for bm25, idf² for classic (TFIDFSimilarity's weight
-        value), plain boost for LM Dirichlet (its doc-independent
-        parts live in the per-doc formula) and boolean (constant
-        score == boost)."""
+        value), plain boost for the LM similarities (their
+        doc-independent parts live in the per-doc formula / aux
+        scalar), boolean (constant score == boost) and IB (lambda is
+        the aux scalar), the factored Inf1-slope × after-effect
+        constant for DFR, ((N+1)/n)^k for axiomatic F2EXP."""
         if self.score_kind == "classic":
             return boost * bm25.idf_classic(doc_freq, fdc) ** 2
-        if self.score_kind in ("lmd", "boolean"):
+        if self.score_kind in ("lmd", "lmjm", "boolean", "ib"):
             return float(boost)
+        if self.score_kind == "dfr":
+            bm_, ae, _ = self.dfr_params
+            return boost * bm25.dfr_weight(bm_, ae, doc_freq, ttf, fdc)
+        if self.axiomatic:
+            return boost * bm25.axiomatic_f2exp_weight(doc_freq, fdc,
+                                                       self.ax_k)
         if self.double_mode:
             return boost * bm25.idf_double(doc_freq, fdc)
         return float(bm25.term_weight(doc_freq, fdc, boost))
@@ -291,6 +332,46 @@ class IndexSearcher:
         else:
             sttf = int(self.reader.stats["sum_total_term_freq"])
         return bm25.collection_prob(int(ttf), sttf)
+
+    def _term_aux(self, terms,
+                  stats: dict[str, tuple] | None = None) -> dict[str, float]:
+        """Per-term auxiliary scoring scalar: P(t|C) for the LM
+        similarities, lambda for IB, {} otherwise.  ``stats`` =
+        {term: (doc_freq, ttf)} skips the extra stats seek when the
+        query-prep path already has them (memoized)."""
+        if self.score_kind in ("lmd", "lmjm"):
+            return {t: self._collection_prob(
+                t, ttf=(stats[t][1] if stats else None)) for t in terms}
+        if self.score_kind == "ib":
+            st = stats or self.reader.term_statistics(list(terms))
+            _, lam_kind, _ = self.ib_params
+            out = {}
+            for t in terms:
+                fdc, _ = self._field_params(t)
+                df_t, ttf_t = st.get(t, (0, 0))
+                out[t] = bm25.ib_lambda(lam_kind, df_t, ttf_t, fdc)
+            return out
+        return {}
+
+    def _double_scorer(self):
+        """Picklable (freqs, lens, weight, aux) -> scores closure for
+        the round-7 double similarities (lmjm / dfr / ib); None for the
+        kinds the kernels already dispatch inline."""
+        if self.score_kind == "lmjm":
+            lam = self.lm_lambda
+            return lambda f, ln, w, a: \
+                bm25.score_term_lm_jelinek_mercer(f, ln, w, a, lam)
+        if self.score_kind == "dfr":
+            c, norm = self.norm_c, self.dfr_params[2]
+            avgdl = float(self.avgdl)
+            return lambda f, ln, w, a: \
+                bm25.score_term_dfr(f, ln, w, avgdl, c, norm)
+        if self.score_kind == "ib":
+            dist, _, norm = self.ib_params
+            c, avgdl = self.norm_c, float(self.avgdl)
+            return lambda f, ln, w, a: \
+                bm25.score_term_ib(f, ln, w, a, avgdl, c, norm, dist)
+        return None
 
     def _per_term_field_maps(self, terms) -> tuple[dict, dict]:
         """({term: norm-cache}, {term: avgdl}) overrides for composite
@@ -426,10 +507,11 @@ class IndexSearcher:
         double_mode = self.double_mode
         classic = self.classic
         kind, mu = self.score_kind, self.mu
-        # LM Dirichlet needs each term's collection probability — the
-        # stats were already seeked (memoized) by the query-prep path
-        probs = {t: self._collection_prob(t) for t in weights} \
-            if (want_scores and kind == "lmd") else {}
+        # LM / IB need a per-term aux scalar (collection probability /
+        # lambda) — the stats were already seeked (memoized) by the
+        # query-prep path
+        probs = self._term_aux(weights) if want_scores else {}
+        nscore = self._double_scorer()
         # per-term field overrides (keyword fields have their own avgdl
         # / norm-inverse cache); empty for content-only queries
         caches, avgdls = self._per_term_field_maps(weights) \
@@ -458,6 +540,9 @@ class IndexSearcher:
                             elif kind == "boolean":
                                 s = bm25.score_term_boolean(
                                     n, weights[row.term])
+                            elif nscore is not None:
+                                s = nscore(freqs, lens, weights[row.term],
+                                           probs.get(row.term, 0.0))
                             else:
                                 s = bm25.score_term_double(
                                     freqs, lens, weights[row.term],
@@ -662,7 +747,8 @@ class IndexSearcher:
         weights: dict[str, float] = {}
         for t in scoring:
             fdc, _ = self._field_params(t.term)  # per-field docCount idf
-            w = self._idf_weight(t.boost, stats[t.term][0], fdc)
+            w = self._idf_weight(t.boost, stats[t.term][0], fdc,
+                                 ttf=stats[t.term][1])
             weights[t.term] = weights.get(t.term, 0.0) + w
         filter_only_terms = [t for t in filters if t.term not in weights] + \
             [t for g in filter_groups for t in g if t.term not in weights]
@@ -998,14 +1084,31 @@ class IndexSearcher:
             weight = boost * sum(
                 bm25.idf_classic(stats[t][0], fdc)
                 for t in ordered_terms) ** 2
-        elif self.score_kind in ("lmd", "boolean"):
-            # LMD phrases: SimilarityBase builds one BasicStats per
+        elif self.score_kind in ("lmd", "lmjm", "ib", "boolean"):
+            # LM/IB phrases: SimilarityBase builds one BasicStats per
             # member term and sums per-stat scores of the SAME phrase
             # freq (MultiSimScorer); boolean phrases score the boost
             weight = float(boost)
-            if self.score_kind == "lmd":
+            if self.score_kind in ("lmd", "lmjm"):
                 lm_probs = [self._collection_prob(t, ttf=stats[t][1])
                             for t in ordered_terms]
+            elif self.score_kind == "ib":
+                lm_probs = [bm25.ib_lambda(self.ib_params[1],
+                                           stats[t][0], stats[t][1], fdc)
+                            for t in ordered_terms]
+        elif self.score_kind == "dfr":
+            # DFR factors doc-independently, so the MultiSimScorer sum
+            # collapses into one summed weight (score = W*tfn/(1+tfn))
+            bm_, ae, _ = self.dfr_params
+            weight = boost * sum(
+                bm25.dfr_weight(bm_, ae, stats[t][0], stats[t][1], fdc)
+                for t in ordered_terms)
+        elif self.axiomatic:
+            # F2EXP is doc-independent-factorable like DFR: the
+            # MultiSimScorer sum collapses into one summed weight
+            weight = boost * sum(
+                bm25.axiomatic_f2exp_weight(stats[t][0], fdc, self.ax_k)
+                for t in ordered_terms)
         elif self.double_mode:
             weight = boost * sum(
                 bm25.idf_double(stats[t][0], fdc) for t in ordered_terms)
@@ -1192,6 +1295,45 @@ class IndexSearcher:
                 score_d = comps[0]
                 for c in comps[1:]:
                     score_d = score_d + c
+            elif self.score_kind == "lmjm":
+                # per-member-term LMJM of the phrase freq, summed
+                lam = self.lm_lambda
+                comps = [F.lit(weight) * F.log1p(
+                    F.lit(1.0 - lam) * F.col("pf")
+                    / F.greatest(ln, F.lit(1.0)) / F.lit(lam * p))
+                    for p in lm_probs]
+                score_d = comps[0]
+                for c in comps[1:]:
+                    score_d = score_d + c
+            elif self.score_kind in ("dfr", "ib"):
+                # shared tfn normalization (H1/H2) as a column expr
+                nrm = (self.dfr_params[2] if self.score_kind == "dfr"
+                       else self.ib_params[2])
+                c_n = self.norm_c
+                safe_ln = F.greatest(ln, F.lit(1.0))
+                if nrm == "h1":
+                    tfn = F.lit(c_n) * F.col("pf") * F.lit(avgdl) / safe_ln
+                else:
+                    tfn = F.col("pf") * F.log2(
+                        F.lit(1.0) + F.lit(c_n * avgdl) / safe_ln)
+                if self.score_kind == "dfr":
+                    # weight already sums the member Inf1-slopes
+                    score_d = F.lit(weight) * tfn / (F.lit(1.0) + tfn)
+                elif self.ib_params[0] == "ll":
+                    comps = [F.lit(weight) * F.log1p(tfn / F.lit(p))
+                             for p in lm_probs]
+                    score_d = comps[0]
+                    for c in comps[1:]:
+                        score_d = score_d + c
+                else:   # spl (cancellation-stable, see score_term_ib)
+                    comps = [F.lit(weight) * -F.log(
+                        (F.expm1(tfn / (tfn + F.lit(1.0))
+                                 * F.log1p(F.lit(-(1.0 - p))))
+                         + F.lit(1.0 - p)) / F.lit(1.0 - p))
+                        for p in lm_probs]
+                    score_d = comps[0]
+                    for c in comps[1:]:
+                        score_d = score_d + c
             elif self.score_kind == "boolean":
                 score_d = F.lit(weight)
             else:
@@ -1394,13 +1536,20 @@ class IndexSearcher:
         if not present:
             return empty
         merged_df = max(stats[t][0] for t in present)
-        weight = self._idf_weight(q.boost, merged_df, self.doc_count)
+        merged_ttf = sum(stats[t][1] for t in present)
+        weight = self._idf_weight(q.boost, merged_df, self.doc_count,
+                                  ttf=merged_ttf)
         # SynonymQuery merges term stats with totalTermFreq SUMMED
-        # (``SynonymQuery.java:212-228``) — the LM collection prob of
-        # the pseudo-term uses the merged ttf
-        syn_p = self._collection_prob(
-            present[0], ttf=sum(stats[t][1] for t in present)) \
-            if self.score_kind == "lmd" else 0.0
+        # (``SynonymQuery.java:212-228``) — the LM collection prob /
+        # IB lambda of the pseudo-term uses the merged stats
+        if self.score_kind in ("lmd", "lmjm"):
+            syn_p = self._collection_prob(present[0], ttf=merged_ttf)
+        elif self.score_kind == "ib":
+            syn_p = bm25.ib_lambda(self.ib_params[1], merged_df,
+                                   merged_ttf, self.doc_count)
+        else:
+            syn_p = 0.0
+        nscore = self._double_scorer()
 
         # decode raw (doc_id, freq, norm_val) for all member terms
         FREQ_SCHEMA = T.StructType([
@@ -1452,6 +1601,8 @@ class IndexSearcher:
                                                      syn_p, mu)
                 elif kind == "boolean":
                     s = bm25.score_term_boolean(len(f), weight)
+                elif nscore is not None:
+                    s = nscore(f, ln, weight, syn_p)
                 else:
                     s = weight * f / (f + k1 * ((1 - b) + b * ln / avgdl))
             else:
@@ -1487,7 +1638,7 @@ class IndexSearcher:
         so the plan is a semi-join + agg, no per-field re-scoring."""
         empty = self.spark.createDataFrame(
             [], f"doc_id long, score {'double' if self.double_mode else 'float'}")
-        if self.score_kind != "bm25":
+        if self.score_kind != "bm25" or self.axiomatic:
             raise NotImplementedError(
                 "CombinedFieldQuery is defined for the BM25 "
                 "similarities (reference scores through BM25's "
@@ -1992,6 +2143,11 @@ class IndexSearcher:
                         self._collection_prob(term_key), self.mu)[0])
                 elif self.score_kind == "boolean":
                     s = float(weight)
+                elif self.score_kind in ("lmjm", "dfr", "ib"):
+                    aux = self._term_aux([term_key]).get(term_key, 0.0)
+                    s = float(self._double_scorer()(
+                        np.array([freq]), np.array([norm_len]),
+                        weight, aux)[0])
                 else:
                     s = float(bm25.score_term_double(
                         np.array([freq]), np.array([norm_len]), weight,
@@ -2041,7 +2197,8 @@ class IndexSearcher:
 
             def term_weight_of(t: TermQuery) -> float:
                 fdc, _ = self._field_params(t.term)
-                return self._idf_weight(t.boost, stats[t.term][0], fdc)
+                return self._idf_weight(t.boost, stats[t.term][0], fdc,
+                                        ttf=stats[t.term][1])
 
             for occ, terms in (("MUST", fl.must), ("SHOULD", fl.should),
                                ("FILTER", fl.filters)):
@@ -2229,7 +2386,8 @@ class IndexSearcher:
                 w_by_term: dict[str, float] = {}
                 for t in scoring:
                     fdc, _ = self._field_params(t.term)
-                    w = self._idf_weight(t.boost, stats[t.term][0], fdc)
+                    w = self._idf_weight(t.boost, stats[t.term][0], fdc,
+                                         ttf=stats[t.term][1])
                     w_by_term[t.term] = w_by_term.get(t.term, 0.0) + w
                 req = sorted({t.term for t in must}
                              | {t.term for t in filters})
@@ -2302,8 +2460,8 @@ class IndexSearcher:
         double_mode = self.double_mode
         classic = self.classic
         kind, mu = self.score_kind, self.mu
-        probs = {t: self._collection_prob(t) for t in qweights} \
-            if kind == "lmd" else {}
+        probs = self._term_aux(qweights)
+        nscore = self._double_scorer()
         caches, avgdls = self._per_term_field_maps(qweights)
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2339,6 +2497,9 @@ class IndexSearcher:
                                         probs[row.term], mu)
                                 elif kind == "boolean":
                                     s = bm25.score_term_boolean(n, wgt)
+                                elif nscore is not None:
+                                    s = nscore(freqs, lens, wgt,
+                                               probs.get(row.term, 0.0))
                                 else:
                                     s = bm25.score_term_double(
                                         freqs, lens, wgt,

@@ -1,0 +1,192 @@
+"""Round-7 pluggable similarities — LMJelinekMercer, DFR, IB,
+AxiomaticF2EXP (``search/similarities/LMJelinekMercerSimilarity.java``,
+``DFRSimilarity.java`` + BasicModel*/AfterEffect*/Normalization*,
+``IBSimilarity.java`` + Distribution*/Lambda*, ``AxiomaticF2EXP.java``):
+engine scores vs brute-force python over the same corpus, all served
+from ONE exact32-norms index via the searcher-level override."""
+
+import math
+import os
+from collections import Counter
+
+import pytest
+
+from lucene_1_spark import corpus as corpus_mod
+from lucene_1_spark.analysis import get_analyzer
+from lucene_1_spark.index import IndexBuilder, IndexReader
+from lucene_1_spark.search import IndexSearcher
+from lucene_1_spark.index.builder import IndexConfig
+
+LAM_JM = 0.1
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_root):
+    pdf = corpus_mod.generate(150)
+    d = os.path.join(tmp_root, "idx_sims_r7")
+    IndexBuilder(spark, d, IndexConfig(
+        similarity="bm25_double", n_buckets=4, n_doc_partitions=4,
+        positions=True)).build(
+        spark.createDataFrame(pdf).repartition(4, "repo"))
+    an = get_analyzer("standard")
+    ordered = pdf.sort_values(["repo", "path", "commit"],
+                              kind="mergesort").reset_index(drop=True)
+    toks = [an.tokens_with_positions(c) for c in ordered["content"]]
+    reader = IndexReader(spark, d)
+    return reader, toks
+
+
+def _stats(toks):
+    tf = [Counter(t for t, _ in doc) for doc in toks]
+    lens = [len(doc) for doc in toks]
+    N = len(toks)
+    avgdl = sum(lens) / N
+    return tf, lens, N, avgdl
+
+
+def _tfn(f, ln, avgdl, c=1.0, norm="h2"):
+    if norm == "h1":
+        return c * f * avgdl / max(ln, 1)
+    return f * math.log2(1.0 + c * avgdl / max(ln, 1))
+
+
+def _check(searcher, exp, q):
+    got = {r["doc_id"]: r["score"]
+           for r in searcher.search_df(q, k=None).collect()}
+    assert set(got) == set(exp) and got
+    for d in got:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12, abs=1e-12), d
+
+
+def test_lmjm_matches_bruteforce(base):
+    reader, toks = base
+    s = IndexSearcher(reader, similarity="lm_jelinek_mercer_double")
+    tf, lens, N, _ = _stats(toks)
+    sttf = sum(lens)
+    terms = ["tok0", "tok5", "tok123"]
+    exp = {}
+    for term in terms:
+        ttf = sum(c.get(term, 0) for c in tf)
+        if ttf == 0:
+            continue
+        p = (ttf + 1.0) / (sttf + 1.0)
+        for d, c in enumerate(tf):
+            f = c.get(term)
+            if f:
+                sc = math.log1p((1 - LAM_JM) * f / max(lens[d], 1)
+                                / (LAM_JM * p))
+                exp[d] = exp.get(d, 0.0) + sc
+    _check(s, exp, " ".join(terms))
+
+
+@pytest.mark.parametrize("bm,ae,nrm", [
+    ("if", "l", "h2"), ("in", "b", "h1"), ("ine", "l", "h2")])
+def test_dfr_matches_bruteforce(base, bm, ae, nrm):
+    reader, toks = base
+    s = IndexSearcher(reader, similarity=f"dfr_{bm}_{ae}_{nrm}_double")
+    tf, lens, N, avgdl = _stats(toks)
+    terms = ["tok1", "tok7"]
+    exp = {}
+    for term in terms:
+        n = sum(1 for c in tf if term in c)
+        Fq = sum(c.get(term, 0) for c in tf)
+        if n == 0:
+            continue
+        if bm == "if":
+            a = math.log2(1 + (N + 1) / (Fq + 0.5))
+        elif bm == "in":
+            a = math.log2((N + 1) / (n + 0.5))
+        else:
+            ne = N * (1 - ((N - 1) / N) ** Fq)
+            a = math.log2((N + 1) / (ne + 0.5))
+        w = a * (1.0 if ae == "l" else (Fq + 1.0) / n)
+        for d, c in enumerate(tf):
+            f = c.get(term)
+            if f:
+                tfn = _tfn(f, lens[d], avgdl, 1.0, nrm)
+                exp[d] = exp.get(d, 0.0) + w * tfn / (1 + tfn)
+    _check(s, exp, " ".join(terms))
+
+
+@pytest.mark.parametrize("dist,lk", [("ll", "df"), ("spl", "ttf")])
+def test_ib_matches_bruteforce(base, dist, lk):
+    reader, toks = base
+    s = IndexSearcher(reader, similarity=f"ib_{dist}_{lk}_h2_double")
+    tf, lens, N, avgdl = _stats(toks)
+    terms = ["tok2", "tok11"]
+    exp = {}
+    for term in terms:
+        n = sum(1 for c in tf if term in c)
+        Fq = sum(c.get(term, 0) for c in tf)
+        if n == 0:
+            continue
+        lam = ((n if lk == "df" else Fq) + 1.0) / (N + 1.0)
+        lam = min(max(lam, 1e-12), 1 - 1e-9)
+        for d, c in enumerate(tf):
+            f = c.get(term)
+            if f:
+                tfn = _tfn(f, lens[d], avgdl)
+                if dist == "ll":
+                    sc = math.log1p(tfn / lam)
+                else:
+                    # same cancellation-stable algebra as the kernel
+                    eps = 1 - lam
+                    x = tfn / (tfn + 1)
+                    sc = -math.log(
+                        (math.expm1(x * math.log1p(-eps)) + eps) / eps)
+                exp[d] = exp.get(d, 0.0) + sc
+    _check(s, exp, " ".join(terms))
+
+
+def test_axiomatic_matches_bruteforce(base):
+    reader, toks = base
+    s = IndexSearcher(reader, similarity="axiomatic_f2exp_double")
+    tf, lens, N, avgdl = _stats(toks)
+    K, S = 0.35, 0.5
+    terms = ["tok0", "tok9"]
+    exp = {}
+    for term in terms:
+        n = sum(1 for c in tf if term in c)
+        if n == 0:
+            continue
+        w = ((N + 1.0) / n) ** K
+        for d, c in enumerate(tf):
+            f = c.get(term)
+            if f:
+                sc = w * f / (f + S + S * lens[d] / avgdl)
+                exp[d] = exp.get(d, 0.0) + sc
+    _check(s, exp, " ".join(terms))
+
+
+def test_axiomatic_pruned_topk_matches_exhaustive(base):
+    """F2EXP reuses the BM25 block-max pruning (same functional form,
+    k1=2s, b=0.5): pruned top-10 == exhaustive top-10."""
+    reader, _ = base
+    s = IndexSearcher(reader, similarity="axiomatic_f2exp_double")
+    q = "tok0 tok1 tok2"
+    pruned = [(r["doc_id"], r["score"])
+              for r in s.search_df(q, k=10, prune=True).collect()]
+    allr = sorted(((r["doc_id"], r["score"])
+                   for r in s.search_df(q, k=None).collect()),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert pruned == allr
+
+
+def test_new_sims_phrase_and_synonym_and_explain(base):
+    """Phrase (MultiSimScorer sum at the shared phrase freq), synonym
+    (merged stats) and explain() totals under the new similarities."""
+    from lucene_1_spark.search.query import PhraseQuery, SynonymQuery
+    reader, toks = base
+    for sim in ("lm_jelinek_mercer_double", "dfr_if_l_h2_double",
+                "ib_ll_df_h2_double", "axiomatic_f2exp_double"):
+        s = IndexSearcher(reader, similarity=sim)
+        for q in (PhraseQuery(("tok0", "tok1")),
+                  SynonymQuery(("tok3", "tok4"))):
+            rows = s.search_df(q, k=5).collect()
+            for r in rows:
+                assert r["score"] > 0.0
+        # explain totals equal search_df scores on a term query
+        top = s.search_df("tok0 tok5", k=3).collect()
+        for r in top:
+            e = s.explain("tok0 tok5", r["doc_id"])
+            assert e["value"] == pytest.approx(r["score"], rel=1e-9)
