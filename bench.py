@@ -298,6 +298,34 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
         out[f"hnsw_recall_at_10_{tag}"] = round(tot / len(qids), 3)
     out["hnsw_recall_eval_sec"] = round(time.time() - t0, 3)
 
+    # int8 scalar-quantized HNSW (Lucene99HnswScalarQuantizedVectors-
+    # Format analog): the graph table stores array<tinyint> vectors,
+    # beam distances run dequantized, survivors re-score at full
+    # precision — recall must hold vs exact, per-round
+    from lucene_1_spark.pipeline.quantize import scalar_quantize_fit
+    t0 = time.time()
+    for tag, e in (("random", emb), ("clustered", cemb)):
+        mn, mx = scalar_quantize_fit(e)
+        g = hnsw_build(e, m=8, ef_construction=64, n_partitions=4,
+                       quant=(mn, mx)).persist()
+        g.count()
+        tot = 0.0
+        qids = [0, 1, 2, 3, 4]
+        qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+                 for r in e.filter(F.col("vec_id").isin(qids)).collect()}
+        for qid in qids:
+            qv = qrows[qid]
+            exact = {r["vec_id"]
+                     for r in cosine_topk(e, qv, 10).collect()}
+            approx = {r["vec_id"]
+                      for r in hnsw_search(g, qv, 10, ef=64,
+                                           quant=(mn, mx),
+                                           rescore=e).collect()}
+            tot += len(exact & approx) / 10
+        g.unpersist()
+        out[f"hnsw_quant_recall_at_10_{tag}"] = round(tot / len(qids), 3)
+    out["hnsw_quant_recall_eval_sec"] = round(time.time() - t0, 3)
+
     out["quality"] = quality_metrics(spark, sf_dir)
     spark.stop()
     return out
@@ -357,7 +385,11 @@ def quality_metrics(spark, sf_dir: str, tf_min: int = 6) -> dict:
     out = {}
     for sim_name, get_searcher in (
             ("bm25", entrymod._searcher),
-            ("classic", entrymod._classic_searcher)):
+            ("classic", entrymod._classic_searcher),
+            ("lm_dirichlet", lambda s, d: entrymod._lmd_searcher(
+                s, d, "lm_dirichlet_double")),
+            ("dfr_ine_l_h2", lambda s, d: entrymod._lmd_searcher(
+                s, d, "dfr_ine_l_h2_double"))):
         se = get_searcher(spark, sf_dir)
         idmap = {r["doc_id"]: int(r["path"])
                  for r in se.reader.docs().select("doc_id", "path").collect()}
@@ -370,6 +402,8 @@ def quality_metrics(spark, sf_dir: str, tf_min: int = 6) -> dict:
         out[sim_name] = average(stats, p_at=(1, 5, 10))
     out["map_spread_bm25_vs_classic"] = round(
         abs(out["bm25"]["map"] - out["classic"]["map"]), 4)
+    maps = [v["map"] for v in out.values() if isinstance(v, dict)]
+    out["map_spread_all_sims"] = round(max(maps) - min(maps), 4)
     return out
 
 
