@@ -1507,6 +1507,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "n_ordered long, n_unordered long")
     q["ft_span_near_count"] = ft_span_near_count
 
+    def ft_surround_count(s, d):
+        """Surround query language END TO END (``queryparser/surround/``
+        grammar + DistanceQuery/OrQuery/NotQuery doc-set model,
+        ``search/surround_parser.py``): counts docs matching
+        'sort 3w merge' (ordered distance 3), '(data or hash) not
+        window' (boolean algebra) and 'ha* and sort' (truncation).
+        The SQL twin checks ordered position pairs within distance,
+        set algebra over doc ids, and LIKE-prefix term matches."""
+        from lucene_1_spark.search.surround_parser import surround_search
+
+        se = _pos_ws_searcher(s, d)
+        n1 = surround_search(se, "sort 3w merge").count()
+        n2 = surround_search(se, "(data or hash) not window").count()
+        n3 = surround_search(se, "ha* and sort").count()
+        return s.createDataFrame(
+            [(n1, n2, n3)],
+            "n_dist long, n_boolean long, n_trunc long")
+    q["ft_surround_count"] = ft_surround_count
+
     _LV_SEARCHERS: dict = {}
 
     def ft_lv_stem_topk(s, d):
@@ -3920,6 +3939,37 @@ SELECT
     ON a.doc_id = b.doc_id
    WHERE a.term = 'data' AND b.term = 'hash'
      AND a.p <> b.p AND abs(a.p - b.p) <= 2)::BIGINT AS n_unordered
+"""
+
+    o["ft_surround_count"] = """
+WITH cdocs AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,200)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+raw AS (
+  SELECT doc_id, unnest(string_split_regex(c, ' ')) AS term,
+         generate_subscripts(string_split_regex(c, ' '), 1) AS i
+  FROM cdocs),
+toks AS MATERIALIZED (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM raw WHERE term <> '')
+SELECT
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   WHERE a.term = 'sort' AND b.term = 'merge'
+     AND b.p > a.p AND b.p - a.p <= 3)::BIGINT AS n_dist,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('data', 'hash')
+        AND doc_id NOT IN (SELECT doc_id FROM toks
+                            WHERE term = 'window')))::BIGINT AS n_boolean,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'ha%'
+     INTERSECT
+     SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'))::BIGINT
+    AS n_trunc
 """
 
     # arabic chain: normalize (translate) then prefix CASE then suffix
