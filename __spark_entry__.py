@@ -934,6 +934,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n long")
     q["geo_polygon_count"] = geo_polygon_count
 
+    def geo_path_distance_count(s, d):
+        """spatial3d GeoStandardPath analog (functions/geo3d.py):
+        docs within 1500 km of a geodesic polyline — 3D unit-sphere
+        cross-track/endpoint arc math as pure JVM columns, expanded
+        bbox conjunct pushed to the scan; the SQL twin is GENERATED
+        from the same segment constants (path_distance_sql), so the
+        formula itself is cross-checked, not just the rows."""
+        from lucene_1_spark.functions.geo3d import path_distance_query
+        pts = _geo_docs(s, d)
+        n = path_distance_query(
+            pts, [(10.0, 40.0), (25.0, 55.0), (40.0, 45.0)],
+            radius_m=1_500_000.0).count()
+        return s.createDataFrame([(n,)], "n long")
+    q["geo_path_distance_count"] = geo_path_distance_count
+
     # deterministic synthetic triangle ring per doc — same trig on
     # both sides (the geo-point precedent), so LatLonShape relations
     # have exact SQL twins
@@ -3443,6 +3458,17 @@ SELECT count(*)::BIGINT AS n FROM geo WHERE {_HAV} <= 3000000.0
 WITH {_GEO}
 SELECT count(*)::BIGINT AS n FROM geo
 WHERE ({" + ".join(_edges)}) % 2 = 1
+"""
+
+    # spatial3d path twin: the SQL expression is GENERATED from the
+    # same segment constants as the Spark plan (geo3d.path_distance_sql)
+    from lucene_1_spark.functions.geo3d import path_distance_sql
+    _PATH_EXPR = path_distance_sql(
+        "lat", "lon", [(10.0, 40.0), (25.0, 55.0), (40.0, 45.0)])
+    o["geo_path_distance_count"] = f"""
+WITH {_GEO}
+SELECT count(*)::BIGINT AS n FROM geo
+WHERE {_PATH_EXPR} <= 1500000.0
 """
 
     # LatLonShape twins: the same synthetic triangles (identical trig,

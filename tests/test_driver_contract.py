@@ -45,7 +45,7 @@ def test_every_query_has_shape():
     assert set(osql) <= set(qs)
     # only the explicitly-approximate/stubbed/non-SQL ops lack an oracle
     assert set(qs) - set(osql) == {"sim_ann_topk", "sim_ivf_ann_topk",
-                                   "sim_hnsw_topk",
+                                   "sim_hnsw_topk", "sim_hnsw_quant_topk",
                                    "mm_image_features", "mm_audio_features",
                                    "ft_highlight"}
 
