@@ -1541,6 +1541,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_dist long, n_boolean long, n_trunc long")
     q["ft_surround_count"] = ft_surround_count
 
+    def ft_xml_parse_count(s, d):
+        """XML query syntax END TO END (``queryparser/xml/CoreParser``
+        element vocabulary, ``search/xml_parser.py``): a BooleanQuery
+        with must/mustNot clauses, a SpanNear proximity element, and a
+        RangeQuery (term range) — each parsed from XML and counted.
+        The SQL twin checks doc-set algebra, ordered position pairs
+        (slop=2 -> gap<=2 -> delta<=3), and a term BETWEEN range."""
+        from lucene_1_spark.search.xml_parser import parse_xml_query
+
+        se = _pos_ws_searcher(s, d)
+        n1 = se.count(parse_xml_query(
+            '<BooleanQuery fieldName="content">'
+            '<Clause occurs="must"><TermQuery>sort</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>window</TermQuery>'
+            "</Clause></BooleanQuery>"))
+        from lucene_1_spark.search.spans import span_matches
+        n2 = span_matches(se, parse_xml_query(
+            '<SpanNear slop="2" inOrder="true">'
+            "<SpanTerm>data</SpanTerm><SpanTerm>merge</SpanTerm>"
+            "</SpanNear>")).count()
+        n3 = se.count(parse_xml_query(
+            '<RangeQuery fieldName="content" lowerTerm="ha"'
+            ' upperTerm="hz"/>'))
+        return s.createDataFrame(
+            [(n1, n2, n3)], "n_bool long, n_span long, n_range long")
+    q["ft_xml_parse_count"] = ft_xml_parse_count
+
     _LV_SEARCHERS: dict = {}
 
     def ft_lv_stem_topk(s, d):
@@ -3996,6 +4023,35 @@ SELECT
      INTERSECT
      SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'))::BIGINT
     AS n_trunc
+"""
+
+    # XML parser twin: same toks CTE vocabulary as the surround twin
+    o["ft_xml_parse_count"] = """
+WITH cdocs AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(lower(substr(coalesce(text,''),1,200)),
+                        '[^a-z ]', ' ', 'g') AS c
+  FROM documents),
+raw AS (
+  SELECT doc_id, unnest(string_split_regex(c, ' ')) AS term,
+         generate_subscripts(string_split_regex(c, ' '), 1) AS i
+  FROM cdocs),
+toks AS MATERIALIZED (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM raw WHERE term <> '')
+SELECT
+  (SELECT count(*) FROM (
+     SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'
+       AND doc_id NOT IN (SELECT doc_id FROM toks
+                           WHERE term = 'window')))::BIGINT AS n_bool,
+  (SELECT count(DISTINCT a.doc_id) FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   WHERE a.term = 'data' AND b.term = 'merge'
+     AND b.p > a.p AND b.p - a.p <= 3)::BIGINT AS n_span,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT doc_id FROM toks
+      WHERE term >= 'ha' AND term <= 'hz'))::BIGINT AS n_range
 """
 
     # arabic chain: normalize (translate) then prefix CASE then suffix
