@@ -1905,7 +1905,7 @@ class IndexSearcher:
                        .alias("position"), "payload"),
             ["doc_id", "position"], "left")
         agg = {"min": F.min("payload"), "max": F.max("payload"),
-               "sum": F.sum("payload"),
+               "sum": F.sum("payload"), "avg": F.avg("payload"),
                "first": F.min_by("payload", F.when(
                    F.col("payload").isNotNull(), F.col("position")))
                }[q.function]

@@ -122,8 +122,9 @@ class PayloadScoreQuery(Query):
     payloads score 0, as ``PayloadFunction.docScore`` does with zero
     payloads seen.
 
-    ``function``: ``min`` | ``max`` | ``sum`` | ``first`` (payload at
-    the earliest matching position)."""
+    ``function``: ``min`` | ``max`` | ``sum`` | ``avg``
+    (AveragePayloadFunction) | ``first`` (payload at the earliest
+    matching position)."""
     term: str
     function: str = "max"
     include_span_score: bool = False
@@ -131,10 +132,10 @@ class PayloadScoreQuery(Query):
     boost: float = 1.0
 
     def __post_init__(self):
-        if self.function not in ("min", "max", "sum", "first"):
+        if self.function not in ("min", "max", "sum", "avg", "first"):
             raise ValueError(
                 f"unknown payload function {self.function!r} "
-                f"(min|max|sum|first)")
+                f"(min|max|sum|avg|first)")
 
 
 @dataclass(frozen=True)

@@ -24,9 +24,9 @@ Supported elements (the CoreParser registry):
 - ``ConstantScoreQuery``
 - ``UserQuery`` — classic parser syntax embedded in XML
   (UserInputQueryBuilder)
-- ``BoostingTermQuery`` -> PayloadScoreQuery (includeSpanScore=True
-  like BoostingTermBuilder; payload fold ``max`` = documented
-  deviation from the reference's AveragePayloadFunction)
+- ``BoostingTermQuery`` -> PayloadScoreQuery with the ``avg`` fold +
+  includeSpanScore=True, exactly BoostingTermBuilder's
+  AveragePayloadFunction construction
 - spans: ``SpanTerm`` / ``SpanNear`` (``slop``, ``inOrder``) /
   ``SpanOr`` / ``SpanOrTerms`` / ``SpanFirst`` (``end``) /
   ``SpanNot`` (``Include``/``Exclude`` children)
@@ -245,7 +245,7 @@ class XmlQueryParser:
 
     def _el_BoostingTermQuery(self, el, field):
         f = _field(el, field)
-        return PayloadScoreQuery(_text(el), function="max",
+        return PayloadScoreQuery(_text(el), function="avg",
                                  include_span_score=True,
                                  field=f, boost=_boost(el))
 

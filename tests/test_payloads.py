@@ -71,6 +71,9 @@ def test_payload_functions(pidx):
         {"d0": 6.0, "d1": 0.5}
     assert scores(PayloadScoreQuery("cat", "first")) == \
         {"d0": 1.0, "d1": 0.5}
+    # avg = AveragePayloadFunction: mean over payloads SEEN
+    assert scores(PayloadScoreQuery("cat", "avg")) == \
+        {"d0": 3.0, "d1": 0.5}
     # dog @ d1 positions 0(3.0), 1(no payload): missing payloads are
     # skipped, not zero-filled (PayloadFunction ignores absent payloads)
     assert scores(PayloadScoreQuery("dog", "min")) == \
