@@ -73,6 +73,16 @@ class SpanFirstQuery(SpanQuery):
     end: int  # spans must END before this position (exclusive)
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans whose start position is >= ``start`` AND that end before
+    ``end`` (``queries/spans/SpanPositionRangeQuery.java``);
+    SpanFirstQuery is the start=0 special case."""
+    match: SpanQuery
+    start: int
+    end: int
+
+
 def to_interval_source(q: SpanQuery):
     """Reduce a span tree to an interval source spec
     (``search.intervals`` combinators)."""
@@ -94,9 +104,9 @@ def to_interval_source(q: SpanQuery):
             to_interval_source(q.include),
             iv.extend_source(to_interval_source(q.exclude),
                              q.pre, q.post))
-    if isinstance(q, SpanFirstQuery):
-        # handled by span_matches (needs an end-position filter the
-        # source algebra has no combinator for); reduce the inner part
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        # handled by span_matches (needs a position filter the source
+        # algebra has no combinator for); reduce the inner part
         return to_interval_source(q.match)
     raise ValueError(f"not a span query: {type(q).__name__}")
 
@@ -116,13 +126,15 @@ def span_matches(searcher, q: SpanQuery) -> DataFrame:
                          F.col(out.columns[1]).alias("n_spans"))
     else:
         spans = iv.source_spans(searcher, to_interval_source(q))
-        if isinstance(q, SpanFirstQuery):
+        if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+            start = int(getattr(q, "start", 0))
+            ok = F.zip_with(
+                "starts", "ends",
+                lambda s, e: (s >= F.lit(start))
+                & (e < F.lit(int(q.end))))
             spans = spans.select(
                 "doc_id",
-                F.filter("ends", lambda e: e < F.lit(int(q.end)))
-                .alias("ends"))
-            spans = spans.select(
-                "doc_id", F.size("ends").alias("n_spans"))
+                F.size(F.filter(ok, lambda x: x)).alias("n_spans"))
         else:
             spans = spans.select(
                 "doc_id", F.size("starts").alias("n_spans"))

@@ -29,14 +29,13 @@ Supported elements (the CoreParser registry):
   AveragePayloadFunction construction
 - spans: ``SpanTerm`` / ``SpanNear`` (``slop``, ``inOrder``) /
   ``SpanOr`` / ``SpanOrTerms`` / ``SpanFirst`` (``end``) /
+  ``SpanPositionRange`` (``start``/``end``) /
   ``SpanNot`` (``Include``/``Exclude`` children)
 
 Span elements produce a ``spans.SpanQuery`` (position algebra, not a
 scored Query) — valid at top level or inside other span elements;
 embedding one as a BooleanQuery clause raises (documented deviation:
 the repo keeps span matching as a separate facade).
-``SpanPositionRange`` is not mapped (no start-bounded position filter
-in the span facade).
 
 Boost: set on the dataclass when it has a ``boost`` field; otherwise
 (BooleanQuery) wrapped as a single-disjunct DisjunctionMaxQuery — the
@@ -279,6 +278,19 @@ class XmlQueryParser:
             raise XmlParserException("<SpanFirst> needs end attribute")
         return SpanFirstQuery(self._span(kids[0], field),
                               int(el.get("end")))
+
+    def _el_SpanPositionRange(self, el, field):
+        kids = _children(el)
+        if len(kids) != 1:
+            raise XmlParserException(
+                "<SpanPositionRange> needs exactly one child")
+        if el.get("end") is None:
+            raise XmlParserException(
+                "<SpanPositionRange> needs end attribute")
+        from lucene_1_spark.search.spans import SpanPositionRangeQuery
+        return SpanPositionRangeQuery(self._span(kids[0], field),
+                                      int(el.get("start", "0")),
+                                      int(el.get("end")))
 
     def _el_SpanNot(self, el, field):
         inc = exc = None

@@ -77,6 +77,19 @@ def test_span_first(sidx):
     assert _paths(sidx, q3) == {"d0", "d1", "d2"}
 
 
+def test_span_position_range(sidx):
+    from lucene_1_spark.search.spans import SpanPositionRangeQuery
+    # fox positions: d0@2 d1@2 d2@0 d3@3 d4@3
+    q = SpanPositionRangeQuery(SpanTermQuery("fox"), start=1, end=3)
+    assert _paths(sidx, q) == {"d0", "d1"}
+    q2 = SpanPositionRangeQuery(SpanTermQuery("fox"), start=2, end=4)
+    assert _paths(sidx, q2) == {"d0", "d1", "d3", "d4"}
+    # start=0 degenerates to SpanFirst
+    q0 = SpanPositionRangeQuery(SpanTermQuery("fox"), start=0, end=2)
+    assert _paths(sidx, q0) == _paths(
+        sidx, SpanFirstQuery(SpanTermQuery("fox"), end=2)) == {"d2"}
+
+
 def test_span_validation(sidx):
     with pytest.raises(ValueError):
         SpanNearQuery((SpanTermQuery("a"),))

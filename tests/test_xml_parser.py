@@ -109,6 +109,16 @@ def test_span_tree():
         slop=2, in_order=False)
 
 
+def test_span_position_range_parse():
+    from lucene_1_spark.search.spans import SpanPositionRangeQuery
+    q = parse_xml_query('<SpanPositionRange start="1" end="4">'
+                        "<SpanTerm>fox</SpanTerm></SpanPositionRange>")
+    assert q == SpanPositionRangeQuery(SpanTermQuery("fox"), 1, 4)
+    with pytest.raises(XmlParserException):
+        parse_xml_query("<SpanPositionRange start='1'>"
+                        "<SpanTerm>a</SpanTerm></SpanPositionRange>")
+
+
 def test_errors():
     for bad in ("<NoSuchQuery/>",
                 "not xml at all <",
