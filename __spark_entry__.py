@@ -1895,6 +1895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _sim_topk(s, d, "lm_jelinek_mercer_double")
     q["ft_lmjm_topk"] = ft_lmjm_topk
 
+    def ft_dfi_topk(s, d):
+        """DFISimilarity(IndependenceChiSquared) top-10
+        (similarities/DFISimilarity.java:58-69): expected =
+        (F+1)*len/(T+1); freq <= expected scores 0, else
+        log2((freq-expected)^2/expected + 1), summed over terms."""
+        return _sim_topk(s, d, "dfi_chi2_double")
+    q["ft_dfi_topk"] = ft_dfi_topk
+
     def ft_dfr_topk(s, d):
         """DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2)
         top-10 (similarities/DFRSimilarity.java; Amati & van
@@ -4555,6 +4563,11 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
     o["ft_lmjm_topk"] = _sim_oracle(
         "ln(1 + (0.9 * tf.freq / greatest(dl.len, 1.0))"
         " / (0.1 * ((cf.ttf + 1) / (st.tot + 1))))")
+    _DFI_E = "(((cf.ttf + 1) / (st.tot + 1)) * dl.len)"
+    o["ft_dfi_topk"] = _sim_oracle(
+        f"CASE WHEN tf.freq > {_DFI_E} THEN "
+        f"log2((tf.freq - {_DFI_E}) * (tf.freq - {_DFI_E}) / {_DFI_E}"
+        f" + 1.0) ELSE 0.0 END")
     _TFN_H2 = "(tf.freq * log2(1 + (st.tot / st.n) / greatest(dl.len, 1.0)))"
     o["ft_dfr_topk"] = _sim_oracle(
         f"log2(1 + (st.n + 1) / (cf.ttf + 0.5))"

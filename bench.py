@@ -389,7 +389,9 @@ def quality_metrics(spark, sf_dir: str, tf_min: int = 6) -> dict:
             ("lm_dirichlet", lambda s, d: entrymod._lmd_searcher(
                 s, d, "lm_dirichlet_double")),
             ("dfr_ine_l_h2", lambda s, d: entrymod._lmd_searcher(
-                s, d, "dfr_ine_l_h2_double"))):
+                s, d, "dfr_ine_l_h2_double")),
+            ("dfi_chi2", lambda s, d: entrymod._lmd_searcher(
+                s, d, "dfi_chi2_double"))):
         se = get_searcher(spark, sf_dir)
         idmap = {r["doc_id"]: int(r["path"])
                  for r in se.reader.docs().select("doc_id", "path").collect()}

@@ -127,6 +127,32 @@ def score_term_lm_dirichlet(freq: np.ndarray, lengths: np.ndarray,
     return np.maximum(s, 0.0)
 
 
+def score_term_dfi(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                   rate: float, measure: str) -> np.ndarray:
+    """Divergence-from-independence scoring —
+    ``search/similarities/DFISimilarity.java:58-69`` with the three
+    Independence measures (``IndependenceChiSquared.java`` /
+    ``IndependenceSaturated.java`` / ``IndependenceStandardized.java``):
+    ``expected = rate * docLen`` where ``rate`` is the same smoothed
+    ``(F + 1) / (T + 1)`` as :func:`collection_prob`; freq <= expected
+    scores 0, else ``boost * log2(measure(freq, expected) + 1)``."""
+    f = np.asarray(freq, dtype=np.float64)
+    e = rate * np.asarray(lengths, dtype=np.float64)
+    e = np.maximum(e, 1e-300)
+    if measure == "chi2":
+        m = (f - e) * (f - e) / e
+    elif measure == "sat":
+        m = (f - e) / e
+    elif measure == "std":
+        m = (f - e) / np.sqrt(e)
+    else:
+        raise ValueError(f"unknown DFI measure {measure!r} "
+                         "(chi2|sat|std)")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = weight * np.log2(m + 1.0)
+    return np.where(f > e, s, 0.0)
+
+
 def score_term_boolean(n: int, weight: float) -> np.ndarray:
     """``search/similarities/BooleanSimilarity.java``: every matching
     doc scores exactly the query boost — frequency and length play no

@@ -223,6 +223,7 @@ class IndexSearcher:
                   "axiomatic_f2exp_double": "bm25"}
         self.dfr_params: tuple | None = None   # (basic, after_eff, norm)
         self.ib_params: tuple | None = None    # (dist, lambda_kind, norm)
+        self.dfi_measure: str | None = None    # chi2 | sat | std
         self.axiomatic = self.similarity == "axiomatic_f2exp_double"
         if self.similarity in _KINDS:
             self.score_kind = _KINDS[self.similarity]
@@ -232,17 +233,23 @@ class IndexSearcher:
                               self.similarity)
             mi = _re.fullmatch(r"ib_(ll|spl)_(df|ttf)_(h[12])_double",
                                self.similarity)
+            md = _re.fullmatch(r"dfi_(chi2|sat|std)_double",
+                               self.similarity)
             if m:
                 self.score_kind = "dfr"
                 self.dfr_params = (m.group(1), m.group(2), m.group(3))
             elif mi:
                 self.score_kind = "ib"
                 self.ib_params = (mi.group(1), mi.group(2), mi.group(3))
+            elif md:
+                self.score_kind = "dfi"
+                self.dfi_measure = md.group(1)
             else:
                 raise ValueError(
                     f"unknown similarity '{self.similarity}' (supported:"
                     f" {sorted(_KINDS)}, dfr_<if|in|ine>_<l|b>_<h1|h2>"
-                    f"_double, ib_<ll|spl>_<df|ttf>_<h1|h2>_double)")
+                    f"_double, ib_<ll|spl>_<df|ttf>_<h1|h2>_double, "
+                    f"dfi_<chi2|sat|std>_double)")
         self.double_mode = self.similarity != "bm25_float32"
         self.classic = self.similarity == "classic_double"
         self.mu = float(reader.cfg.get("lm_mu", bm25.MU_DEFAULT))
@@ -305,7 +312,7 @@ class IndexSearcher:
         constant for DFR, ((N+1)/n)^k for axiomatic F2EXP."""
         if self.score_kind == "classic":
             return boost * bm25.idf_classic(doc_freq, fdc) ** 2
-        if self.score_kind in ("lmd", "lmjm", "boolean", "ib"):
+        if self.score_kind in ("lmd", "lmjm", "boolean", "ib", "dfi"):
             return float(boost)
         if self.score_kind == "dfr":
             bm_, ae, _ = self.dfr_params
@@ -333,13 +340,16 @@ class IndexSearcher:
             sttf = int(self.reader.stats["sum_total_term_freq"])
         return bm25.collection_prob(int(ttf), sttf)
 
+
     def _term_aux(self, terms,
                   stats: dict[str, tuple] | None = None) -> dict[str, float]:
         """Per-term auxiliary scoring scalar: P(t|C) for the LM
         similarities, lambda for IB, {} otherwise.  ``stats`` =
         {term: (doc_freq, ttf)} skips the extra stats seek when the
         query-prep path already has them (memoized)."""
-        if self.score_kind in ("lmd", "lmjm"):
+        if self.score_kind in ("lmd", "lmjm", "dfi"):
+            # DFI's expected-frequency rate (F+1)/(T+1) IS the LM
+            # collection model (DFISimilarity.java:58-62)
             return {t: self._collection_prob(
                 t, ttf=(stats[t][1] if stats else None)) for t in terms}
         if self.score_kind == "ib":
@@ -371,6 +381,10 @@ class IndexSearcher:
             c, avgdl = self.norm_c, float(self.avgdl)
             return lambda f, ln, w, a: \
                 bm25.score_term_ib(f, ln, w, a, avgdl, c, norm, dist)
+        if self.score_kind == "dfi":
+            measure = self.dfi_measure
+            return lambda f, ln, w, a: \
+                bm25.score_term_dfi(f, ln, w, a, measure)
         return None
 
     def _per_term_field_maps(self, terms) -> tuple[dict, dict]:
@@ -1084,12 +1098,13 @@ class IndexSearcher:
             weight = boost * sum(
                 bm25.idf_classic(stats[t][0], fdc)
                 for t in ordered_terms) ** 2
-        elif self.score_kind in ("lmd", "lmjm", "ib", "boolean"):
-            # LM/IB phrases: SimilarityBase builds one BasicStats per
-            # member term and sums per-stat scores of the SAME phrase
-            # freq (MultiSimScorer); boolean phrases score the boost
+        elif self.score_kind in ("lmd", "lmjm", "ib", "boolean", "dfi"):
+            # LM/IB/DFI phrases: SimilarityBase builds one BasicStats
+            # per member term and sums per-stat scores of the SAME
+            # phrase freq (MultiSimScorer); boolean phrases score the
+            # boost
             weight = float(boost)
-            if self.score_kind in ("lmd", "lmjm"):
+            if self.score_kind in ("lmd", "lmjm", "dfi"):
                 lm_probs = [self._collection_prob(t, ttf=stats[t][1])
                             for t in ordered_terms]
             elif self.score_kind == "ib":
@@ -1302,6 +1317,26 @@ class IndexSearcher:
                     F.lit(1.0 - lam) * F.col("pf")
                     / F.greatest(ln, F.lit(1.0)) / F.lit(lam * p))
                     for p in lm_probs]
+                score_d = comps[0]
+                for c in comps[1:]:
+                    score_d = score_d + c
+            elif self.score_kind == "dfi":
+                # per-member-term DFI of the phrase freq, summed
+                # (MultiSimScorer); freq <= expected contributes 0
+                meas = self.dfi_measure
+                comps = []
+                for p in lm_probs:
+                    e = F.greatest(F.lit(p) * ln, F.lit(1e-300))
+                    if meas == "chi2":
+                        m = (F.col("pf") - e) * (F.col("pf") - e) / e
+                    elif meas == "sat":
+                        m = (F.col("pf") - e) / e
+                    else:
+                        m = (F.col("pf") - e) / F.sqrt(e)
+                    comps.append(F.when(
+                        F.col("pf") > e,
+                        F.lit(weight) * F.log2(m + F.lit(1.0)))
+                        .otherwise(F.lit(0.0)))
                 score_d = comps[0]
                 for c in comps[1:]:
                     score_d = score_d + c
@@ -1542,7 +1577,7 @@ class IndexSearcher:
         # SynonymQuery merges term stats with totalTermFreq SUMMED
         # (``SynonymQuery.java:212-228``) — the LM collection prob /
         # IB lambda of the pseudo-term uses the merged stats
-        if self.score_kind in ("lmd", "lmjm"):
+        if self.score_kind in ("lmd", "lmjm", "dfi"):
             syn_p = self._collection_prob(present[0], ttf=merged_ttf)
         elif self.score_kind == "ib":
             syn_p = bm25.ib_lambda(self.ib_params[1], merged_df,
@@ -2143,7 +2178,7 @@ class IndexSearcher:
                         self._collection_prob(term_key), self.mu)[0])
                 elif self.score_kind == "boolean":
                     s = float(weight)
-                elif self.score_kind in ("lmjm", "dfr", "ib"):
+                elif self.score_kind in ("lmjm", "dfr", "ib", "dfi"):
                     aux = self._term_aux([term_key]).get(term_key, 0.0)
                     s = float(self._double_scorer()(
                         np.array([freq]), np.array([norm_len]),

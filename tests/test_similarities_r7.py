@@ -190,3 +190,51 @@ def test_new_sims_phrase_and_synonym_and_explain(base):
         for r in top:
             e = s.explain("tok0 tok5", r["doc_id"])
             assert e["value"] == pytest.approx(r["score"], rel=1e-9)
+
+
+@pytest.mark.parametrize("meas,fn", [
+    ("chi2", lambda f, e: (f - e) * (f - e) / e),
+    ("sat", lambda f, e: (f - e) / e),
+    ("std", lambda f, e: (f - e) / math.sqrt(e)),
+])
+def test_dfi_matches_bruteforce(base, meas, fn):
+    """DFISimilarity.java:58-69 with the three Independence measures:
+    expected = (F+1) * dl / (T+1); freq <= expected scores 0, else
+    boost * log2(measure + 1)."""
+    reader, toks = base
+    s = IndexSearcher(reader, similarity=f"dfi_{meas}_double")
+    tf, lens, N, _ = _stats(toks)
+    sttf = sum(lens)
+    terms = ["tok0", "tok3", "tok42"]
+    exp = {}
+    for term in terms:
+        ttf = sum(c.get(term, 0) for c in tf)
+        if ttf == 0:
+            continue
+        rate = (ttf + 1.0) / (sttf + 1.0)
+        for d, c in enumerate(tf):
+            f = c.get(term)
+            if f:
+                e = rate * lens[d]
+                sc = math.log2(fn(f, e) + 1.0) if f > e else 0.0
+                exp[d] = exp.get(d, 0.0) + sc
+    # freq <= expected keeps the doc as a MATCH at score 0 (the
+    # reference's "return zero", not a non-match) — keep zeros
+    _check(s, exp, " ".join(terms))
+
+
+def test_dfi_phrase_synonym_explain(base):
+    from lucene_1_spark.search.query import PhraseQuery, SynonymQuery
+    reader, toks = base
+    s = IndexSearcher(reader, similarity="dfi_chi2_double")
+    for q in (PhraseQuery(("tok0", "tok1")), SynonymQuery(("tok3", "tok4"))):
+        rows = s.search_df(q, k=5).collect()
+        # DFI legitimately scores 0 when freq <= expected — matches
+        # stay matches; require well-formed non-negative scores
+        assert rows
+        for r in rows:
+            assert r["score"] >= 0.0 and not math.isnan(r["score"])
+    top = s.search_df("tok0 tok5", k=3).collect()
+    for r in top:
+        e = s.explain("tok0 tok5", r["doc_id"])
+        assert e["value"] == pytest.approx(r["score"], rel=1e-9)
