@@ -1928,6 +1928,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _sim_topk(s, d, "axiomatic_f2exp_double")
     q["ft_axiomatic_topk"] = ft_axiomatic_topk
 
+    def ft_indri_topk(s, d):
+        """IndriDirichletSimilarity top-10 (similarities/
+        IndriDirichletSimilarity.java:62-66): per term
+        ln((tf + mu*P(t|C)) / (len + mu)), mu=2000, P(t|C) = ttf/T
+        UNSMOOTHED (IndriCollectionModel) — a log-probability, so
+        every score is negative and ranking is closest-to-zero
+        first."""
+        return _sim_topk(s, d, "indri_dirichlet_double")
+    q["ft_indri_topk"] = ft_indri_topk
+
+    def ft_ax_f1log_topk(s, d):
+        """AxiomaticF1LOG top-10 (similarities/AxiomaticF1LOG.java:
+        50-70): per term ln((N+1)/n) * (1 + ln(1 + ln(tf)))
+        * (avgdl + s)/(avgdl + len*s), s=0.5 — tf and length norm are
+        separate factors (F1), log-form idf."""
+        return _sim_topk(s, d, "axiomatic_f1log_double")
+    q["ft_ax_f1log_topk"] = ft_ax_f1log_topk
+
+    def ft_dfr_g_topk(s, d):
+        """DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2)
+        top-10 (similarities/BasicModelG.java:36-50): lambda =
+        F/(N+F) with F=ttf+1, A=log2(1+lambda), B=log2((1+lambda)/
+        lambda), per term B - (B-A)/(1+tfn) — the geometric basic
+        model, affine in 1/(1+tfn)."""
+        return _sim_topk(s, d, "dfr_g_l_h2_double")
+    q["ft_dfr_g_topk"] = ft_dfr_g_topk
+
+    def ft_rawtf_topk(s, d):
+        """RawTFSimilarity top-10 (similarities/RawTFSimilarity.java:
+        40-42): score = summed raw term frequency — no idf, no length
+        norm (the feature-engineering similarity)."""
+        return _sim_topk(s, d, "raw_tf_double")
+    q["ft_rawtf_topk"] = ft_rawtf_topk
+
     def ft_simple_parse_topk(s, d):
         """SimpleQueryParser analog (queryparser/simple/
         SimpleQueryParser.java): lenient grammar, never throws.
@@ -4577,6 +4611,23 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
     o["ft_axiomatic_topk"] = _sim_oracle(
         "pow((st.n + 1) / cf.dfreq, 0.35) * tf.freq"
         " / (tf.freq + 0.5 + 0.5 * dl.len / (st.tot / st.n))")
+    # IndriDirichlet: ln((tf + mu*ttf/T)/(len + mu)), mu=2000
+    o["ft_indri_topk"] = _sim_oracle(
+        "ln((tf.freq + 2000.0 * cf.ttf / st.tot) / (dl.len + 2000.0))")
+    # AxiomaticF1LOG: ln((N+1)/n) * (1+ln(1+ln(tf))) * (avgdl+s)/(avgdl+len*s)
+    o["ft_ax_f1log_topk"] = _sim_oracle(
+        "ln((st.n + 1) / cf.dfreq) * (1 + ln(1 + ln(tf.freq)))"
+        " * ((st.tot / st.n) + 0.5)"
+        " / ((st.tot / st.n) + dl.len * 0.5)")
+    # DFR BasicModelG + AfterEffectL + H2: lambda = (ttf+1)/(N+ttf+1),
+    # score = B - (B-A)/(1+tfn)
+    _G_LAM = "((cf.ttf + 1) / (st.n + cf.ttf + 1))"
+    o["ft_dfr_g_topk"] = _sim_oracle(
+        f"log2((1 + {_G_LAM}) / {_G_LAM})"
+        f" - (log2((1 + {_G_LAM}) / {_G_LAM}) - log2({_G_LAM} + 1))"
+        f" / (1 + {_TFN_H2})")
+    # RawTF: summed raw term frequency
+    o["ft_rawtf_topk"] = _sim_oracle("tf.freq")
 
     # SimpleQueryParser 'spark + merge window' ==
     # (spark AND merge) OR window; matching disjuncts' BM25 sums

@@ -179,17 +179,35 @@ def score_term_lm_jelinek_mercer(freq: np.ndarray, lengths: np.ndarray,
     return weight * np.log1p((1.0 - lam) * f / ln / (lam * p_c))
 
 
+NORM_MU_DEFAULT = 800.0     # NormalizationH3.java Dirichlet prior
+NORM_Z_DEFAULT = 0.30       # NormalizationZ.java Pareto-Zipf exponent
+
+
 def tfn_dfr(freq: np.ndarray, lengths: np.ndarray, avgdl: float,
-            c: float = 1.0, norm: str = "h2") -> np.ndarray:
+            c: float = 1.0, norm: str = "h2",
+            mu: float = NORM_MU_DEFAULT,
+            pivot: float = 0.0) -> np.ndarray:
     """DFR/IB term-frequency normalization (Amati & van Rijsbergen
-    2002; ``search/similarities/NormalizationH1.java`` / ``H2.java``):
-    H1 ``tfn = c * freq * avgdl/len`` (uniform term distribution),
-    H2 ``tfn = freq * log2(1 + c * avgdl/len)`` (density decreases
-    with length)."""
+    2002; ``search/similarities/NormalizationH1.java`` / ``H2.java`` /
+    ``H3.java`` / ``Z.java``):
+
+    - H1 ``tfn = c * freq * avgdl/len`` (uniform term distribution)
+    - H2 ``tfn = freq * log2(1 + c * avgdl/len)`` (density decreases
+      with length)
+    - H3 ``tfn = mu * (freq + mu*pivot) / (len + mu)`` with
+      ``pivot = (F+1)/(T+1)`` (term-dependent Dirichlet prior,
+      ``NormalizationH3.java:48-51``)
+    - Z  ``tfn = freq * (avgdl/len)^z`` with ``z = c`` in (0, 0.5)
+      (Pareto-Zipf, ``NormalizationZ.java:49-51``)
+    """
     f = np.asarray(freq, dtype=np.float64)
     ln = np.maximum(np.asarray(lengths, dtype=np.float64), 1.0)
     if norm == "h1":
         return c * f * avgdl / ln
+    if norm == "h3":
+        return mu * (f + mu * pivot) / (ln + mu)
+    if norm == "z":
+        return f * (avgdl / ln) ** c
     return f * np.log2(1.0 + c * avgdl / ln)
 
 
@@ -228,13 +246,43 @@ def dfr_weight(basic_model: str, after_effect: str, doc_freq: int,
 
 def score_term_dfr(freq: np.ndarray, lengths: np.ndarray, weight: float,
                    avgdl: float, c: float = 1.0,
-                   norm: str = "h2") -> np.ndarray:
+                   norm: str = "h2", g_ratio: float = 0.0,
+                   mu: float = NORM_MU_DEFAULT,
+                   pivot: float = 0.0) -> np.ndarray:
     """DFR per-term score: ``weight * tfn/(1+tfn)`` — the Inf1 basic
     models are linear in tfn and the L/B after-effects contribute
     ``const/(1+tfn)``, so everything doc-independent lives in
-    ``weight`` (:func:`dfr_weight`)."""
-    tfn = tfn_dfr(freq, lengths, avgdl, c, norm)
+    ``weight`` (:func:`dfr_weight`).
+
+    Basic model G (geometric; ``BasicModelG.java:36-50``) is AFFINE in
+    ``1/(1+tfn)`` rather than linear in tfn: with A = log2(1+lambda),
+    B = log2((1+lambda)/lambda), lambda = F/(N+F), the full score is
+    ``aeT * (B - (B-A)/(1+tfn))``.  Here ``weight = boost*aeT*B`` (the
+    tfn->inf asymptote, :func:`dfr_g_weight`) and ``g_ratio =
+    (B-A)/B`` (boost-free, from :func:`dfr_g_weight`), giving
+    ``weight * (1 - g_ratio/(1+tfn))`` — non-decreasing in tfn since
+    B >= A."""
+    tfn = tfn_dfr(freq, lengths, avgdl, c, norm, mu, pivot)
+    if g_ratio:
+        return weight * (1.0 - g_ratio / (1.0 + tfn))
     return weight * tfn / (1.0 + tfn)
+
+
+def dfr_g_weight(after_effect: str, doc_freq: int, total_term_freq: int,
+                 doc_count: int) -> tuple[float, float]:
+    """(aeT*B, (B-A)/B) for DFR basic model G —
+    ``BasicModelG.java:36-50``: lambda = F/(N+F) with F = ttf+1,
+    A = log2(lambda+1), B = log2((1+lambda)/lambda); after-effect
+    constant aeT = 1 (Laplace) or (F'+1)/n (Bernoulli, F' = raw ttf,
+    ``AfterEffectB.java:32-35``)."""
+    N = max(float(doc_count), 1.0)
+    Fq = float(total_term_freq) + 1.0
+    lam = Fq / (N + Fq)
+    A = float(np.log2(lam + 1.0))
+    B = float(np.log2((1.0 + lam) / lam))
+    aeT = 1.0 if after_effect == "l" else \
+        (float(total_term_freq) + 1.0) / max(float(doc_freq), 1.0)
+    return aeT * B, (B - A) / B
 
 
 def ib_lambda(lambda_kind: str, doc_freq: int, total_term_freq: int,
@@ -252,7 +300,9 @@ def ib_lambda(lambda_kind: str, doc_freq: int, total_term_freq: int,
 
 def score_term_ib(freq: np.ndarray, lengths: np.ndarray, weight: float,
                   lam: float, avgdl: float, c: float = 1.0,
-                  norm: str = "h2", dist: str = "ll") -> np.ndarray:
+                  norm: str = "h2", dist: str = "ll",
+                  mu: float = NORM_MU_DEFAULT,
+                  pivot: float = 0.0) -> np.ndarray:
     """Information-based per-term score
     (``search/similarities/IBSimilarity.java`` composing Distribution
     x Lambda x Normalization): ``weight * Inf(tfn | lambda)`` with
@@ -261,8 +311,8 @@ def score_term_ib(freq: np.ndarray, lengths: np.ndarray, weight: float,
     - ``spl`` (DistributionSPL): Inf =
       -log((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
 
-    tfn from :func:`tfn_dfr` (H1/H2 shared with DFR)."""
-    tfn = tfn_dfr(freq, lengths, avgdl, c, norm)
+    tfn from :func:`tfn_dfr` (H1/H2/H3/Z shared with DFR)."""
+    tfn = tfn_dfr(freq, lengths, avgdl, c, norm, mu, pivot)
     if dist == "ll":
         return weight * np.log1p(tfn / lam)
     # SPL, cancellation-stable near lambda -> 1 (LambdaTTF exceeds 1
@@ -289,6 +339,79 @@ def axiomatic_f2exp_weight(doc_freq: int, doc_count: int,
     searcher reuses the whole BM25-double pipeline (incl. block-max
     pruning, whose upper bound is the same functional form)."""
     return float(((float(doc_count) + 1.0) / max(float(doc_freq), 1.0)) ** k)
+
+
+def axiomatic_f2log_weight(doc_freq: int, doc_count: int) -> float:
+    """Axiomatic F2-LOG document-independent factor
+    (``search/similarities/AxiomaticF2LOG.java:67-69``):
+    ``ln((N+1)/n)``.  The per-doc tfln part is the same BM25 curve as
+    F2EXP (k1 = 2s, b = 0.5), so the whole double pipeline including
+    block-max pruning is reused."""
+    return float(np.log((float(doc_count) + 1.0)
+                        / max(float(doc_freq), 1.0)))
+
+
+def score_term_ax1(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                   avgdl: float, s: float = AX_S_DEFAULT) -> np.ndarray:
+    """Axiomatic F1-EXP / F1-LOG per-doc score (Fang & Zhai 2005;
+    ``search/similarities/AxiomaticF1EXP.java:59-79`` /
+    ``AxiomaticF1LOG.java:50-70``): ``weight * (1 + ln(1 + ln(freq)))
+    * (avgdl + s) / (avgdl + docLen*s)`` — tf and the length norm are
+    separate factors (unlike F2's combined tfln).  ``weight`` carries
+    boost x idf (``((N+1)/n)^k`` for EXP, ``ln((N+1)/n)`` for LOG);
+    freq >= 1 keeps both logs finite."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.asarray(lengths, dtype=np.float64)
+    tf = 1.0 + np.log1p(np.log(np.maximum(f, 1.0)))
+    return weight * tf * (avgdl + s) / (avgdl + ln * s)
+
+
+def score_term_ax3(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                   idf: float, avgdl: float, s: float = AX_S_DEFAULT,
+                   query_len: int = 1) -> np.ndarray:
+    """Axiomatic F3-EXP / F3-LOG per-doc score
+    (``search/similarities/AxiomaticF3EXP.java:59-86`` /
+    ``AxiomaticF3LOG.java``, composed by ``Axiomatic.java:96-105``):
+    ``max(0, boost * (tf(freq)*idf - gamma(docLen)))`` with
+    ``tf = 1 + ln(1 + ln(freq))`` and the query-length penalty
+    ``gamma = (docLen - queryLen) * s * queryLen / avgdl`` (the only
+    Axiomatic component that can push a score negative — the
+    reference clamps at 0 AFTER the boost, which preserves the clamp
+    for positive boosts).  ``weight = boost*idf``; ``idf`` is passed
+    separately so ``boost = weight/idf`` can scale gamma."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.asarray(lengths, dtype=np.float64)
+    tf = 1.0 + np.log1p(np.log(np.maximum(f, 1.0)))
+    gamma = (ln - float(query_len)) * s * float(query_len) / avgdl
+    boost = weight / idf if idf else 0.0
+    return np.maximum(weight * tf - boost * gamma, 0.0)
+
+
+def indri_collection_prob(total_term_freq: int,
+                          sum_total_term_freq: int) -> float:
+    """Indri's collection LM ``F/T`` — UNSMOOTHED, unlike the default
+    ``(F+1)/(T+1)`` model (``IndriDirichletSimilarity.java:103-106``
+    IndriCollectionModel).  Matched terms always have F >= 1."""
+    return float(total_term_freq) / max(float(sum_total_term_freq), 1.0)
+
+
+def score_term_indri(freq: np.ndarray, lengths: np.ndarray, weight: float,
+                     p_c: float, mu: float = MU_DEFAULT) -> np.ndarray:
+    """Indri-flavoured Dirichlet LM (``IndriDirichletSimilarity.java:
+    62-66``): ``boost * ln((freq + mu*P(t|C)) / (docLen + mu))`` — a
+    smoothed log-probability, hence ALWAYS negative (no clamp; ranking
+    still orders correctly because every doc pays the same query
+    terms).  Block-max pruning stays off for this kind (upper bounds
+    of negative scores need the min length, not the max freq)."""
+    f = np.asarray(freq, dtype=np.float64)
+    ln = np.asarray(lengths, dtype=np.float64)
+    return weight * np.log((f + mu * p_c) / (ln + mu))
+
+
+def score_term_raw_tf(freq: np.ndarray, weight: float) -> np.ndarray:
+    """``RawTFSimilarity.java:40-42``: score = boost * freq (no idf,
+    no length norm — the feature-engineering similarity)."""
+    return weight * np.asarray(freq, dtype=np.float64)
 
 
 def sum_scores(per_term_scores: list[np.ndarray]) -> np.ndarray:

@@ -220,18 +220,32 @@ class IndexSearcher:
                   "lm_dirichlet_double": "lmd",
                   "lm_jelinek_mercer_double": "lmjm",
                   "boolean_double": "boolean",
-                  "axiomatic_f2exp_double": "bm25"}
+                  "axiomatic_f2exp_double": "bm25",
+                  "axiomatic_f2log_double": "bm25",
+                  "axiomatic_f1exp_double": "ax1",
+                  "axiomatic_f1log_double": "ax1",
+                  "axiomatic_f3exp_double": "ax3",
+                  "axiomatic_f3log_double": "ax3",
+                  "indri_dirichlet_double": "indri",
+                  "raw_tf_double": "rawtf"}
         self.dfr_params: tuple | None = None   # (basic, after_eff, norm)
         self.ib_params: tuple | None = None    # (dist, lambda_kind, norm)
         self.dfi_measure: str | None = None    # chi2 | sat | std
-        self.axiomatic = self.similarity == "axiomatic_f2exp_double"
+        # the two F2 axiomatics share BM25's tfln curve (k1=2s, b=0.5)
+        # and differ only in the doc-independent idf factor
+        self.axiomatic = self.similarity in ("axiomatic_f2exp_double",
+                                             "axiomatic_f2log_double")
+        # "exp" = ((N+1)/n)^k idf, "log" = ln((N+1)/n) idf — shared by
+        # the F1/F2/F3 pairs (AxiomaticF*EXP/LOG.java)
+        self.ax_variant = ("exp" if self.similarity.endswith("exp_double")
+                           else "log")
         if self.similarity in _KINDS:
             self.score_kind = _KINDS[self.similarity]
         else:
             import re as _re
-            m = _re.fullmatch(r"dfr_(if|in|ine)_(l|b)_(h[12])_double",
+            m = _re.fullmatch(r"dfr_(if|in|ine|g)_(l|b)_(h[123]|z)_double",
                               self.similarity)
-            mi = _re.fullmatch(r"ib_(ll|spl)_(df|ttf)_(h[12])_double",
+            mi = _re.fullmatch(r"ib_(ll|spl)_(df|ttf)_(h[123]|z)_double",
                                self.similarity)
             md = _re.fullmatch(r"dfi_(chi2|sat|std)_double",
                                self.similarity)
@@ -247,23 +261,31 @@ class IndexSearcher:
             else:
                 raise ValueError(
                     f"unknown similarity '{self.similarity}' (supported:"
-                    f" {sorted(_KINDS)}, dfr_<if|in|ine>_<l|b>_<h1|h2>"
-                    f"_double, ib_<ll|spl>_<df|ttf>_<h1|h2>_double, "
-                    f"dfi_<chi2|sat|std>_double)")
+                    f" {sorted(_KINDS)}, dfr_<if|in|ine|g>_<l|b>_"
+                    f"<h1|h2|h3|z>_double, ib_<ll|spl>_<df|ttf>_"
+                    f"<h1|h2|h3|z>_double, dfi_<chi2|sat|std>_double)")
         self.double_mode = self.similarity != "bm25_float32"
         self.classic = self.similarity == "classic_double"
         self.mu = float(reader.cfg.get("lm_mu", bm25.MU_DEFAULT))
         self.lm_lambda = float(reader.cfg.get("lm_lambda",
                                               bm25.LMJM_LAMBDA_DEFAULT))
         self.norm_c = float(reader.cfg.get("norm_c", 1.0))
+        # H3's Dirichlet prior / Z's Pareto-Zipf exponent
+        # (NormalizationH3.java / NormalizationZ.java defaults)
+        self.norm_mu = float(reader.cfg.get("norm_mu",
+                                            bm25.NORM_MU_DEFAULT))
+        self.norm_z = float(reader.cfg.get("norm_z", bm25.NORM_Z_DEFAULT))
         self.ax_k = float(reader.cfg.get("ax_k", bm25.AX_K_DEFAULT))
+        self.ax_s = float(reader.cfg.get("ax_s", bm25.AX_S_DEFAULT))
+        # F3's query-length gamma parameter (AxiomaticF3EXP.java:38-49
+        # constructor arg; mutable per-searcher like setSimilarity)
+        self.ax_query_len = int(reader.cfg.get("ax_query_len", 1))
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
         if self.axiomatic:
-            # F2EXP's tf part == BM25's with k1 = 2s, b = 0.5 — the
+            # F2's tf part == BM25's with k1 = 2s, b = 0.5 — the
             # whole double pipeline (incl. block-max bounds) is reused
-            ax_s = float(reader.cfg.get("ax_s", bm25.AX_S_DEFAULT))
-            self.k1 = np.float32(2.0 * ax_s)
+            self.k1 = np.float32(2.0 * self.ax_s)
             self.b = np.float32(0.5)
         if self.double_mode:
             self.avgdl = st["sum_total_term_freq"] / max(st["doc_count"], 1)
@@ -312,23 +334,32 @@ class IndexSearcher:
         constant for DFR, ((N+1)/n)^k for axiomatic F2EXP."""
         if self.score_kind == "classic":
             return boost * bm25.idf_classic(doc_freq, fdc) ** 2
-        if self.score_kind in ("lmd", "lmjm", "boolean", "ib", "dfi"):
+        if self.score_kind in ("lmd", "lmjm", "boolean", "ib", "dfi",
+                               "indri", "rawtf"):
             return float(boost)
         if self.score_kind == "dfr":
             bm_, ae, _ = self.dfr_params
+            if bm_ == "g":
+                return boost * bm25.dfr_g_weight(ae, doc_freq, ttf,
+                                                 fdc)[0]
             return boost * bm25.dfr_weight(bm_, ae, doc_freq, ttf, fdc)
-        if self.axiomatic:
-            return boost * bm25.axiomatic_f2exp_weight(doc_freq, fdc,
-                                                       self.ax_k)
+        if self.score_kind in ("ax1", "ax3") or self.axiomatic:
+            return boost * (
+                bm25.axiomatic_f2exp_weight(doc_freq, fdc, self.ax_k)
+                if self.ax_variant == "exp"
+                else bm25.axiomatic_f2log_weight(doc_freq, fdc))
         if self.double_mode:
             return boost * bm25.idf_double(doc_freq, fdc)
         return float(bm25.term_weight(doc_freq, fdc, boost))
 
     def _collection_prob(self, term_key: str,
-                         ttf: int | None = None) -> float:
+                         ttf: int | None = None,
+                         indri: bool = False) -> float:
         """P(term | collection) for the LM similarities — per-FIELD
         sum_total_term_freq for composite keyword/text-field terms
-        (``Similarity.java:152`` per-field stats)."""
+        (``Similarity.java:152`` per-field stats).  ``indri`` selects
+        the unsmoothed ``F/T`` model (IndriCollectionModel) instead of
+        the default ``(F+1)/(T+1)``."""
         if ttf is None:
             ttf = self.reader.term_statistics([term_key]).get(
                 term_key, (0, 0))[1]
@@ -338,6 +369,8 @@ class IndexSearcher:
             sttf = int(fs["sum_total_term_freq"]) if fs else 0
         else:
             sttf = int(self.reader.stats["sum_total_term_freq"])
+        if indri:
+            return bm25.indri_collection_prob(int(ttf), sttf)
         return bm25.collection_prob(int(ttf), sttf)
 
 
@@ -352,14 +385,48 @@ class IndexSearcher:
             # collection model (DFISimilarity.java:58-62)
             return {t: self._collection_prob(
                 t, ttf=(stats[t][1] if stats else None)) for t in terms}
+        if self.score_kind == "indri":
+            return {t: self._collection_prob(
+                t, ttf=(stats[t][1] if stats else None), indri=True)
+                for t in terms}
         if self.score_kind == "ib":
             st = stats or self.reader.term_statistics(list(terms))
-            _, lam_kind, _ = self.ib_params
+            _, lam_kind, norm = self.ib_params
             out = {}
             for t in terms:
                 fdc, _ = self._field_params(t)
                 df_t, ttf_t = st.get(t, (0, 0))
-                out[t] = bm25.ib_lambda(lam_kind, df_t, ttf_t, fdc)
+                lam = bm25.ib_lambda(lam_kind, df_t, ttf_t, fdc)
+                # H3's tfn needs the term's Dirichlet pivot (F+1)/(T+1)
+                out[t] = ((lam, self._collection_prob(t, ttf=ttf_t))
+                          if norm == "h3" else lam)
+            return out
+        if self.score_kind == "dfr" and (
+                self.dfr_params[0] == "g" or self.dfr_params[2] == "h3"):
+            # (g_ratio, h3_pivot) — 0.0 where unused
+            st = stats or self.reader.term_statistics(list(terms))
+            basic, ae, norm = self.dfr_params
+            out = {}
+            for t in terms:
+                fdc, _ = self._field_params(t)
+                df_t, ttf_t = st.get(t, (0, 0))
+                ratio = bm25.dfr_g_weight(ae, df_t, ttf_t, fdc)[1] \
+                    if basic == "g" else 0.0
+                pivot = self._collection_prob(t, ttf=ttf_t) \
+                    if norm == "h3" else 0.0
+                out[t] = (ratio, pivot)
+            return out
+        if self.score_kind == "ax3":
+            # per-term idf so the scorer can recover boost = w/idf for
+            # the gamma penalty (Axiomatic.java:96-105)
+            st = stats or self.reader.term_statistics(list(terms))
+            out = {}
+            for t in terms:
+                fdc, _ = self._field_params(t)
+                df_t = st.get(t, (0, 0))[0]
+                out[t] = (bm25.axiomatic_f2exp_weight(df_t, fdc, self.ax_k)
+                          if self.ax_variant == "exp"
+                          else bm25.axiomatic_f2log_weight(df_t, fdc))
             return out
         return {}
 
@@ -372,19 +439,44 @@ class IndexSearcher:
             return lambda f, ln, w, a: \
                 bm25.score_term_lm_jelinek_mercer(f, ln, w, a, lam)
         if self.score_kind == "dfr":
-            c, norm = self.norm_c, self.dfr_params[2]
-            avgdl = float(self.avgdl)
+            basic, _, norm = self.dfr_params
+            c = self.norm_z if norm == "z" else self.norm_c
+            avgdl, mu = float(self.avgdl), self.norm_mu
+            if basic == "g" or norm == "h3":
+                # aux = (g_ratio, h3_pivot) from _term_aux
+                return lambda f, ln, w, a: bm25.score_term_dfr(
+                    f, ln, w, avgdl, c, norm, a[0], mu, a[1])
             return lambda f, ln, w, a: \
                 bm25.score_term_dfr(f, ln, w, avgdl, c, norm)
         if self.score_kind == "ib":
             dist, _, norm = self.ib_params
-            c, avgdl = self.norm_c, float(self.avgdl)
+            c = self.norm_z if norm == "z" else self.norm_c
+            avgdl, mu = float(self.avgdl), self.norm_mu
+            if norm == "h3":
+                # aux = (lambda, h3_pivot)
+                return lambda f, ln, w, a: bm25.score_term_ib(
+                    f, ln, w, a[0], avgdl, c, norm, dist, mu, a[1])
             return lambda f, ln, w, a: \
                 bm25.score_term_ib(f, ln, w, a, avgdl, c, norm, dist)
         if self.score_kind == "dfi":
             measure = self.dfi_measure
             return lambda f, ln, w, a: \
                 bm25.score_term_dfi(f, ln, w, a, measure)
+        if self.score_kind == "indri":
+            mu = self.mu
+            return lambda f, ln, w, a: \
+                bm25.score_term_indri(f, ln, w, a, mu)
+        if self.score_kind == "ax1":
+            avgdl, s = float(self.avgdl), self.ax_s
+            return lambda f, ln, w, a: \
+                bm25.score_term_ax1(f, ln, w, avgdl, s)
+        if self.score_kind == "ax3":
+            avgdl, s = float(self.avgdl), self.ax_s
+            qlen = self.ax_query_len
+            return lambda f, ln, w, a: \
+                bm25.score_term_ax3(f, ln, w, a, avgdl, s, qlen)
+        if self.score_kind == "rawtf":
+            return lambda f, ln, w, a: bm25.score_term_raw_tf(f, w)
         return None
 
     def _per_term_field_maps(self, terms) -> tuple[dict, dict]:
@@ -1093,36 +1185,81 @@ class IndexSearcher:
         anchor_term = slots[0][0]
         fdc, _ = self._field_params(anchor_term)
         ordered_terms = [t for s in slots for t in s]
-        lm_probs: list[float] = []
+        lm_probs: list = []
+        g_sub = 0.0     # DFR basic-model-G summed subtractor
         if self.classic:
             weight = boost * sum(
                 bm25.idf_classic(stats[t][0], fdc)
                 for t in ordered_terms) ** 2
-        elif self.score_kind in ("lmd", "lmjm", "ib", "boolean", "dfi"):
-            # LM/IB/DFI phrases: SimilarityBase builds one BasicStats
-            # per member term and sums per-stat scores of the SAME
-            # phrase freq (MultiSimScorer); boolean phrases score the
-            # boost
+        elif self.score_kind in ("lmd", "lmjm", "ib", "boolean", "dfi",
+                                 "indri", "ax3"):
+            # LM/IB/DFI/Indri/F3 phrases: SimilarityBase builds one
+            # BasicStats per member term and sums per-stat scores of
+            # the SAME phrase freq (MultiSimScorer); boolean phrases
+            # score the boost
             weight = float(boost)
             if self.score_kind in ("lmd", "lmjm", "dfi"):
                 lm_probs = [self._collection_prob(t, ttf=stats[t][1])
+                            for t in ordered_terms]
+            elif self.score_kind == "indri":
+                lm_probs = [self._collection_prob(t, ttf=stats[t][1],
+                                                  indri=True)
                             for t in ordered_terms]
             elif self.score_kind == "ib":
                 lm_probs = [bm25.ib_lambda(self.ib_params[1],
                                            stats[t][0], stats[t][1], fdc)
                             for t in ordered_terms]
+                if self.ib_params[2] == "h3":
+                    lm_probs = list(zip(lm_probs, [
+                        self._collection_prob(t, ttf=stats[t][1])
+                        for t in ordered_terms]))
+            elif self.score_kind == "ax3":
+                # per-member idf; gamma's boost factor is `boost`
+                lm_probs = [
+                    (bm25.axiomatic_f2exp_weight(stats[t][0], fdc,
+                                                 self.ax_k)
+                     if self.ax_variant == "exp"
+                     else bm25.axiomatic_f2log_weight(stats[t][0], fdc))
+                    for t in ordered_terms]
         elif self.score_kind == "dfr":
             # DFR factors doc-independently, so the MultiSimScorer sum
-            # collapses into one summed weight (score = W*tfn/(1+tfn))
-            bm_, ae, _ = self.dfr_params
+            # collapses into one summed weight (score = W*tfn/(1+tfn));
+            # basic model G is affine in 1/(1+tfn) with a second summed
+            # constant, and H3's tfn is term-dependent (per-member
+            # pivots in lm_probs)
+            bm_, ae, nrm_ = self.dfr_params
+            if bm_ == "g":
+                gw = [bm25.dfr_g_weight(ae, stats[t][0], stats[t][1], fdc)
+                      for t in ordered_terms]
+                weight = boost * sum(w for w, _ in gw)
+                # summed subtractor: boost * sum(aeT*(B-A))
+                g_sub = boost * sum(w * r for w, r in gw)
+            else:
+                weight = boost * sum(
+                    bm25.dfr_weight(bm_, ae, stats[t][0], stats[t][1],
+                                    fdc)
+                    for t in ordered_terms)
+            if nrm_ == "h3":
+                lm_probs = [self._collection_prob(t, ttf=stats[t][1])
+                            for t in ordered_terms]
+        elif self.score_kind == "ax1":
+            # F1's tf and length-norm factors are member-independent,
+            # so the MultiSimScorer sum collapses into summed idf
             weight = boost * sum(
-                bm25.dfr_weight(bm_, ae, stats[t][0], stats[t][1], fdc)
+                (bm25.axiomatic_f2exp_weight(stats[t][0], fdc, self.ax_k)
+                 if self.ax_variant == "exp"
+                 else bm25.axiomatic_f2log_weight(stats[t][0], fdc))
                 for t in ordered_terms)
+        elif self.score_kind == "rawtf":
+            # each member scores boost*phraseFreq
+            weight = boost * len(ordered_terms)
         elif self.axiomatic:
-            # F2EXP is doc-independent-factorable like DFR: the
+            # F2EXP/F2LOG are doc-independent-factorable like DFR: the
             # MultiSimScorer sum collapses into one summed weight
             weight = boost * sum(
-                bm25.axiomatic_f2exp_weight(stats[t][0], fdc, self.ax_k)
+                (bm25.axiomatic_f2exp_weight(stats[t][0], fdc, self.ax_k)
+                 if self.ax_variant == "exp"
+                 else bm25.axiomatic_f2log_weight(stats[t][0], fdc))
                 for t in ordered_terms)
         elif self.double_mode:
             weight = boost * sum(
@@ -1341,34 +1478,116 @@ class IndexSearcher:
                 for c in comps[1:]:
                     score_d = score_d + c
             elif self.score_kind in ("dfr", "ib"):
-                # shared tfn normalization (H1/H2) as a column expr
+                # tfn normalization (H1/H2/H3/Z) as a column expr; H3's
+                # pivot is per-member, so its tfn lives inside the comps
                 nrm = (self.dfr_params[2] if self.score_kind == "dfr"
                        else self.ib_params[2])
-                c_n = self.norm_c
+                c_n = self.norm_z if nrm == "z" else self.norm_c
+                n_mu = self.norm_mu
                 safe_ln = F.greatest(ln, F.lit(1.0))
-                if nrm == "h1":
-                    tfn = F.lit(c_n) * F.col("pf") * F.lit(avgdl) / safe_ln
-                else:
-                    tfn = F.col("pf") * F.log2(
+
+                def tfn_col(pivot: float = 0.0):
+                    if nrm == "h1":
+                        return (F.lit(c_n) * F.col("pf") * F.lit(avgdl)
+                                / safe_ln)
+                    if nrm == "h3":
+                        return (F.lit(n_mu)
+                                * (F.col("pf") + F.lit(n_mu * pivot))
+                                / (safe_ln + F.lit(n_mu)))
+                    if nrm == "z":
+                        return F.col("pf") * F.pow(
+                            F.lit(avgdl) / safe_ln, F.lit(c_n))
+                    return F.col("pf") * F.log2(
                         F.lit(1.0) + F.lit(c_n * avgdl) / safe_ln)
+
                 if self.score_kind == "dfr":
-                    # weight already sums the member Inf1-slopes
-                    score_d = F.lit(weight) * tfn / (F.lit(1.0) + tfn)
-                elif self.ib_params[0] == "ll":
-                    comps = [F.lit(weight) * F.log1p(tfn / F.lit(p))
-                             for p in lm_probs]
+                    if self.dfr_params[0] == "g" and nrm == "h3":
+                        # affine-in-1/(1+tfn) with per-member pivots:
+                        # MultiSimScorer sum of aeT*(B - (B-A)/(1+tfn_p))
+                        bm_, ae, _ = self.dfr_params
+                        gw = [bm25.dfr_g_weight(ae, stats[t][0],
+                                                stats[t][1], fdc)
+                              for t in ordered_terms]
+                        comps = [F.lit(boost * w)
+                                 - F.lit(boost * w * r)
+                                 / (F.lit(1.0) + tfn_col(p))
+                                 for (w, r), p in zip(gw, lm_probs)]
+                        score_d = comps[0]
+                        for c in comps[1:]:
+                            score_d = score_d + c
+                    elif self.dfr_params[0] == "g":
+                        tfn = tfn_col()
+                        score_d = (F.lit(weight) - F.lit(g_sub)
+                                   / (F.lit(1.0) + tfn))
+                    elif nrm == "h3":
+                        # linear basic models with per-member pivots:
+                        # per-member weights, summed
+                        bm_, ae, _ = self.dfr_params
+                        ws = [boost * bm25.dfr_weight(
+                            bm_, ae, stats[t][0], stats[t][1], fdc)
+                            for t in ordered_terms]
+                        comps = []
+                        for w, p in zip(ws, lm_probs):
+                            tfn = tfn_col(p)
+                            comps.append(F.lit(w) * tfn
+                                         / (F.lit(1.0) + tfn))
+                        score_d = comps[0]
+                        for c in comps[1:]:
+                            score_d = score_d + c
+                    else:
+                        tfn = tfn_col()
+                        # weight already sums the member Inf1-slopes
+                        score_d = F.lit(weight) * tfn / (F.lit(1.0) + tfn)
+                else:
+                    # IB: lm_probs = lambda or (lambda, pivot) per member
+                    comps = []
+                    for p in lm_probs:
+                        lam, piv = (p if isinstance(p, tuple)
+                                    else (p, 0.0))
+                        tfn = tfn_col(piv)
+                        if self.ib_params[0] == "ll":
+                            comps.append(F.lit(weight)
+                                         * F.log1p(tfn / F.lit(lam)))
+                        else:   # spl (cancellation-stable)
+                            comps.append(F.lit(weight) * -F.log(
+                                (F.expm1(tfn / (tfn + F.lit(1.0))
+                                         * F.log1p(F.lit(-(1.0 - lam))))
+                                 + F.lit(1.0 - lam)) / F.lit(1.0 - lam)))
                     score_d = comps[0]
                     for c in comps[1:]:
                         score_d = score_d + c
-                else:   # spl (cancellation-stable, see score_term_ib)
-                    comps = [F.lit(weight) * -F.log(
-                        (F.expm1(tfn / (tfn + F.lit(1.0))
-                                 * F.log1p(F.lit(-(1.0 - p))))
-                         + F.lit(1.0 - p)) / F.lit(1.0 - p))
-                        for p in lm_probs]
-                    score_d = comps[0]
-                    for c in comps[1:]:
-                        score_d = score_d + c
+            elif self.score_kind == "indri":
+                # per-member Indri-Dirichlet of the phrase freq, summed
+                mu_i = self.mu
+                comps = [F.lit(weight) * F.log(
+                    (F.col("pf") + F.lit(mu_i * p)) / (ln + F.lit(mu_i)))
+                    for p in lm_probs]
+                score_d = comps[0]
+                for c in comps[1:]:
+                    score_d = score_d + c
+            elif self.score_kind == "ax1":
+                # summed-idf weight x shared tf x shared length norm
+                s_ax = self.ax_s
+                tf_c = F.lit(1.0) + F.log1p(
+                    F.log(F.greatest(F.col("pf"), F.lit(1.0))))
+                score_d = (F.lit(weight) * tf_c * F.lit(avgdl + s_ax)
+                           / (F.lit(avgdl) + ln * F.lit(s_ax)))
+            elif self.score_kind == "ax3":
+                # per-member clamp(idf*tf - gamma), gamma shared
+                s_ax, qlen = self.ax_s, self.ax_query_len
+                tf_c = F.lit(1.0) + F.log1p(
+                    F.log(F.greatest(F.col("pf"), F.lit(1.0))))
+                gamma = ((ln - F.lit(float(qlen)))
+                         * F.lit(s_ax * qlen / avgdl))
+                comps = [F.greatest(
+                    F.lit(0.0),
+                    F.lit(boost) * (F.lit(idf_t) * tf_c - gamma))
+                    for idf_t in lm_probs]
+                score_d = comps[0]
+                for c in comps[1:]:
+                    score_d = score_d + c
+            elif self.score_kind == "rawtf":
+                score_d = F.lit(weight) * F.col("pf")
             elif self.score_kind == "boolean":
                 score_d = F.lit(weight)
             else:
@@ -1579,9 +1798,30 @@ class IndexSearcher:
         # IB lambda of the pseudo-term uses the merged stats
         if self.score_kind in ("lmd", "lmjm", "dfi"):
             syn_p = self._collection_prob(present[0], ttf=merged_ttf)
+        elif self.score_kind == "indri":
+            syn_p = self._collection_prob(present[0], ttf=merged_ttf,
+                                          indri=True)
         elif self.score_kind == "ib":
-            syn_p = bm25.ib_lambda(self.ib_params[1], merged_df,
-                                   merged_ttf, self.doc_count)
+            lam = bm25.ib_lambda(self.ib_params[1], merged_df,
+                                 merged_ttf, self.doc_count)
+            syn_p = ((lam, self._collection_prob(present[0],
+                                                 ttf=merged_ttf))
+                     if self.ib_params[2] == "h3" else lam)
+        elif self.score_kind == "dfr" and (
+                self.dfr_params[0] == "g" or self.dfr_params[2] == "h3"):
+            basic, ae, norm = self.dfr_params
+            ratio = bm25.dfr_g_weight(ae, merged_df, merged_ttf,
+                                      self.doc_count)[1] \
+                if basic == "g" else 0.0
+            pivot = self._collection_prob(present[0], ttf=merged_ttf) \
+                if norm == "h3" else 0.0
+            syn_p = (ratio, pivot)
+        elif self.score_kind == "ax3":
+            syn_p = (bm25.axiomatic_f2exp_weight(merged_df,
+                                                 self.doc_count, self.ax_k)
+                     if self.ax_variant == "exp"
+                     else bm25.axiomatic_f2log_weight(merged_df,
+                                                      self.doc_count))
         else:
             syn_p = 0.0
         nscore = self._double_scorer()
@@ -2178,7 +2418,8 @@ class IndexSearcher:
                         self._collection_prob(term_key), self.mu)[0])
                 elif self.score_kind == "boolean":
                     s = float(weight)
-                elif self.score_kind in ("lmjm", "dfr", "ib", "dfi"):
+                elif self.score_kind in ("lmjm", "dfr", "ib", "dfi",
+                                         "indri", "ax1", "ax3", "rawtf"):
                     aux = self._term_aux([term_key]).get(term_key, 0.0)
                     s = float(self._double_scorer()(
                         np.array([freq]), np.array([norm_len]),
