@@ -1962,6 +1962,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _sim_topk(s, d, "raw_tf_double")
     q["ft_rawtf_topk"] = ft_rawtf_topk
 
+    def ft_multi_sim_topk(s, d):
+        """MultiSimilarity (similarities/MultiSimilarity.java:27-70):
+        CombSUM of bm25_double + classic_double sub-scorers — per-doc
+        score is the SUM of the two similarities' scores over the same
+        match set."""
+        from lucene_1_spark.search.multisim import multi_similarity_search
+        se = _lmd_searcher(s, d, "bm25_double")
+        top = multi_similarity_search(
+            se.reader, ("bm25_double", "classic_double"),
+            "spark merge window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_multi_sim_topk"] = ft_multi_sim_topk
+
     def ft_simple_parse_topk(s, d):
         """SimpleQueryParser analog (queryparser/simple/
         SimpleQueryParser.java): lenient grammar, never throws.
@@ -4628,6 +4645,13 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
         f" / (1 + {_TFN_H2})")
     # RawTF: summed raw term frequency
     o["ft_rawtf_topk"] = _sim_oracle("tf.freq")
+    # MultiSimilarity CombSUM: bm25_double + classic_double
+    o["ft_multi_sim_topk"] = _sim_oracle(
+        "ln(1 + (st.n - cf.dfreq + 0.5) / (cf.dfreq + 0.5))"
+        " * tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * dl.len"
+        " / (st.tot / st.n)))"
+        " + pow(ln((st.n + 1) / (cf.dfreq + 1)) + 1, 2)"
+        " * sqrt(tf.freq) / sqrt(greatest(dl.len, 1.0))")
 
     # SimpleQueryParser 'spark + merge window' ==
     # (spark AND merge) OR window; matching disjuncts' BM25 sums
