@@ -1123,6 +1123,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("sort_key", 4).alias("sort_key")))
     q["ft_expr_sort_topk"] = ft_expr_sort_topk
 
+    def ft_diversified_topk(s, d):
+        """DiversifiedTopDocsCollector analog (misc/search/
+        DiversifiedTopDocsCollector.java:37-120): global top-10 for
+        'spark merge' with at most 3 hits per lang — window
+        row_number per key + global TakeOrdered."""
+        from lucene_1_spark.search.collectors import diversified_topk
+        se = _searcher(s, d)
+        top = diversified_topk(se, "spark merge", "lang", k=10,
+                               max_per_key=3).select(
+            "doc_id", "score", "rank")
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"),
+                        F.col("rank").cast("long").alias("rank")))
+    q["ft_diversified_topk"] = ft_diversified_topk
+
+    def dv_stats_length(s, d):
+        """DocValuesStatsCollector analog (misc/search/
+        DocValuesStats.java): single-pass count/min/max/mean/variance
+        of the stored token-length dv over the matches of 'spark'."""
+        from lucene_1_spark.search.collectors import doc_values_stats
+        se = _searcher(s, d)
+        st = doc_values_stats(se, "spark", "length")
+        return st.select(
+            F.col("count").cast("long").alias("cnt"),
+            F.col("missing").cast("long").alias("missing"),
+            F.col("min").cast("long").alias("min_len"),
+            F.col("max").cast("long").alias("max_len"),
+            F.round("mean", 4).alias("mean_len"),
+            F.round("variance", 2).alias("var_len"))
+    q["dv_stats_length"] = dv_stats_length
+
     def snap_point_in_time(s, d):
         """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit):
         snapshot the commit, delete every doc containing 'window', then
@@ -4645,6 +4677,39 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
         f" / (1 + {_TFN_H2})")
     # RawTF: summed raw term frequency
     o["ft_rawtf_topk"] = _sim_oracle("tf.freq")
+
+    # DiversifiedTopDocsCollector: global top-10, max 3 hits per lang
+    o["ft_diversified_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id),
+keyed AS (
+  SELECT sc.doc_id, sc.s,
+         row_number() OVER (PARTITION BY doc.lang
+                            ORDER BY sc.s DESC, sc.doc_id ASC) AS rk
+  FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM keyed WHERE rk <= 3) WHERE rank <= 10"""
+
+    # DocValuesStats over the matches of 'spark': stats of the
+    # token-count length column (count/missing/min/max/mean/var_pop)
+    o["dv_stats_length"] = f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT count(dl.len)::BIGINT AS cnt,
+       0::BIGINT AS missing,
+       min(dl.len)::BIGINT AS min_len,
+       max(dl.len)::BIGINT AS max_len,
+       round(avg(dl.len::DOUBLE), 4) AS mean_len,
+       round(var_pop(dl.len::DOUBLE), 2) AS var_len
+FROM m JOIN dl ON m.doc_id = dl.doc_id"""
     # MultiSimilarity CombSUM: bm25_double + classic_double
     o["ft_multi_sim_topk"] = _sim_oracle(
         "ln(1 + (st.n - cf.dfreq + 0.5) / (cf.dfreq + 0.5))"

@@ -20,6 +20,10 @@ from lucene_1_spark.search.multisim import (
 from lucene_1_spark.search.query import (
     BooleanQuery, Clause, Occur, TermQuery)
 
+# the searcher casts cfg k1 through float32 (shared with the
+# quantized-norms path), so double scoring uses this exact value
+K1E = float(__import__("numpy").float32(1.2))
+
 
 @pytest.fixture(scope="module")
 def base(spark, tmp_root):
@@ -60,7 +64,7 @@ def test_multi_similarity_is_combsum_bruteforce(base):
         for d, c in enumerate(tf):
             f = c.get(term)
             if f:
-                bm = idf_b * f / (f + 1.2 * (0.25 + 0.75
+                bm = idf_b * f / (f + K1E * (0.25 + 0.75
                                              * lens[d] / avgdl))
                 cl = (math.sqrt(f) * idf_c ** 2
                       / math.sqrt(max(lens[d], 1)))
