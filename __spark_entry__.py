@@ -1123,6 +1123,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("sort_key", 4).alias("sort_key")))
     q["ft_expr_sort_topk"] = ft_expr_sort_topk
 
+    def ft_function_score_topk(s, d):
+        """FunctionScoreQuery.boostByValue (queries/function/
+        FunctionScoreQuery.java:40-120): hits of 'data stream' with
+        score REPLACED by score * ln(1 + priority), priority = the
+        dv-updated field (missing reads as 0 -> factor ln(1) = 0, the
+        reference's missing-value DoubleValues contract).  Catalyst
+        compiles the source expression into whole-stage codegen where
+        the reference JITs a DoubleValuesSource tree."""
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.search import IndexSearcher
+        from lucene_1_spark.search.query import boost_by_value, parse_query
+
+        idx_dir = _dv_index(s, d)
+        se = IndexSearcher(IndexReader(s, idx_dir))
+        fq = boost_by_value(parse_query("data stream", "whitespace"),
+                            "ln(1.0 + coalesce(priority, 0.0))")
+        top = se.search_df(fq, k=10)
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score")))
+    q["ft_function_score_topk"] = ft_function_score_topk
+
+    def ft_boost_by_query_topk(s, d):
+        """FunctionScoreQuery.boostByQuery (FunctionScoreQuery.java
+        static factory): 'spark merge' BM25, tripled for docs that ALSO
+        match 'window' — the match set is unchanged (boost-query
+        membership only scales, never filters)."""
+        from lucene_1_spark.search.query import (TermQuery, boost_by_query,
+                                                 parse_query)
+        se = _searcher(s, d)
+        fq = boost_by_query(parse_query("spark merge", "whitespace"),
+                            TermQuery("window"), 3.0)
+        top = se.search_df(fq, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_boost_by_query_topk"] = ft_boost_by_query_topk
+
+    def ft_precedence_parse_topk(s, d):
+        """PrecedenceQueryParser (queryparser/flexible/precedence/
+        PrecedenceQueryParser.java:38-60): 'spark OR merge AND window'
+        parses as spark OR (merge AND window) — AND binds tighter — so
+        a doc matches via spark alone or via BOTH merge and window, and
+        the nested conjunction contributes its BM25 sum only when it
+        matches (the classic parser folds the same string flat)."""
+        from lucene_1_spark.search.precedence_parser import parse_precedence
+        se = _searcher(s, d)
+        pq = parse_precedence("spark OR merge AND window", "whitespace")
+        top = se.search_df(pq, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_precedence_parse_topk"] = ft_precedence_parse_topk
+
+    def dv_terms_count(s, d):
+        """DocValuesTermsQuery (sandbox/search/DocValuesTermsQuery.java:
+        58-90): set membership evaluated on the stored ``lang`` column
+        (constant score), composed with a scored MUST term — counts
+        docs matching 'spark' restricted to lang in (en, fr) vs the
+        unrestricted count."""
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 DocValuesTermsQuery, Occur,
+                                                 TermQuery)
+        se = _searcher(s, d)
+        bq = BooleanQuery((
+            Clause(TermQuery("spark"), Occur.MUST),
+            Clause(DocValuesTermsQuery("lang", ("en", "fr")),
+                   Occur.FILTER)))
+        n_filtered = se.search_df(bq, k=None).count()
+        n_set = se.search_df(
+            DocValuesTermsQuery("lang", ("en", "fr")), k=None).count()
+        return s.createDataFrame([(n_filtered, n_set)],
+                                 "n_filtered long, n_set long")
+    q["dv_terms_count"] = dv_terms_count
+
     def ft_diversified_topk(s, d):
         """DiversifiedTopDocsCollector analog (misc/search/
         DiversifiedTopDocsCollector.java:37-120): global top-10 for
@@ -2530,6 +2609,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup_pairs(e2, threshold=0.98, dim=64)
     q["sim_near_dup_pairs"] = sim_near_dup_pairs
 
+    def sim_semdedup_count(s, d):
+        """SemDeDup (Abbas et al. 2023, arXiv:2303.09540), one-pass
+        keep-first rule: drop every vector with a LOWER-id near-
+        duplicate (cosine >= 0.98); candidates from the LSH-bucketed
+        self-join (the 100-TB path).  Runs on the doubled embeddings
+        (known duplicates), returns corpus-level audit counts."""
+        from lucene_1_spark.pipeline.similarity import semdedup
+        e = _emb(s, d).select("vec_id", "embedding")
+        e2 = e.unionByName(e.select((F.col("vec_id") + 1_000_000)
+                                    .alias("vec_id"), "embedding"))
+        kept = semdedup(e2, threshold=0.98, dim=64).count()
+        total = e2.count()
+        return s.createDataFrame([(total, kept, total - kept)],
+                                 "n_total long, n_kept long, n_dropped long")
+    q["sim_semdedup_count"] = sim_semdedup_count
+
+    def pii_scrub_totals(s, d):
+        """PII scrubbing audit (the C4/CCNet/Dolma-style pre-filter):
+        deterministic synthetic PII is injected into documents (doc_id
+        % 7 == 0 -> an email, % 11 == 0 -> an IPv4, % 13 == 0 -> a
+        phone; both sides of the oracle inject identically), then
+        pii_summary counts redactions per kind + docs touched in ONE
+        JVM-regex aggregation pass — no Python, no shuffle."""
+        from lucene_1_spark.pipeline.scrub import pii_summary
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com")))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.concat(F.lit(" host 10.0."),
+                                (F.col("doc_id") % 256).cast("string"),
+                                F.lit(".1"))).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.lit(" call +1 555 123 4567")).otherwise(F.lit("")),
+            ).alias("text"))
+        return pii_summary(docs)
+    q["pii_scrub_totals"] = pii_scrub_totals
+
+    def sample_stratified_counts(s, d):
+        """Deterministic stratified sampling (domain-mixture control):
+        keep en at 50%, fr at 25%, zh at 100%, everything else at 10%,
+        decided by a salted md5 hash of doc_id — reproducible on any
+        cluster size / partitioning (rand() is neither).  Returns
+        per-lang kept counts; the decision is a pushed-down filter."""
+        from lucene_1_spark.pipeline.sampling import stratified_sample
+        docs = _docs(s, d).select("doc_id", "lang")
+        kept = stratified_sample(docs, "lang",
+                                 {"en": 0.5, "fr": 0.25, "zh": 1.0},
+                                 default_rate=0.1)
+        return (kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+                .orderBy("lang"))
+    q["sample_stratified_counts"] = sample_stratified_counts
+
+    def pack_sequences_stats(s, d):
+        """GPT-style sequence packing: documents in doc_id order are
+        concatenated into a token stream cut every 512 tokens; a doc
+        belongs to the sequence where it STARTS (one window prefix-sum,
+        per-shard parallel at scale via shard_col).  Returns the first
+        15 sequences' fill stats + is deterministic by construction."""
+        from lucene_1_spark.pipeline.sampling import pack_summary
+        docs = _docs(s, d).select("doc_id", "text")
+        return (pack_summary(docs, capacity=512)
+                .orderBy("seq_id").limit(15)
+                .select(F.col("seq_id").cast("long"),
+                        F.col("n_docs").cast("long"),
+                        F.col("n_tokens").cast("long")))
+    q["pack_sequences_stats"] = pack_sequences_stats
+
     def sim_ann_topk(s, d):  # approximate — rows-only check (no oracle)
         """Auto recall policy: bits from N (expected bucket ~64),
         8 tables x multiprobe 2 (see ann_topk docstring); recall@10 is
@@ -3827,6 +3979,110 @@ FROM sc JOIN pri ON sc.doc_id = pri.doc_id
 WHERE pri.priority IS NOT NULL
 ORDER BY 0.3 * sc.s + 0.7 * ln(1 + pri.priority) DESC, sc.doc_id ASC
 LIMIT 10
+"""
+
+    # FunctionScoreQuery.boostByValue over the dv index: every match of
+    # data|stream, score replaced by s * ln(1 + priority) with the dv
+    # two-generation overlay (window wins); missing priority -> 0
+    o["ft_function_score_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('data', 'stream')
+  GROUP BY tf.doc_id
+),
+pri AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM toks
+                              WHERE term = 'window') THEN 99999
+              WHEN doc_id IN (SELECT doc_id FROM toks
+                              WHERE term = 'data') THEN 7
+         END AS priority
+  FROM (SELECT DISTINCT doc_id FROM toks)
+),
+fs AS (
+  SELECT sc.doc_id,
+         sc.s * ln(1.0 + coalesce(pri.priority, 0)) AS fscore
+  FROM sc LEFT JOIN pri ON sc.doc_id = pri.doc_id
+)
+SELECT doc_id, round(fscore, 4) AS score
+FROM fs ORDER BY fscore DESC, doc_id ASC LIMIT 10
+"""
+
+    # boostByQuery: 'spark merge' BM25 tripled where the doc also
+    # contains 'window' (match set unchanged)
+    o["ft_boost_by_query_topk"] = f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id
+),
+fs AS (
+  SELECT doc_id,
+         s * (CASE WHEN doc_id IN (SELECT doc_id FROM toks
+                                   WHERE term = 'window')
+              THEN 3.0 ELSE 1.0 END) AS fscore
+  FROM sc
+)
+SELECT doc_id, round(fscore, 4) AS score,
+       row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS rank
+FROM fs ORDER BY fscore DESC, doc_id ASC LIMIT 10
+"""
+
+    # PrecedenceQueryParser: spark OR (merge AND window) — the nested
+    # conjunction scores only when BOTH members are present
+    o["ft_precedence_parse_topk"] = f"""
+WITH {_BM25_CTES},
+per AS (
+  SELECT tf.doc_id, tf.term, {_score_expr()} AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'spark' THEN s ELSE 0 END) AS s_spark,
+         sum(CASE WHEN term IN ('merge', 'window') THEN s ELSE 0 END)
+           AS s_mw,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS has_s,
+         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS has_m,
+         max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS has_w
+  FROM per GROUP BY doc_id
+),
+fs AS (
+  SELECT doc_id,
+         (CASE WHEN has_s = 1 THEN s_spark ELSE 0 END)
+         + (CASE WHEN has_m = 1 AND has_w = 1 THEN s_mw ELSE 0 END)
+           AS fscore
+  FROM agg
+  WHERE has_s = 1 OR (has_m = 1 AND has_w = 1)
+)
+SELECT doc_id, round(fscore, 4) AS score,
+       row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS rank
+FROM fs ORDER BY fscore DESC, doc_id ASC LIMIT 10
+"""
+
+    # DocValuesTermsQuery: lang-set membership on the stored column
+    o["dv_terms_count"] = f"""
+WITH {_TOKS}
+SELECT
+  (SELECT count(*) FROM documents
+   WHERE lang IN ('en', 'fr')
+     AND doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+  )::BIGINT AS n_filtered,
+  (SELECT count(*) FROM documents
+   WHERE lang IN ('en', 'fr'))::BIGINT AS n_set
 """
 
     o["ft_term_vector"] = f"""
@@ -5134,6 +5390,106 @@ cos AS (
          sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
   FROM flat GROUP BY id_a, id_b)
 SELECT id_a, id_b, round(c, 6) AS cosine FROM cos WHERE c >= 0.98"""
+
+    # SemDeDup keep-first audit: drops = vecs with a lower-id
+    # near-duplicate (exact all-pairs baseline; the engine's LSH
+    # buckets are exhaustive for these fixtures, same as
+    # sim_near_dup_pairs)
+    o["sim_semdedup_count"] = """
+WITH e2 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id),
+flat AS (
+  SELECT id_a, id_b, va[t.i] AS x, vb[t.i] AS y
+  FROM pairs, (SELECT unnest(generate_series(1,
+       (SELECT len(v) FROM e2 LIMIT 1))) AS i) t),
+cos AS (
+  SELECT id_a, id_b,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY id_a, id_b),
+drops AS MATERIALIZED (
+  SELECT DISTINCT id_b FROM cos WHERE c >= 0.98)
+SELECT (SELECT count(*) FROM e2)::BIGINT AS n_total,
+       ((SELECT count(*) FROM e2)
+        - (SELECT count(*) FROM drops))::BIGINT AS n_kept,
+       (SELECT count(*) FROM drops)::BIGINT AS n_dropped
+"""
+
+    # PII scrub audit: identical deterministic injection, then counts
+    # with each kind counted on the text with earlier kinds redacted
+    _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PII_IPV4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    _PII_PHONE = "\\b\\+?\\d[\\d -]{7,14}\\d\\b"
+    o["pii_scrub_totals"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +1 555 123 4567' ELSE '' END AS text
+  FROM documents),
+s1 AS MATERIALIZED (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS email_n,
+         regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g') AS t1
+  FROM base),
+s2 AS MATERIALIZED (
+  SELECT doc_id, email_n,
+         len(regexp_extract_all(t1, '{_PII_IPV4}')) AS ipv4_n,
+         regexp_replace(t1, '{_PII_IPV4}', '<ipv4>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, email_n, ipv4_n,
+         len(regexp_extract_all(t2, '{_PII_PHONE}')) AS phone_n
+  FROM s2)
+SELECT sum(email_n)::BIGINT AS email_total,
+       sum(ipv4_n)::BIGINT AS ipv4_total,
+       sum(phone_n)::BIGINT AS phone_total,
+       sum(CASE WHEN email_n > 0 OR ipv4_n > 0 OR phone_n > 0
+            THEN 1 ELSE 0 END)::BIGINT AS docs_touched
+FROM s3
+"""
+
+    # stratified sample: salted-md5 keep decision, per-lang counts
+    o["sample_stratified_counts"] = """
+SELECT lang, count(*)::BIGINT AS n_kept
+FROM documents
+WHERE (('0x' || substr(md5('l1s' || doc_id::VARCHAR), 1, 12))::BIGINT
+       % 1000000) / 1000000.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                  WHEN 'zh' THEN 1.0 ELSE 0.1 END
+GROUP BY lang ORDER BY lang
+"""
+
+    # sequence packing: global prefix-sum of whitespace token counts,
+    # seq = floor(start / 512)
+    o["pack_sequences_stats"] = """
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) END AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS tok_start
+  FROM tc)
+SELECT floor(tok_start / 512.0)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM cum GROUP BY 1 ORDER BY seq_id LIMIT 15
+"""
 
     o["text_token_count"] = """
 SELECT doc_id,

@@ -563,6 +563,36 @@ def embedding_near_dup_pairs_exact(embeddings: DataFrame,
             .select("id_a", "id_b", F.round("_c", 6).alias("cosine")))
 
 
+def semdedup(embeddings: DataFrame, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exact: bool = False, **lsh_kwargs) -> DataFrame:
+    """Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540) with the distributed keep-first rule: drop every
+    vector that has a near-duplicate (cosine >= ``threshold``) with a
+    SMALLER id; survivors are returned (all columns).
+
+    The paper clusters embeddings and keeps one exemplar per
+    near-duplicate group inside each cluster; the iterative greedy
+    chain ("b survives because its lower neighbor a was itself
+    dropped") is inherently sequential, so this implements the
+    one-pass variant — any lower-id near-duplicate disqualifies — which
+    is deterministic, order-free, and a single anti-join.  Candidate
+    generation reuses :func:`embedding_near_dup_pairs` (LSH-bucketed
+    self-join, hot-bucket caps default on) or the exact all-pairs
+    baseline with ``exact=True``.  At 100 TB: pairs shuffle once on the
+    LSH bucket, the anti-join shuffles once on id — no quadratic path.
+    """
+    if exact:
+        pairs = embedding_near_dup_pairs_exact(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        pairs = embedding_near_dup_pairs(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col,
+            **lsh_kwargs)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(drops, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              bits: int = 6, id_col: str = "vec_id",
                              vec_col: str = "embedding", seed: int = 42,

@@ -44,7 +44,8 @@ from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
     MAX_CLAUSE_COUNT, BooleanQuery, Clause, ComplexPhraseQuery,
     ConstantScoreQuery,
-    DisjunctionMaxQuery, DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
+    DisjunctionMaxQuery, DocValuesRangeQuery, DocValuesTermsQuery,
+    FieldExistsQuery, FunctionScoreQuery, FuzzyQuery,
     JoinQuery, MatchAllDocsQuery, MatchNoDocsQuery, MultiPhraseQuery,
     CombinedFieldQuery, FeatureQuery, MultiTermQuery, Occur,
     PayloadScoreQuery, PhraseQuery, PrefixQuery, Query, RegexpQuery,
@@ -760,6 +761,18 @@ class IndexSearcher:
             if k is None:
                 return scored
             return scored.orderBy(F.asc("doc_id")).limit(k)
+        if isinstance(query, DocValuesTermsQuery):
+            scored = (self.reader.docs()
+                      .filter(F.col(query.field).isin(list(query.values)))
+                      .select("doc_id",
+                              F.lit(float(query.boost))
+                              .cast("double" if self.double_mode
+                                    else "float").alias("score")))
+            if k is None:
+                return scored
+            return scored.orderBy(F.asc("doc_id")).limit(k)
+        if isinstance(query, FunctionScoreQuery):
+            return self._function_score_search(query, k)
         if isinstance(query, PhraseQuery):
             return self._phrase_search(query, k, after)
         if isinstance(query, MultiPhraseQuery):
@@ -2824,6 +2837,39 @@ class IndexSearcher:
             vectors, list(q.query_vec), q.k, allowed=allowed,
             id_col=id_col, vec_col=vec_col, centroids=centroids,
             nprobe=nprobe, assigned=assigned)
+
+    def _function_score_search(self, q: FunctionScoreQuery,
+                               k: int | None) -> DataFrame:
+        """FunctionScoreQuery execution
+        (``queries/function/FunctionScoreQuery.java:40-120``): run the
+        wrapped query exhaustively, bind ``score`` / referenced doc
+        columns / ``boosted`` (boost-query membership as 0.0/1.0 via a
+        left join against its match set), then evaluate ``source`` as
+        the hit's new score.  Top-k compiles to TakeOrderedAndProject;
+        the expression itself runs inside whole-stage codegen."""
+        matches = self._search_inner(q.query, k=None)
+        doc_cols = [c for c in self.reader.docs().columns
+                    if c != "doc_id"]
+        import re as _re
+        idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", q.source))
+        fields = [c for c in doc_cols if c in idents]
+        out = matches
+        if fields:
+            out = out.join(self.reader.docs().select("doc_id", *fields),
+                           "doc_id", "left")
+        if q.boost_query is not None:
+            bm = (self._search_inner(q.boost_query, k=None)
+                  .select("doc_id", F.lit(1.0).alias("boosted")))
+            out = (out.join(bm, "doc_id", "left")
+                   .withColumn("boosted",
+                               F.coalesce("boosted", F.lit(0.0))))
+        out = out.withColumn(
+            "score", F.expr(q.source)
+            .cast("double" if self.double_mode else "float"))
+        out = out.select("doc_id", "score")
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_sorted(self, query: Query | str,
                       by: list[tuple[str, str]],

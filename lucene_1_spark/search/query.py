@@ -461,6 +461,63 @@ class FieldExistsQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesTermsQuery(Query):
+    """Set membership evaluated on a STORED doc column instead of
+    postings — the ``SortedSetDocValuesField.newSlowSetQuery`` /
+    sandbox ``DocValuesTermsQuery.java:58-90`` analog: constant-score
+    ``boost`` for docs whose ``field`` value is in ``values``.
+    Relationally an IN-predicate on the docs table, so Spark pushes it
+    into the parquet scan (dictionary/row-group pruning) — the same
+    index-vs-docvalues trade IndexOrDocValuesQuery arbitrates."""
+    field: str
+    values: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Score replacement by a DoubleValuesSource
+    (``queries/function/FunctionScoreQuery.java:40-120``): matches
+    exactly the docs the wrapped ``query`` matches, but each hit's
+    score is ``source`` — an arbitrary SQL expression over the bound
+    variables ``score`` (the wrapped query's score), any stored /
+    doc-values column of the docs table (latest dv generation), and
+    ``boosted`` (1.0 when the doc also matches ``boost_query``, else
+    0.0).  The reference JITs a DoubleValuesSource tree; here
+    ``F.expr`` hands the expression to Catalyst, which compiles it
+    into whole-stage codegen.  Missing dv values read as NULL — wrap
+    with ``coalesce`` in the source for Lucene's missing-==-0 reads.
+    Use :func:`boost_by_value` / :func:`boost_by_query` for the
+    reference's static factory semantics."""
+    query: "Query"
+    source: str
+    boost_query: "Query | None" = None
+
+    def rewrite(self) -> "Query":
+        inner = self.query.rewrite()
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if inner is self.query:
+            return self
+        return FunctionScoreQuery(inner, self.source, self.boost_query)
+
+
+def boost_by_value(query: "Query", value_expr: str) -> FunctionScoreQuery:
+    """``FunctionScoreQuery.boostByValue`` — multiply the wrapped
+    query's score by a per-doc expression (e.g. a feature column)."""
+    return FunctionScoreQuery(query, f"score * ({value_expr})")
+
+
+def boost_by_query(query: "Query", boost_query: "Query",
+                   boost: float) -> FunctionScoreQuery:
+    """``FunctionScoreQuery.boostByQuery`` — multiply the score by
+    ``boost`` for docs that ALSO match ``boost_query`` (non-matching
+    docs keep their original score)."""
+    return FunctionScoreQuery(
+        query, f"score * (1.0 + ({boost} - 1.0) * boosted)", boost_query)
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery(Query):
     pass
 
@@ -890,7 +947,8 @@ _SERIALIZABLE = (TermQuery, BooleanQuery, Clause, MatchAllDocsQuery,
                  MultiPhraseQuery,
                  PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
                  TermRangeQuery, KnnVectorQuery, DocValuesRangeQuery,
-                 FieldExistsQuery, JoinQuery)
+                 FieldExistsQuery, JoinQuery, DocValuesTermsQuery,
+                 FunctionScoreQuery)
 _TYPE_BY_NAME = {c.__name__: c for c in _SERIALIZABLE}
 
 

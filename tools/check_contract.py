@@ -50,7 +50,8 @@ def main():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
-        if only and not name.startswith(only):
+        if only and not any(name.startswith(p)
+                            for p in only.split(",")):
             continue
         t0 = time.time()
         try:
