@@ -1234,6 +1234,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("variance", 2).alias("var_len"))
     q["dv_stats_length"] = dv_stats_length
 
+    def ft_high_freq_terms(s, d):
+        """HighFreqTerms (misc/HighFreqTerms.java): the index's top-10
+        terms by document frequency (ties by term asc) straight off
+        the term-stats dictionary — one aggregate +
+        TakeOrderedAndProject, no postings touched."""
+        from lucene_1_spark.search.collectors import high_freq_terms
+        se = _searcher(s, d)
+        return (high_freq_terms(se.reader, n=10, order_by="doc_freq")
+                .select("term", F.col("doc_freq").cast("long"),
+                        F.col("total_term_freq").cast("long")))
+    q["ft_high_freq_terms"] = ft_high_freq_terms
+
+    def ft_dynamic_range_facets(s, d):
+        """DynamicRangeUtil.computeDynamicNumericRanges
+        (facet/range/DynamicRangeUtil.java:204-270), unit weights:
+        equal-weight ranges over the token-length dv of docs matching
+        'spark' — greedy cuts over the sorted values == fixed blocks
+        of ceil(len/topN), one window + one aggregate."""
+        from lucene_1_spark.search.collectors import dynamic_range_facets
+        se = _searcher(s, d)
+        out = dynamic_range_facets(se, "spark", "length", topn=4)
+        return out.select("range_id",
+                          F.col("n_docs").cast("long"),
+                          "min_v", "max_v",
+                          F.round("avg_v", 4).alias("avg_v"))
+    q["ft_dynamic_range_facets"] = ft_dynamic_range_facets
+
+    def suggest_free_text(s, d):
+        """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:
+        93-126,527-702): bigram stupid-backoff LM over the corpus text
+        — candidates after context 'data' score cnt(c,w)/cnt(c) when
+        the bigram was seen else 0.4 * cnt(w)/total (ALPHA backoff);
+        top-10 by score desc, word asc."""
+        from lucene_1_spark.search.suggest import (build_free_text_model,
+                                                   free_text_lookup)
+        model = build_free_text_model(
+            _docs(s, d).select("doc_id", "text"), "text",
+            analyzer="whitespace")
+        out = free_text_lookup(model, "data", k=10,
+                               analyzer="whitespace")
+        return out.select("word", F.round("score", 6).alias("score"))
+    q["suggest_free_text"] = suggest_free_text
+
+    def repl_search_topk(s, d):
+        """NRT replication (replicator/nrt/PrimaryNode.java,
+        ReplicaNode.java, CopyJob.java): copy the primary's immutable
+        segment files to a replica dir (missing-only, manifest written
+        LAST as the activation barrier), open the replica with a plain
+        IndexReader and run the reference query — results must be
+        byte-identical to the primary's, i.e. match the same BM25
+        oracle."""
+        import tempfile as _tf
+
+        from lucene_1_spark.index import IndexReader
+        from lucene_1_spark.index.replicator import sync_replica
+        from lucene_1_spark.search import IndexSearcher
+
+        se = _searcher(s, d)           # ensures the primary exists
+        primary = se.reader.dir
+        replica = os.path.join(
+            _tf.gettempdir(), "l1s_driver_replica_v1",
+            hashlib.md5(os.path.abspath(d).encode()).hexdigest()[:12])
+        sync_replica(primary, replica)
+        rse = IndexSearcher(IndexReader(s, replica))
+        top = rse.search_df("spark", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, rse)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["repl_search_topk"] = repl_search_topk
+
     def snap_point_in_time(s, d):
         """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit):
         snapshot the commit, delete every doc containing 'window', then
@@ -4966,6 +5038,73 @@ SELECT count(dl.len)::BIGINT AS cnt,
        round(avg(dl.len::DOUBLE), 4) AS mean_len,
        round(var_pop(dl.len::DOUBLE), 2) AS var_len
 FROM m JOIN dl ON m.doc_id = dl.doc_id"""
+    # HighFreqTerms: top-10 content terms by doc freq, ties term asc
+    o["ft_high_freq_terms"] = f"""
+WITH {_TOKS},
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq,
+         count(*) AS total_term_freq
+  FROM toks GROUP BY term)
+SELECT term, doc_freq::BIGINT AS doc_freq,
+       total_term_freq::BIGINT AS total_term_freq
+FROM stats ORDER BY doc_freq DESC, term ASC LIMIT 10
+"""
+
+    # DynamicRangeUtil unit-weight ranges over token length of 'spark'
+    # matches: sorted values cut into blocks of ceil(n / min(4, n))
+    o["ft_dynamic_range_facets"] = f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+v AS (SELECT dl.doc_id, dl.len FROM m JOIN dl ON m.doc_id = dl.doc_id),
+p AS (SELECT len,
+             row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rn,
+             (SELECT count(*) FROM v) AS n
+      FROM v)
+SELECT floor((rn - 1) / ceil(n / least(4.0, n)))::BIGINT AS range_id,
+       count(*)::BIGINT AS n_docs,
+       min(len)::DOUBLE AS min_v,
+       max(len)::DOUBLE AS max_v,
+       round(avg(len::DOUBLE), 4) AS avg_v
+FROM p GROUP BY 1 ORDER BY range_id
+"""
+
+    # FreeTextSuggester stupid backoff: bigram ratio when seen, else
+    # ALPHA(0.4) * unigram ratio; context = 'data'
+    o["suggest_free_text"] = """
+WITH ordered AS MATERIALIZED (
+  SELECT doc_id, tok, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+uni AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS cnt FROM ordered GROUP BY 1),
+bi AS (
+  SELECT t2 AS w, count(*) AS bcnt FROM (
+    SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS t2
+    FROM ordered)
+  WHERE tok = 'data' AND t2 IS NOT NULL GROUP BY 1)
+SELECT u.w AS word,
+       round(CASE WHEN b.bcnt IS NOT NULL
+                  THEN b.bcnt::DOUBLE / (SELECT cnt FROM uni
+                                         WHERE w = 'data')
+                  ELSE 0.4 * u.cnt::DOUBLE / (SELECT sum(cnt) FROM uni)
+             END, 6) AS score
+FROM uni u LEFT JOIN bi b ON u.w = b.w
+WHERE u.w <> 'data'
+ORDER BY CASE WHEN b.bcnt IS NOT NULL
+              THEN b.bcnt::DOUBLE / (SELECT cnt FROM uni WHERE w = 'data')
+              ELSE 0.4 * u.cnt::DOUBLE / (SELECT sum(cnt) FROM uni)
+         END DESC, word ASC
+LIMIT 10
+"""
+
+    # replica search == primary search == the plain BM25 oracle
+    o["repl_search_topk"] = _bm25_sql(["spark"])
+
     # MultiSimilarity CombSUM: bm25_double + classic_double
     o["ft_multi_sim_topk"] = _sim_oracle(
         "ln(1 + (st.n - cf.dfreq + 0.5) / (cf.dfreq + 0.5))"

@@ -140,3 +140,72 @@ def blended_term_search(searcher, terms: tuple[str, ...], k: int = 10,
     if k is None:
         return out
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def high_freq_terms(reader, n: int = 10, order_by: str = "doc_freq",
+                    field: str = "content") -> DataFrame:
+    """``misc/HighFreqTerms.java`` analog: the index's top-``n`` terms
+    by document frequency or total term frequency (``order_by`` in
+    {'doc_freq', 'total_term_freq'}), ties broken by term ascending.
+    Multi-field indexes store composite keys ``<field>\\x1fterm``;
+    ``field='content'`` selects the plain analyzed field, any other
+    name selects (and strips) its prefix.  One aggregate over the
+    term-stats dictionary + TakeOrderedAndProject — raw segment stats
+    like the reference (deletes are not masked)."""
+    if order_by not in ("doc_freq", "total_term_freq"):
+        raise ValueError("order_by must be doc_freq or total_term_freq")
+    st = reader.term_stats()
+    sep = "\x1f"
+    if field == "content":
+        st = st.filter(~F.col("term").contains(sep))
+    else:
+        pfx = field + sep
+        st = (st.filter(F.col("term").startswith(pfx))
+              .withColumn("term", F.expr(
+                  f"substring(term, {len(pfx) + 1})")))
+    return (st.groupBy("term")
+            .agg(F.sum("doc_freq").alias("doc_freq"),
+                 F.sum("total_term_freq").alias("total_term_freq"))
+            .orderBy(F.desc(order_by), F.asc("term"))
+            .limit(n))
+
+
+def dynamic_range_facets(searcher, query, field: str,
+                         topn: int = 4) -> DataFrame:
+    """``facet/range/DynamicRangeUtil.computeDynamicNumericRanges``
+    (``DynamicRangeUtil.java:204-270``) with unit weights: sort the
+    matching docs' ``field`` values, then cut ranges greedily whenever
+    the accumulated weight reaches ``totalWeight / min(topN, len)``.
+    With weight == 1 per doc the greedy cut is a FIXED block size
+    ``ceil(len / min(topN, len))`` over the sorted sequence, so the
+    whole computation is one window row_number + one aggregate — no
+    driver-side sort.  Returns (range_id, n_docs, min_v, max_v, avg_v)
+    — count/min/max/mean per range like the reference's
+    DynamicRangeInfo.  Range CONTENTS depend only on the sorted value
+    multiset, so the result is deterministic under any tie order.
+
+    At 100 TB use this on a filtered match set (facets run over query
+    results); the single global window is the same shape as the
+    reference's in-memory sort and parallelizes per-shard upstream if
+    the caller pre-partitions."""
+    import math
+    matches = searcher.search_df(query, k=None).select("doc_id")
+    vals = matches.join(
+        searcher.reader.docs().select("doc_id", field), "doc_id") \
+        .filter(F.col(field).isNotNull())
+    n = vals.count()
+    if n == 0 or topn <= 0:
+        return vals.sparkSession.createDataFrame(
+            [], "range_id long, n_docs long, min_v double, "
+                "max_v double, avg_v double")
+    block = math.ceil(n / min(topn, n))
+    w = W.partitionBy().orderBy(F.asc(field), F.asc("doc_id"))
+    binned = vals.withColumn(
+        "range_id", F.floor((F.row_number().over(w) - 1) / block)
+        .cast("long"))
+    return (binned.groupBy("range_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(field).cast("double").alias("min_v"),
+                 F.max(field).cast("double").alias("max_v"),
+                 F.avg(field).alias("avg_v"))
+            .orderBy("range_id"))

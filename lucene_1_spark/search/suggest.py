@@ -130,3 +130,83 @@ def lookup_fuzzy(suggestions: DataFrame, text: str, k: int = 5,
         "rank", F.row_number().over(
             W.orderBy(F.desc("weight"), F.asc("suggestion"))).cast("long"))
     return ranked.select("suggestion", "weight", "rank")
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester analog
+# (``suggest/analyzing/FreeTextSuggester.java:93-126,527-702``): an
+# n-gram language model over the CORPUS TEXT (not a curated suggestion
+# list) ranked with "stupid backoff" (Brants et al. 2007): the score of
+# candidate word w after context c is count(c,w)/count(c) when the
+# bigram was seen, else ALPHA * count(w)/total — each backoff level
+# multiplies by ALPHA = 0.4 (FreeTextSuggester.ALPHA).  The reference
+# compiles the counts into an FST; relationally the model is two
+# aggregate tables (unigrams, bigrams) built in one pass over the
+# tokenized corpus, and a lookup is two broadcast-size filters + a
+# left join — no Python in either path.
+# ---------------------------------------------------------------------------
+
+def build_free_text_model(docs: DataFrame, text_col: str = "text",
+                          analyzer: str = "standard") -> DataFrame:
+    """One model row per gram: (w1, w2, cnt) for bigrams (within-doc
+    adjacent positions) plus (w1=NULL, w2=word, cnt) unigram rows —
+    the two FST levels of the reference in one union table.  Persist
+    it partitioned by w1 for serving (bucket pruning per context)."""
+    an_name = analyzer
+
+    base = docs.withColumn("_doc", F.monotonically_increasing_id())
+    toks = base.select(
+        "_doc",
+        F.posexplode(
+            F.filter(F.split(_analyzed_text_col(F.col(text_col), an_name),
+                             r"\s+"), lambda x: x != ""))
+        .alias("pos", "w"))
+    uni = (toks.groupBy("w").agg(F.count("*").alias("cnt"))
+           .select(F.lit(None).cast("string").alias("w1"),
+                   F.col("w").alias("w2"), "cnt"))
+    nxt = W.partitionBy("_doc").orderBy("pos")
+    bi = (toks.withColumn("w_next", F.lead("w").over(nxt))
+          .filter(F.col("w_next").isNotNull())
+          .groupBy("w", "w_next").agg(F.count("*").alias("cnt"))
+          .select(F.col("w").alias("w1"), F.col("w_next").alias("w2"),
+                  "cnt"))
+    return uni.unionByName(bi)
+
+
+def _analyzed_text_col(col, analyzer_name: str):
+    """Tokenize a text column to a space-joined analyzed string (the
+    same JVM-side normalization the suggester key column uses)."""
+    return _analyzed_key_col(col, analyzer_name)
+
+
+def free_text_lookup(model: DataFrame, context: str, k: int = 5,
+                     alpha: float = 0.4,
+                     analyzer: str = "standard") -> DataFrame:
+    """Rank next-word candidates after ``context`` (its LAST analyzed
+    token is the bigram context, as in FreeTextSuggester.lookup):
+    score = cnt(c,w)/cnt(c) if seen else alpha * cnt(w)/total.
+    Returns (word, score) top-k, score desc / word asc."""
+    ctx_toks = _analyze_text(context, analyzer).split()
+    if not ctx_toks:
+        return model.sparkSession.createDataFrame(
+            [], "word string, score double")
+    ctx = ctx_toks[-1]
+    uni = model.filter(F.col("w1").isNull())
+    total = uni.agg(F.sum("cnt")).collect()[0][0] or 1
+    ctx_cnt_rows = (model.filter(F.col("w1").isNull()
+                                 & (F.col("w2") == ctx))
+                    .select("cnt").collect())
+    ctx_cnt = int(ctx_cnt_rows[0]["cnt"]) if ctx_cnt_rows else 0
+    bi = (model.filter(F.col("w1") == ctx)
+          .select(F.col("w2").alias("word"),
+                  F.col("cnt").alias("bi_cnt")))
+    cand = (uni.select(F.col("w2").alias("word"),
+                       F.col("cnt").alias("uni_cnt"))
+            .join(bi, "word", "left"))
+    score = F.when(
+        F.col("bi_cnt").isNotNull() & F.lit(ctx_cnt > 0),
+        F.col("bi_cnt") / F.lit(float(ctx_cnt))).otherwise(
+        F.lit(float(alpha)) * F.col("uni_cnt") / F.lit(float(total)))
+    return (cand.select("word", score.alias("score"))
+            .filter(F.col("word") != ctx)
+            .orderBy(F.desc("score"), F.asc("word")).limit(k))
