@@ -226,7 +226,18 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
               # round-4 operators
               "ft_dismax_topk", "ft_term_in_set", "ft_more_like_this",
               "ft_spell_suggest", "geo_distance_topk", "ft_join_query",
-              "ft_term_vector", "classify_naive_bayes"]
+              "ft_term_vector", "classify_naive_bayes",
+              # round-7 operators: new similarities, lenient parsers,
+              # persisted-bucket LSH serving, and the training-pipeline
+              # additions (semantic dedup, PII scrub, stratified
+              # sampling, sequence packing)
+              "ft_lmd_topk", "ft_dfr_topk", "ft_simple_parse_topk",
+              "ft_precedence_parse_topk", "ft_surround_count",
+              "ft_function_score_topk", "ft_expr_sort_topk",
+              "ft_high_freq_terms", "suggest_free_text",
+              "sim_lsh_index_topk", "sim_semdedup_count",
+              "pii_scrub_totals", "sample_stratified_counts",
+              "pack_sequences_stats"]
     qs = entrymod.queries()
     out = {}
     for name in subset:
