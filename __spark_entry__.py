@@ -2060,6 +2060,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_boolean_sim_topk"] = ft_boolean_sim_topk
 
+    def ft_sweet_spot_topk(s, d):
+        """SweetSpotSimilarity top-10 (misc/SweetSpotSimilarity.java):
+        ClassicSimilarity weight (idf^2) with plateau lengthNorm
+        1/sqrt(0.5*(|len-5|+|len-40|-35)+1) — exactly 1.0 for len in
+        [5,40] — and baselineTf (base=1, min=2: freq<=2 scores 1, else
+        sqrt(freq-1)).  Served from the shared double-norms index via
+        the searcher-level override + sim_params (the setter analog)."""
+        from lucene_1_spark.search import IndexSearcher
+        base = _lmd_searcher(s, d, "lm_dirichlet_double")
+        se = IndexSearcher(base.reader, similarity="sweet_spot_double",
+                           sim_params={"ss_ln_min": 5, "ss_ln_max": 40,
+                                       "ss_steep": 0.5, "ss_tf_base": 1.0,
+                                       "ss_tf_min": 2.0})
+        top = se.search_df("spark merge window", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_sweet_spot_topk"] = ft_sweet_spot_topk
+
+    def ft_common_terms_topk(s, d):
+        """CommonTermsQuery top-10 (queries/CommonTermsQuery.java:
+        62-120,146-206): terms (dup, spark, merge) split at
+        max_term_frequency=0.5 of maxDoc — 'dup' (~5% df) drives the
+        match as the required low-freq group; 'spark'/'merge' (~78%)
+        only add score.  BM25-double scoring on the shared index."""
+        from lucene_1_spark.search.query import CommonTermsQuery
+        se = _searcher(s, d)
+        qy = CommonTermsQuery(("dup", "spark", "merge"),
+                              max_term_frequency=0.5)
+        top = se.search_df(qy, k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_common_terms_topk"] = ft_common_terms_topk
+
     def _sim_topk(s, d, similarity, qtext="spark merge window"):
         se = _lmd_searcher(s, d, similarity)
         top = se.search_df(qtext, k=10).withColumn(
@@ -4948,6 +4987,53 @@ sc AS (SELECT doc_id,
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # SweetSpotSimilarity (misc/SweetSpotSimilarity.java): idf_classic^2
+    # weight, baselineTf (base=1, min=2), plateau lengthNorm over [5,40]
+    o["ft_sweet_spot_topk"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(pow(ln((st.n + 1) / (df.dfreq + 1)) + 1, 2)
+             * (CASE WHEN tf.freq <= 2.0 THEN 1.0
+                     ELSE sqrt(tf.freq + 1.0 - 2.0) END)
+             / sqrt(0.5 * (abs(dl.len - 5.0) + abs(dl.len - 40.0)
+                           - 35.0) + 1.0)) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN ('spark', 'merge', 'window')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
+
+    # CommonTermsQuery: df-split at ceil(0.5 * maxDoc) — low group
+    # ('dup') is required, high group ('spark','merge') only scores;
+    # per-term BM25-double contributions summed over matched terms
+    o["ft_common_terms_topk"] = f"""
+WITH {_BM25_CTES},
+cls AS (
+  SELECT qt.term,
+         CASE WHEN coalesce(df.dfreq, 0) > ceil(0.5 * st.n)
+              THEN 1 ELSE 0 END AS is_high
+  FROM (SELECT unnest(['dup', 'spark', 'merge']) AS term) qt
+  LEFT JOIN df ON qt.term = df.term CROSS JOIN st),
+msc AS (
+  SELECT tf.doc_id, cls.is_high, {_score_expr()} AS s
+  FROM tf JOIN cls ON tf.term = cls.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st),
+agg AS (
+  SELECT doc_id, sum(s) AS s,
+         max(CASE WHEN is_high = 0 THEN 1 ELSE 0 END) AS has_low
+  FROM msc GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM agg WHERE has_low = 1) WHERE rank <= 10"""
 
     # round-7 similarity family — all over the same whitespace-token
     # corpus stats as ft_lmd_topk

@@ -99,6 +99,55 @@ def score_term_classic(freq: np.ndarray, lengths: np.ndarray,
     return weight * np.sqrt(f) / np.sqrt(ln)
 
 
+SWEET_SPOT_DEFAULTS = (1, 1, 0.5, 0.0, 0.0)   # ln_min ln_max steep tf_base tf_min
+
+
+def score_term_sweet_spot(freq: np.ndarray, lengths: np.ndarray,
+                          weight: float, ln_min: float = 1,
+                          ln_max: float = 1, ln_steep: float = 0.5,
+                          tf_base: float = 0.0,
+                          tf_min: float = 0.0) -> np.ndarray:
+    """SweetSpotSimilarity per-term score —
+    ``misc/SweetSpotSimilarity.java``: ClassicSimilarity with
+
+    - baselineTf (``:143-160``): ``0`` if freq == 0, ``tf_base`` if
+      freq <= tf_min, else ``sqrt(freq + tf_base^2 - tf_min)`` —
+      degrades to ``sqrt(freq)`` at (base=0, min=0);
+    - plateau lengthNorm (``:100-120``):
+      ``1/sqrt(steep * (|len-min| + |len-max| - (max-min)) + 1)`` —
+      exactly 1.0 for len in [ln_min, ln_max], sqrt falloff outside;
+      degrades to ``1/sqrt(len)`` at (min=max=1, steep=0.5).
+
+    ``weight = boost * idf_classic^2`` — SweetSpot *extends*
+    ClassicSimilarity, so the doc-independent factor is unchanged."""
+    f = np.asarray(freq, dtype=np.float64)
+    tf = np.where(f <= float(tf_min), float(tf_base),
+                  np.sqrt(np.maximum(
+                      f + float(tf_base) ** 2 - float(tf_min), 0.0)))
+    tf = np.where(f == 0.0, 0.0, tf)
+    ln = np.asarray(lengths, dtype=np.float64)
+    lo, hi, s = float(ln_min), float(ln_max), float(ln_steep)
+    norm = 1.0 / np.sqrt(
+        s * (np.abs(ln - lo) + np.abs(ln - hi) - (hi - lo)) + 1.0)
+    return weight * tf * norm
+
+
+def make_classic_scorer(sweet_params: tuple | None = None):
+    """The classic-family per-term scorer used by every decode kernel:
+    plain ClassicSimilarity when ``sweet_params`` is None, else the
+    SweetSpot variant bound to (ln_min, ln_max, steep, tf_base,
+    tf_min).  Returned closure is cloudpickle-safe for executors."""
+    if sweet_params is None:
+        return score_term_classic
+    lmin, lmax, steep, tbase, tmin = [float(x) for x in sweet_params]
+
+    def scorer(freq: np.ndarray, lengths: np.ndarray,
+               weight: float) -> np.ndarray:
+        return score_term_sweet_spot(freq, lengths, weight,
+                                     lmin, lmax, steep, tbase, tmin)
+    return scorer
+
+
 MU_DEFAULT = 2000.0
 
 

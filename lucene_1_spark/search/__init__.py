@@ -1,5 +1,6 @@
 from lucene_1_spark.search.query import (  # noqa: F401
-    BooleanQuery, Clause, ConstantScoreQuery, DisjunctionMaxQuery,
+    BooleanQuery, Clause, CommonTermsQuery, ConstantScoreQuery,
+    DisjunctionMaxQuery,
     DocValuesRangeQuery, FieldExistsQuery, FuzzyQuery,
     JoinQuery, KnnVectorQuery, MatchAllDocsQuery, MatchNoDocsQuery,
     MultiPhraseQuery, MultiTermQuery,

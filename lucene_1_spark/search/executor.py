@@ -42,7 +42,8 @@ from lucene_1_spark.functions import bm25, codecs
 from lucene_1_spark.index.builder import FIELD_SEP
 from lucene_1_spark.index.reader import IndexReader
 from lucene_1_spark.search.query import (
-    MAX_CLAUSE_COUNT, BooleanQuery, Clause, ComplexPhraseQuery,
+    MAX_CLAUSE_COUNT, BooleanQuery, Clause, CommonTermsQuery,
+    ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery, DocValuesRangeQuery, DocValuesTermsQuery,
     FieldExistsQuery, FunctionScoreQuery, FuzzyQuery,
@@ -190,18 +191,27 @@ class LRUQueryCache:
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, similarity: str | None = None):
+    def __init__(self, reader: IndexReader, similarity: str | None = None,
+                 sim_params: dict | None = None):
         """``similarity`` overrides the index's build-time similarity —
         the ``IndexSearcher.setSimilarity`` analog.  Only legal within
         the same norms encoding: the double similarities (bm25_double /
         classic_double / lm_dirichlet_double / boolean_double) share
         exact uint32 lengths and are freely interchangeable;
         bm25_float32 indexes carry byte4-quantized norms no other
-        similarity can read."""
+        similarity can read.
+
+        ``sim_params`` overlays the index config's similarity
+        parameters for THIS searcher (``lm_mu``, ``lm_lambda``,
+        ``norm_c``, ``ss_ln_min``...) — the analog of the reference's
+        mutable similarity setters (``SweetSpotSimilarity
+        .setLengthNormFactors`` / ``LMDirichletSimilarity(mu)``
+        constructor args)."""
         self.reader = reader
         self.spark = reader.spark
         st = reader.stats
         built = reader.cfg.get("similarity", "bm25_float32")
+        cfg_p = {**reader.cfg, **(sim_params or {})}
         self.similarity = similarity or built
         if similarity and ((similarity == "bm25_float32")
                            != (built == "bm25_float32")):
@@ -218,6 +228,7 @@ class IndexSearcher:
         # AxiomaticF2EXP)
         _KINDS = {"bm25_float32": "bm25", "bm25_double": "bm25",
                   "classic_double": "classic",
+                  "sweet_spot_double": "classic",
                   "lm_dirichlet_double": "lmd",
                   "lm_jelinek_mercer_double": "lmjm",
                   "boolean_double": "boolean",
@@ -266,21 +277,34 @@ class IndexSearcher:
                     f"<h1|h2|h3|z>_double, ib_<ll|spl>_<df|ttf>_"
                     f"<h1|h2|h3|z>_double, dfi_<chi2|sat|std>_double)")
         self.double_mode = self.similarity != "bm25_float32"
-        self.classic = self.similarity == "classic_double"
-        self.mu = float(reader.cfg.get("lm_mu", bm25.MU_DEFAULT))
-        self.lm_lambda = float(reader.cfg.get("lm_lambda",
-                                              bm25.LMJM_LAMBDA_DEFAULT))
-        self.norm_c = float(reader.cfg.get("norm_c", 1.0))
+        self.classic = self.similarity in ("classic_double",
+                                           "sweet_spot_double")
+        # SweetSpotSimilarity knobs (misc/SweetSpotSimilarity.java
+        # setLengthNormFactors/setBaselineTfFactors); defaults make it
+        # degrade exactly to ClassicSimilarity
+        self.sweet_params = None
+        if self.similarity == "sweet_spot_double":
+            d = bm25.SWEET_SPOT_DEFAULTS
+            self.sweet_params = (
+                float(cfg_p.get("ss_ln_min", d[0])),
+                float(cfg_p.get("ss_ln_max", d[1])),
+                float(cfg_p.get("ss_steep", d[2])),
+                float(cfg_p.get("ss_tf_base", d[3])),
+                float(cfg_p.get("ss_tf_min", d[4])))
+        self.mu = float(cfg_p.get("lm_mu", bm25.MU_DEFAULT))
+        self.lm_lambda = float(cfg_p.get("lm_lambda",
+                                         bm25.LMJM_LAMBDA_DEFAULT))
+        self.norm_c = float(cfg_p.get("norm_c", 1.0))
         # H3's Dirichlet prior / Z's Pareto-Zipf exponent
         # (NormalizationH3.java / NormalizationZ.java defaults)
-        self.norm_mu = float(reader.cfg.get("norm_mu",
-                                            bm25.NORM_MU_DEFAULT))
-        self.norm_z = float(reader.cfg.get("norm_z", bm25.NORM_Z_DEFAULT))
-        self.ax_k = float(reader.cfg.get("ax_k", bm25.AX_K_DEFAULT))
-        self.ax_s = float(reader.cfg.get("ax_s", bm25.AX_S_DEFAULT))
+        self.norm_mu = float(cfg_p.get("norm_mu",
+                                       bm25.NORM_MU_DEFAULT))
+        self.norm_z = float(cfg_p.get("norm_z", bm25.NORM_Z_DEFAULT))
+        self.ax_k = float(cfg_p.get("ax_k", bm25.AX_K_DEFAULT))
+        self.ax_s = float(cfg_p.get("ax_s", bm25.AX_S_DEFAULT))
         # F3's query-length gamma parameter (AxiomaticF3EXP.java:38-49
         # constructor arg; mutable per-searcher like setSimilarity)
-        self.ax_query_len = int(reader.cfg.get("ax_query_len", 1))
+        self.ax_query_len = int(cfg_p.get("ax_query_len", 1))
         self.k1 = np.float32(reader.cfg["k1"])
         self.b = np.float32(reader.cfg["b"])
         if self.axiomatic:
@@ -550,6 +574,16 @@ class IndexSearcher:
             return TermInSetQuery(
                 tuple(f"{q.field}{FIELD_SEP}{t}" for t in q.terms),
                 "content", q.boost)
+        if isinstance(q, CommonTermsQuery) and q.field != "content":
+            if q.field not in self.keyword_fields \
+                    and q.field not in self.text_fields:
+                raise ValueError(
+                    f"field '{q.field}' is not indexed (fields: "
+                    f"{sorted(self.keyword_fields | self.text_fields)})")
+            import dataclasses as _dc
+            return _dc.replace(
+                q, terms=tuple(f"{q.field}{FIELD_SEP}{t}"
+                               for t in q.terms), field="content")
         return q
 
     # ------------------------------------------------------------------
@@ -613,6 +647,7 @@ class IndexSearcher:
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
         classic = self.classic
+        classic_fn = bm25.make_classic_scorer(self.sweet_params)
         kind, mu = self.score_kind, self.mu
         # LM / IB need a per-term aux scalar (collection probability /
         # lambda) — the stats were already seeked (memoized) by the
@@ -638,7 +673,7 @@ class IndexSearcher:
                         if double_mode:
                             lens = np.frombuffer(bytes(row.norms), dtype="<u4")
                             if classic:
-                                s = bm25.score_term_classic(
+                                s = classic_fn(
                                     freqs, lens, weights[row.term])
                             elif kind == "lmd":
                                 s = bm25.score_term_lm_dirichlet(
@@ -1054,8 +1089,8 @@ class IndexSearcher:
             if self.double_mode:
                 lens = np.frombuffer(bytes(row.norms), dtype="<u4")
                 if self.classic:
-                    s = bm25.score_term_classic(freqs, lens,
-                                                weights[row.term])
+                    s = bm25.make_classic_scorer(self.sweet_params)(
+                        freqs, lens, weights[row.term])
                 else:
                     s = bm25.score_term_double(freqs, lens,
                                                weights[row.term],
@@ -1446,7 +1481,18 @@ class IndexSearcher:
                    .filter(F.col("pf") > 0.0))
         if double_mode:
             ln = F.col("norm_val").cast("double")
-            if self.classic:
+            if self.classic and self.sweet_params is not None:
+                # SweetSpot phrase: baselineTf(pf) * plateau-norm(len),
+                # same codegen'd column shape as the classic branch
+                lo, hi, sp, tb, tm = self.sweet_params
+                tf_c = F.when(F.col("pf") <= F.lit(tm), F.lit(tb)) \
+                    .otherwise(F.sqrt(F.greatest(
+                        F.col("pf") + F.lit(tb * tb - tm), F.lit(0.0))))
+                norm_c = F.lit(1.0) / F.sqrt(
+                    F.lit(sp) * (F.abs(ln - F.lit(lo)) + F.abs(ln - F.lit(hi))
+                                 - F.lit(hi - lo)) + F.lit(1.0))
+                score_d = F.lit(weight) * tf_c * norm_c
+            elif self.classic:
                 score_d = (F.lit(weight) * F.sqrt(F.col("pf"))
                            / F.sqrt(F.greatest(ln, F.lit(1.0))))
             elif self.score_kind == "lmd":
@@ -1875,6 +1921,7 @@ class IndexSearcher:
         from pyspark.sql.functions import pandas_udf
 
         classic = self.classic
+        classic_fn = bm25.make_classic_scorer(self.sweet_params)
         kind, mu = self.score_kind, self.mu
 
         @pandas_udf("double")
@@ -1883,7 +1930,7 @@ class IndexSearcher:
             if double_mode:
                 ln = norm_val.to_numpy(dtype=np.float64)
                 if classic:
-                    s = bm25.score_term_classic(f, ln, weight)
+                    s = classic_fn(f, ln, weight)
                 elif kind == "lmd":
                     s = bm25.score_term_lm_dirichlet(f, ln, weight,
                                                      syn_p, mu)
@@ -2319,6 +2366,8 @@ class IndexSearcher:
         executable — see :meth:`_flatten`)."""
         if isinstance(q, MultiTermQuery):
             return self.rewrite_multi_term(q)
+        if isinstance(q, CommonTermsQuery):
+            return self._rewrite_common_terms(q)
         if isinstance(q, ComplexPhraseQuery):
             # ComplexPhraseQueryParser rewrite: expand each pattern
             # slot against the term dictionary; an empty expansion
@@ -2354,6 +2403,61 @@ class IndexSearcher:
                 return q
             return DisjunctionMaxQuery(new, q.tie_breaker, q.boost)
         return q
+
+    def _rewrite_common_terms(self, q: CommonTermsQuery) -> Query:
+        """CommonTermsQuery rewrite — ``queries/CommonTermsQuery.java:
+        146-206`` (buildQuery) + ``:116-138`` (msm encoding).  One term-
+        stats seek classifies terms; the result is an ordinary boolean
+        tree the relational executor already runs (nested groups become
+        must_groups / complex sub-plans via :meth:`_flatten`).  The
+        frequency cutoff uses the GLOBAL doc count, as the reference
+        uses ``reader.maxDoc()``."""
+        import math as _math
+        stats = self.reader.term_statistics(sorted(set(q.terms)))
+        max_doc = float(self.doc_count)
+        frac_cut = _math.ceil(q.max_term_frequency * max_doc)
+        low: list[str] = []
+        high: list[str] = []
+        for t in q.terms:
+            df = int(stats.get(t, (0, 0))[0])
+            if df <= 0:          # absent term: low-freq per reference
+                low.append(t)    # (null TermStates branch, :151-153)
+            elif ((q.max_term_frequency >= 1.0
+                   and df > q.max_term_frequency)
+                  or df > frac_cut):
+                high.append(t)
+            else:
+                low.append(t)
+
+        def _msm(value: float, n_opt: int) -> int:
+            if value <= 0 or value >= 1:
+                return int(value)
+            return int(round(value * n_opt))
+
+        low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+        low_msm = _msm(q.low_freq_msm, len(low)) \
+            if low_occur == Occur.SHOULD and low else 0
+        high_msm = _msm(q.high_freq_msm, len(high)) \
+            if high_occur == Occur.SHOULD and high else 0
+        if not low:
+            # all-stopword query: promote to conjunction (":178-183")
+            if high_msm == 0 and high_occur != Occur.MUST:
+                high_occur = Occur.MUST
+        lb, hb = q.boost * q.low_freq_boost, q.boost * q.high_freq_boost
+        low_bq = BooleanQuery(
+            tuple(Clause(TermQuery(t, lb), low_occur) for t in low),
+            minimum_should_match=low_msm) if low else None
+        high_bq = BooleanQuery(
+            tuple(Clause(TermQuery(t, hb), high_occur) for t in high),
+            minimum_should_match=high_msm) if high else None
+        if low_bq is None and high_bq is None:
+            return MatchNoDocsQuery()
+        if low_bq is None:
+            return high_bq
+        if high_bq is None:
+            return low_bq
+        return BooleanQuery((Clause(low_bq, Occur.MUST),
+                             Clause(high_bq, Occur.SHOULD)))
 
     def expand_terms(self, predicate: F.Column) -> list[str]:
         """Multi-term query expansion — the MultiTermQuery rewrite
@@ -2423,7 +2527,7 @@ class IndexSearcher:
                 norm_len = float(lens[i])
                 _, avgdl_f = self._field_params(term_key)
                 if self.classic:
-                    s = float(bm25.score_term_classic(
+                    s = float(bm25.make_classic_scorer(self.sweet_params)(
                         np.array([freq]), np.array([norm_len]), weight)[0])
                 elif self.score_kind == "lmd":
                     s = float(bm25.score_term_lm_dirichlet(
@@ -2748,6 +2852,7 @@ class IndexSearcher:
         avgdl = float(self.avgdl)
         double_mode = self.double_mode
         classic = self.classic
+        classic_fn = bm25.make_classic_scorer(self.sweet_params)
         kind, mu = self.score_kind, self.mu
         probs = self._term_aux(qweights)
         nscore = self._double_scorer()
@@ -2778,8 +2883,7 @@ class IndexSearcher:
                                                           dtype=np.uint8)
                             if double_mode:
                                 if classic:
-                                    s = bm25.score_term_classic(
-                                        freqs, lens, wgt)
+                                    s = classic_fn(freqs, lens, wgt)
                                 elif kind == "lmd":
                                     s = bm25.score_term_lm_dirichlet(
                                         freqs, lens, wgt,

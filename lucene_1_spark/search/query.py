@@ -220,6 +220,50 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """Frequency-adaptive boolean — ``queries/CommonTermsQuery.java:
+    62-120,146-206``: query terms are split at rewrite time by their
+    document frequency into a LOW-freq group (selective, drives the
+    match) and a HIGH-freq group (stopword-like, only refines
+    scoring).  A term is high-frequency when ``df > max_term_frequency``
+    (absolute form, >= 1) or ``df > ceil(max_term_frequency * maxDoc)``
+    (fractional form) — the reference's exact cutoff test.
+
+    Rewrite (``buildQuery``): low terms form a BooleanQuery under
+    ``low_freq_occur`` (msm applied when SHOULD) added as MUST; high
+    terms form one under ``high_freq_occur`` added as SHOULD.  With no
+    low terms the high group is promoted to a conjunction (``if
+    highFreqMinShouldMatch == 0 && highFreqOccur != MUST -> MUST``) to
+    prevent a slow all-stopword disjunction.  Group boosts distribute
+    onto member terms (sum-of-scores makes that exact).
+
+    ``low_freq_msm`` / ``high_freq_msm`` follow the reference's
+    ``minNrShouldMatch`` encoding: values >= 1 (or <= 0) are absolute
+    counts, fractions in (0, 1) mean round(frac * n_optional)."""
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    high_freq_occur: Occur = Occur.SHOULD
+    low_freq_occur: Occur = Occur.SHOULD
+    low_freq_msm: float = 0.0
+    high_freq_msm: float = 0.0
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+    field: str = "content"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if Occur.MUST_NOT in (self.high_freq_occur, self.low_freq_occur):
+            raise ValueError("CommonTermsQuery occur must be MUST or "
+                             "SHOULD, not MUST_NOT "
+                             "(CommonTermsQuery.java:81-86)")
+
+    def rewrite(self) -> "Query":
+        if not self.terms:
+            return MatchNoDocsQuery()
+        return self
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Phrase query (``PhraseQuery.java:71-143``).
 
