@@ -120,6 +120,7 @@ def _classic_searcher(spark: SparkSession, sf_dir: str):
 
 
 _LMD_SEARCHERS: dict[str, object] = {}
+_PHON_SEARCHERS: dict[str, object] = {}
 
 
 def _lmd_searcher(spark: SparkSession, sf_dir: str, similarity: str):
@@ -2098,6 +2099,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("orig_id").alias("doc_id"),
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_common_terms_topk"] = ft_common_terms_topk
+
+    def ft_phonetic_topk(s, d):
+        """Phonetic search (analysis/phonetic PhoneticFilter + Soundex):
+        the index stores Soundex codes of whitespace tokens, so the
+        MISSPELLED query 'spork marge' (codes S162 M620) ranks docs
+        containing spark/merge by BM25 over the code terms.  The SQL
+        twin re-implements the ENCODER itself (translate + regexp
+        algebra from the same constants)."""
+        from lucene_1_spark.index import IndexReader, build_index
+        from lucene_1_spark.index.builder import IndexConfig
+        from lucene_1_spark.search import IndexSearcher
+
+        key = os.path.abspath(d)
+        se = _PHON_SEARCHERS.get(key)
+        if se is None:
+            idx_dir = os.path.join(
+                tempfile.gettempdir(), "l1s_driver_phon_v1",
+                hashlib.md5(key.encode()).hexdigest()[:12])
+            corpus = _docs(s, d).select(
+                F.lit("docs").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0")
+                .alias("path"),
+                F.lit("c0").alias("commit"),
+                F.col("lang"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"))
+            cfg = IndexConfig(analyzer="phonetic:whitespace",
+                              similarity="bm25_double",
+                              n_buckets=8, n_doc_partitions=8)
+            build_index(s, corpus, idx_dir, cfg)
+            se = IndexSearcher(IndexReader(s, idx_dir))
+            _PHON_SEARCHERS[key] = se
+        top = se.search_df("spork marge", k=10).withColumn(
+            "rank", F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"))
+        return (_orig_id(top, se)
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round("score", 4).alias("score"), "rank"))
+    q["ft_phonetic_topk"] = ft_phonetic_topk
 
     def _sim_topk(s, d, similarity, qtext="spark merge window"):
         se = _lmd_searcher(s, d, similarity)
@@ -5034,6 +5073,29 @@ agg AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM agg WHERE has_low = 1) WHERE rank <= 10"""
+
+    # Phonetic search: tokens ENCODED to Soundex in SQL (the twin
+    # re-derives the encoder from the same constants via
+    # analysis.phonetic.soundex_sql), then plain BM25-double over the
+    # code terms; query codes computed from the misspelled literals
+    from lucene_1_spark.analysis.phonetic import soundex_sql as _sx
+    o["ft_phonetic_topk"] = f"""
+WITH {_TOKS},
+enc AS (SELECT doc_id, {_sx('term')} AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM enc GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM enc GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS tot FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+qc AS (SELECT {_sx("'spork'")} AS term UNION ALL SELECT {_sx("'marge'")}),
+sc AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS s
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN st
+  WHERE tf.term IN (SELECT term FROM qc)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM sc) WHERE rank <= 10"""
 
     # round-7 similarity family — all over the same whitespace-token
     # corpus stats as ft_lmd_topk

@@ -191,6 +191,12 @@ def get_analyzer(name: str):
         if an is not None:
             _REGISTRY[name] = an
             return an
+    if name.split(":", 1)[0] in ("phonetic", "phonetic_inject"):
+        from lucene_1_spark.analysis.phonetic import resolve_phonetic
+        an = resolve_phonetic(name)
+        if an is not None:
+            _REGISTRY[name] = an
+            return an
     if name.startswith("dictseg:"):
         from lucene_1_spark.analysis.segment import resolve_dictseg
         an = resolve_dictseg(name)
