@@ -2138,6 +2138,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("score", 4).alias("score"), "rank"))
     q["ft_phonetic_topk"] = ft_phonetic_topk
 
+    def ft_memory_percolate_count(s, d):
+        """MemoryIndex percolation (memory/MemoryIndex.java): one
+        single-doc in-memory index PER ROW inside mapInPandas — the
+        reference's per-document query-evaluation pattern, distributed;
+        nothing but the per-partition match counts leaves the
+        executors.  Query: "sort merge" exact phrase OR
+        (window AND NOT batch)."""
+        import pandas as pd
+        from lucene_1_spark.index.memory import MemoryIndex
+        from lucene_1_spark.search.query import (BooleanQuery, Clause,
+                                                 Occur, PhraseQuery,
+                                                 TermQuery)
+        query = BooleanQuery((
+            Clause(PhraseQuery(("sort", "merge")), Occur.SHOULD),
+            Clause(BooleanQuery((
+                Clause(TermQuery("window"), Occur.MUST),
+                Clause(TermQuery("batch"), Occur.MUST_NOT))),
+                Occur.SHOULD)))
+        docs = _docs(s, d).select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+
+        def kernel(it):
+            for b in it:
+                yield pd.DataFrame({
+                    "doc_id": b["doc_id"],
+                    "m": [MemoryIndex(t, "whitespace").matches(query)
+                          for t in b["text"]]})
+
+        m = docs.mapInPandas(kernel, "doc_id long, m boolean")
+        return m.filter(F.col("m")).agg(
+            F.count("*").cast("long").alias("n_docs"))
+    q["ft_memory_percolate_count"] = ft_memory_percolate_count
+
     def _sim_topk(s, d, similarity, qtext="spark merge window"):
         se = _lmd_searcher(s, d, similarity)
         top = se.search_df(qtext, k=10).withColumn(
@@ -5096,6 +5129,30 @@ sc AS (
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM sc) WHERE rank <= 10"""
+
+    # MemoryIndex percolation: phrase(sort merge) OR (window AND NOT
+    # batch) — adjacency via lead() over token ordinals
+    o["ft_memory_percolate_count"] = """
+WITH ordered AS (
+  SELECT doc_id, term, ord FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower(text),
+                              '\\s+'), x -> x <> ''), 1) AS ord
+    FROM documents WHERE text IS NOT NULL)),
+ph AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM ordered)
+  WHERE term = 'sort' AND nxt = 'merge'),
+wb AS (
+  SELECT doc_id FROM ordered GROUP BY doc_id
+  HAVING max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) = 0)
+SELECT count(*)::BIGINT AS n_docs FROM (
+  SELECT doc_id FROM ph UNION SELECT doc_id FROM wb)"""
 
     # round-7 similarity family — all over the same whitespace-token
     # corpus stats as ft_lmd_topk
