@@ -237,7 +237,11 @@ def driver_table_queries(sf_dir: str, cores: int) -> dict:
               "ft_high_freq_terms", "suggest_free_text",
               "sim_lsh_index_topk", "sim_semdedup_count",
               "pii_scrub_totals", "sample_stratified_counts",
-              "pack_sequences_stats"]
+              "pack_sequences_stats",
+              # round-7 batch 3: SweetSpot/CommonTerms/phonetic/
+              # MemoryIndex percolation
+              "ft_sweet_spot_topk", "ft_common_terms_topk",
+              "ft_phonetic_topk", "ft_memory_percolate_count"]
     qs = entrymod.queries()
     out = {}
     for name in subset:
