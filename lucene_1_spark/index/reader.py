@@ -45,11 +45,19 @@ class IndexReader:
         # canonical block columns only: files staged by the fused
         # single-tokenize build carry null doc-meta columns (one union
         # kernel schema) — parquet stores them for free, but downstream
-        # joins must not see a stray doc_id
-        from lucene_1_spark.index.builder import BLOCKS_SCHEMA
-        cols = [f.name for f in BLOCKS_SCHEMA.fields]
-        return self.spark.read.parquet(self.table_path("postings")) \
-            .select(*cols)
+        # joins must not see a stray doc_id.
+        # Memoized per reader (point-in-time snapshot, like the stats
+        # memo): ``spark.read.parquet`` re-lists files and re-reads the
+        # footer schema on every call — ~50-100 ms of driver work per
+        # query that the snapshot contract makes redundant.
+        df = self.__dict__.get("_postings_df")
+        if df is None:
+            from lucene_1_spark.index.builder import BLOCKS_SCHEMA
+            cols = [f.name for f in BLOCKS_SCHEMA.fields]
+            df = self.spark.read.parquet(self.table_path("postings")) \
+                .select(*cols)
+            self.__dict__["_postings_df"] = df
+        return df
 
     def term_stats(self) -> DataFrame:
         """One (bucket, term) row with whole-index stats.  The physical
@@ -86,9 +94,14 @@ class IndexReader:
         return self.spark.read.parquet(os.path.join(self.dir, name))
 
     def docs(self) -> DataFrame:
-        return self._overlay_doc_values(
-            self.spark.read.parquet(self.table_path("docs"))
-            .drop("term_freqs"))
+        # memoized like postings() — same snapshot argument
+        df = self.__dict__.get("_docs_df")
+        if df is None:
+            df = self._overlay_doc_values(
+                self.spark.read.parquet(self.table_path("docs"))
+                .drop("term_freqs"))
+            self.__dict__["_docs_df"] = df
+        return df
 
     def _overlay_doc_values(self, base: DataFrame) -> DataFrame:
         """Apply pending doc-values updates — the read-side of
@@ -229,6 +242,70 @@ class IndexReader:
             prev = out.get(t, (0, 0))  # multi-file segments: sum
             out[t] = (prev[0] + int(df_), prev[1] + int(ttf))
         return out
+
+    # -- driver-side block metadata (skip-list seek) -----------------------
+    BLOCK_META_COLS = ("term", "first_doc", "last_doc", "max_freq",
+                       "min_norm_len", "num_docs")
+
+    def _postings_files(self, terms: list[str]) -> list[str]:
+        path = self.table_path("postings")
+        dirs = sorted({os.path.join(path, f"bucket={b}")
+                       for b in self.buckets_of(terms).values()})
+        return [os.path.join(d, f)
+                for d in dirs if os.path.isdir(d)
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+    def block_meta_arrow(self, terms: list[str]):
+        """Per-block METADATA of ``terms`` as a pandas frame — the
+        skip-list / block-max-metadata seek (``Lucene90SkipReader`` /
+        ``ImpactsEnum`` role), run entirely on the driver like
+        :meth:`term_statistics`: partition-pruned to the terms' bucket
+        directories and column-pruned to the six metadata columns, so
+        the heavy payload columns (doc_gaps/freqs/norms/positions) are
+        never touched.  Memoized per reader (snapshot semantics).
+        Callers bound the read with the stats-derived block count
+        BEFORE calling (hot terms at scale fall back to the
+        distributed path) and catch exceptions."""
+        import pandas as pd
+
+        cache = self.__dict__.setdefault("_bm_cache", {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            import pyarrow.dataset as ds
+            files = self._postings_files(missing)
+            cols = list(self.BLOCK_META_COLS)
+            if files:
+                pdf = (ds.dataset(files, format="parquet")
+                       .to_table(columns=cols,
+                                 filter=ds.field("term").isin(missing))
+                       .to_pandas())
+            else:
+                pdf = pd.DataFrame({c: [] for c in cols})
+            for t in missing:
+                cache[t] = pdf[pdf["term"] == t].reset_index(drop=True)
+        parts = [cache[t] for t in terms if len(cache[t])]
+        if not parts:
+            return pd.DataFrame({c: [] for c in self.BLOCK_META_COLS})
+        if len(parts) == 1:
+            return parts[0]
+        return pd.concat(parts, ignore_index=True)
+
+    def block_payload_arrow(self, pairs: list[tuple[str, int]]):
+        """Full block rows (payload columns included) for the given
+        ``(term, first_doc)`` block keys — the driver-side read behind
+        the θ-probe (a handful of highest-upper-bound blocks)."""
+        import pyarrow.dataset as ds
+
+        files = self._postings_files(sorted({t for t, _ in pairs}))
+        expr = None
+        for t, fd in pairs:
+            e = (ds.field("term") == t) & (ds.field("first_doc") == int(fd))
+            expr = e if expr is None else (expr | e)
+        return (ds.dataset(files, format="parquet")
+                .to_table(columns=["term", "first_doc", "num_docs",
+                                   "doc_gaps", "freqs", "norms"],
+                          filter=expr)
+                .to_pandas())
 
     def _term_statistics_spark(self, terms: list[str]) \
             -> dict[str, tuple[int, int]]:

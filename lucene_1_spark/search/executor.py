@@ -61,6 +61,17 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType()),  # exact float32 widened to double
 ])
 
+# decode output carrying the per-block WAND survivor flag (see the
+# multi-term prune path in _search_inner): candidate docs are those with
+# max(sv) == 1 — one decode pass instead of decode-candidates + decode-
+# scores + semi-join
+DECODED_SV_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("sv", T.IntegerType()),
+])
+
 BATCH_DECODED_SCHEMA = T.StructType([
     T.StructField("query_id", T.StringType()),
     T.StructField("term", T.StringType()),
@@ -95,6 +106,31 @@ def _levenshtein(a: str, b: str) -> int:
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def _merge_ranges(ranges: list[tuple[int, int]],
+                  max_intervals: int) -> list[list[int]]:
+    """Merge sorted [lo, hi] doc ranges; coalesce across the smallest
+    inter-interval gaps until at most ``max_intervals`` remain (over-
+    coalescing only widens ranges — always sound for pruning)."""
+    merged: list[list[int]] = []
+    for lo, hi in ranges:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_intervals:
+        gaps = sorted((merged[i + 1][0] - merged[i][1], i)
+                      for i in range(len(merged) - 1))
+        kill = {i for _, i in gaps[:len(merged) - max_intervals]}
+        out: list[list[int]] = []
+        for i, iv in enumerate(merged):
+            if out and (i - 1) in kill:
+                out[-1][1] = max(out[-1][1], iv[1])
+            else:
+                out.append(iv)
+        merged = out
+    return merged
 
 
 @dataclass
@@ -641,7 +677,8 @@ class IndexSearcher:
             return out
         raise NotImplementedError(f"query type {type(q)}")
 
-    def _decode_kernel(self, weights: dict[str, float], want_scores: bool):
+    def _decode_kernel(self, weights: dict[str, float], want_scores: bool,
+                       surv: bool = False):
         cache = self.cache
         k1, b = float(self.k1), float(self.b)
         avgdl = float(self.avgdl)
@@ -664,6 +701,7 @@ class IndexSearcher:
                 # per-block numpy decode, ONE DataFrame per Arrow batch
                 # (a per-row DataFrame was the kernel's dominant cost)
                 dids_l, scores_l, terms_l, counts = [], [], [], []
+                svs = pdf["sv"].to_numpy() if surv else None
                 for row in pdf.itertuples(index=False):
                     n = int(row.num_docs)
                     dids = codecs.decode_doc_ids(bytes(row.doc_gaps),
@@ -702,14 +740,20 @@ class IndexSearcher:
                     terms_l.append(row.term)
                     counts.append(n)
                 if not dids_l:
-                    yield pd.DataFrame({"term": [], "doc_id": [], "score": []})
+                    out = {"term": [], "doc_id": [], "score": []}
+                    if surv:
+                        out["sv"] = []
+                    yield pd.DataFrame(out)
                     continue
-                yield pd.DataFrame({
+                out = {
                     "term": np.repeat(np.asarray(terms_l, dtype=object),
                                       counts),
                     "doc_id": np.concatenate(dids_l),
                     "score": np.concatenate(scores_l),
-                })
+                }
+                if surv:
+                    out["sv"] = np.repeat(svs.astype(np.int32), counts)
+                yield pd.DataFrame(out)
 
         return decode
 
@@ -935,8 +979,10 @@ class IndexSearcher:
                      and not any(FIELD_SEP in t for t in weights)
                      and msm == 0 and after is None and len(should) >= 1)
         decoded = None
+        sv_mode = False
         if use_prune:
-            theta = self._estimate_theta(blocks, weights, k)
+            meta = self._block_meta(list(weights))
+            theta = self._estimate_theta(blocks, weights, k, meta=meta)
             if theta is not None:
                 ub = self._ub_col(weights)
                 if len(weights) == 1:
@@ -945,29 +991,92 @@ class IndexSearcher:
                 else:
                     # multi-term: a doc whose EVERY block fails
                     # ub + slack(term) < theta is provably below theta
-                    # (its total <= that bound), so the surviving blocks
-                    # yield a sound CANDIDATE set; scores of partially
-                    # pruned docs would be incomplete, so rescore
-                    # candidates exactly against all blocks.
-                    other = self._other_max_ubs(blocks, weights)
+                    # (its total <= that bound), so docs with >=1
+                    # surviving block form a sound CANDIDATE set.  ONE
+                    # decode pass tags each block with its survivor flag
+                    # (sv); candidates = max(sv) == 1 per doc — scores
+                    # stay complete because every block of a candidate
+                    # doc is decoded (vs the old shape: a second decode
+                    # of the surviving blocks + distinct + semi-join).
+                    other = self._other_max_ubs(blocks, weights, meta=meta)
                     slack = F.create_map(*[x for t, v in other.items()
                                            for x in (F.lit(t), F.lit(float(v)))])
-                    surviving = blocks.filter(
-                        ub + slack[F.col("term")] >= float(theta))
-                    cand = (surviving.mapInPandas(
-                        self._decode_kernel(weights, want_scores=False),
-                        DECODED_SCHEMA).select("doc_id").distinct())
-                    decoded = (blocks.mapInPandas(
-                        self._decode_kernel(weights, want_scores=True),
-                        DECODED_SCHEMA).join(cand, "doc_id", "left_semi"))
+                    surv_pred = (ub + slack[F.col("term")] >= float(theta))
+                    if meta is not None and len(meta):
+                        # driver-side metadata: skip decoding blocks whose
+                        # doc range cannot contain a candidate (no overlap
+                        # with any surviving block's range) — the
+                        # BlockMaxConjunction-style skip-list hop applied
+                        # to the WAND candidate set
+                        ub_np = self._ub_np(meta, weights)
+                        slack_np = meta["term"].map(other).to_numpy(
+                            dtype=np.float64)
+                        keep = ub_np + slack_np >= float(theta)
+                        if not keep.any():
+                            scored = spark.createDataFrame(
+                                [], f"doc_id long, score "
+                                f"{'double' if self.double_mode else 'float'}")
+                            return scored
+                        if not keep.all():
+                            merged = _merge_ranges(
+                                sorted(zip(
+                                    meta["first_doc"].to_numpy()[keep]
+                                    .astype(int).tolist(),
+                                    meta["last_doc"].to_numpy()[keep]
+                                    .astype(int).tolist())),
+                                self.MAX_RANGE_INTERVALS)
+                            cond = None
+                            for lo, hi in merged:
+                                c = (F.col("last_doc") >= lo) \
+                                    & (F.col("first_doc") <= hi)
+                                cond = c if cond is None else cond | c
+                            blocks = blocks.filter(cond)
+                    blocks = blocks.withColumn("sv", surv_pred.cast("int"))
+                    decoded = blocks.mapInPandas(
+                        self._decode_kernel(weights, want_scores=True,
+                                            surv=True), DECODED_SV_SCHEMA)
+                    sv_mode = True
 
         if decoded is None and blocks is not None:
             decoded = blocks.mapInPandas(
                 self._decode_kernel(weights, want_scores=True), DECODED_SCHEMA)
+        score_type0 = "double" if self.double_mode else "float"
+        if sv_mode:
+            # pure disjunction (use_prune preconditions): candidates are
+            # docs with >=1 surviving block; their sums are complete
+            per_doc = decoded.groupBy("doc_id").agg(
+                F.sum("score").alias("score_d"),
+                F.max("sv").alias("_sv"))
+            scored = (per_doc.filter(F.col("_sv") == 1)
+                      .select("doc_id", F.col("score_d").cast(score_type0)
+                              .alias("score")))
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
         # union the complex sub-plan pseudo-term rows into the same
         # (term, doc_id, score) relation the aggregation consumes
         for p in cx_parts:
             decoded = p if decoded is None else decoded.unionByName(p)
+
+        # single scoring term, nothing to combine or exclude: each doc
+        # appears EXACTLY ONCE in the decoded stream (docIDs are
+        # globally unique across segments and a term's postings hold a
+        # doc once), so the per-doc aggregation — and its exchange — is
+        # an identity; skip it (TermScorer's straight-through path)
+        if (not cx_parts and not mnot and not filters
+                and not must_groups and not filter_groups and msm == 0
+                and not filter_only_terms and len(weights) == 1
+                and decoded is not None):
+            scored = decoded.select(
+                "doc_id", F.col("score").cast(score_type0).alias("score"))
+            if after is not None:
+                s, d = after
+                scored = scored.filter(
+                    (F.col("score") < float(s))
+                    | ((F.col("score") == float(s))
+                       & (F.col("doc_id") > int(d))))
+            if k is None:
+                return scored
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         required_terms = sorted({t.term for t in must}
                                 | {t.term for t in filters}) \
@@ -1018,70 +1127,115 @@ class IndexSearcher:
 
     DRIVER_RANGE_CAP = 4096     # skip pruning if the driver term has more blocks
     MAX_RANGE_INTERVALS = 64    # cap the OR-predicate size
+    DRIVER_META_CAP = 1 << 20   # max block-metadata rows read driver-side
+
+    def _block_meta(self, terms: list[str]):
+        """Driver-side block metadata of ``terms`` (pandas), or None
+        when the stats-derived block estimate exceeds DRIVER_META_CAP
+        (a hot term at 100 TB: stay on the distributed path) or the
+        pyarrow seek fails.  The stats are already memoized by the
+        query-prep path, so the cap check itself costs nothing."""
+        try:
+            stats = self.reader.term_statistics(list(terms))
+            est = sum(stats.get(t, (0, 0))[0] // codecs.BLOCK_SIZE + 1
+                      for t in terms)
+            if est > self.DRIVER_META_CAP:
+                return None
+            return self.reader.block_meta_arrow(sorted(terms))
+        except Exception:
+            return None
+
+    def _ub_np(self, meta, weights: dict[str, float]) -> np.ndarray:
+        """The _ub_col formula over driver-side metadata rows — same
+        double arithmetic, vectorized in numpy."""
+        w = meta["term"].map(weights).to_numpy(dtype=np.float64)
+        inv = 1.0 / (float(self.k1) * (
+            (1.0 - float(self.b))
+            + float(self.b) * meta["min_norm_len"].to_numpy(dtype=np.float64)
+            / float(self.avgdl)))
+        mf = meta["max_freq"].to_numpy(dtype=np.float64)
+        return (w - w / (1.0 + mf * inv)) * PRUNE_SAFETY
 
     def _prune_by_driver_ranges(self, blocks: DataFrame,
                                 driver_term: str) -> DataFrame:
         """Keep only blocks whose [first_doc, last_doc] overlaps one of
         the driver term's (merged) block ranges.  Metadata-only driver
         read: partition-pruned to the driver's bucket, column-pruned to
-        the two range columns."""
-        # limit BEFORE collect: a hot driver term at 100 TB may have
-        # millions of blocks — cap the transfer at CAP+1 rows so the
-        # driver sees "too many" without materializing them all.
-        meta = (blocks.filter(F.col("term") == driver_term)
-                .select("first_doc", "last_doc")
-                .limit(self.DRIVER_RANGE_CAP + 1).collect())
-        if not meta or len(meta) > self.DRIVER_RANGE_CAP:
-            return blocks
-        ranges = sorted((int(r["first_doc"]), int(r["last_doc"]))
-                        for r in meta)
-        merged: list[list[int]] = []
-        for lo, hi in ranges:
-            if merged and lo <= merged[-1][1] + 1:
-                merged[-1][1] = max(merged[-1][1], hi)
-            else:
-                merged.append([lo, hi])
-        while len(merged) > self.MAX_RANGE_INTERVALS:
-            # coalesce across the smallest inter-interval gaps
-            gaps = sorted((merged[i + 1][0] - merged[i][1], i)
-                          for i in range(len(merged) - 1))
-            kill = {i for _, i in
-                    gaps[:len(merged) - self.MAX_RANGE_INTERVALS]}
-            out: list[list[int]] = []
-            for i, iv in enumerate(merged):
-                if out and (i - 1) in kill:
-                    out[-1][1] = max(out[-1][1], iv[1])
-                else:
-                    out.append(iv)
-            merged = out
+        the two range columns — via the pyarrow seek when the block
+        count allows (no Spark job), else a capped Spark collect."""
+        meta = self._block_meta([driver_term])
+        if meta is not None:
+            if not len(meta) or len(meta) > self.DRIVER_RANGE_CAP:
+                return blocks
+            ranges = sorted(zip(meta["first_doc"].astype(int).tolist(),
+                                meta["last_doc"].astype(int).tolist()))
+        else:
+            # limit BEFORE collect: a hot driver term at 100 TB may have
+            # millions of blocks — cap the transfer at CAP+1 rows so the
+            # driver sees "too many" without materializing them all.
+            rows = (blocks.filter(F.col("term") == driver_term)
+                    .select("first_doc", "last_doc")
+                    .limit(self.DRIVER_RANGE_CAP + 1).collect())
+            if not rows or len(rows) > self.DRIVER_RANGE_CAP:
+                return blocks
+            ranges = sorted((int(r["first_doc"]), int(r["last_doc"]))
+                            for r in rows)
+        merged = _merge_ranges(ranges, self.MAX_RANGE_INTERVALS)
         cond = None
         for lo, hi in merged:
             c = (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
             cond = c if cond is None else cond | c
         return blocks.filter((F.col("term") == driver_term) | cond)
 
-    def _other_max_ubs(self, blocks: DataFrame, weights: dict[str, float]) \
-            -> dict[str, float]:
-        """{term: sum of OTHER terms' global max block ub} (MaxScore)."""
-        ub = self._ub_col(weights)
-        rows = blocks.groupBy("term").agg(F.max(ub).alias("mx")).collect()
-        mx = {r["term"]: float(r["mx"]) for r in rows}
+    def _other_max_ubs(self, blocks: DataFrame, weights: dict[str, float],
+                       meta=None) -> dict[str, float]:
+        """{term: sum of OTHER terms' global max block ub} (MaxScore).
+        Computed from driver-side metadata when available (no Spark
+        job), else a distributed metadata aggregation."""
+        if meta is not None and len(meta):
+            ub = self._ub_np(meta, weights)
+            mx = (pd.Series(ub, index=meta["term"].to_numpy())
+                  .groupby(level=0).max().to_dict())
+            mx = {t: float(v) for t, v in mx.items()}
+        else:
+            ubc = self._ub_col(weights)
+            rows = blocks.groupBy("term").agg(F.max(ubc).alias("mx")) \
+                .collect()
+            mx = {r["term"]: float(r["mx"]) for r in rows}
         total = sum(mx.values())
         return {t: total - v for t, v in mx.items()}
 
     def _estimate_theta(self, blocks: DataFrame, weights: dict[str, float],
-                        k: int) -> float | None:
+                        k: int, meta=None) -> float | None:
         """True lower bound on the kth score: fully score the docs of the
         highest-upper-bound blocks (a doc's partial disjunction score is
-        a lower bound on its total)."""
-        ub = self._ub_col(weights)
-        probe = (blocks.withColumn("_ub", ub)
-                 .orderBy(F.desc("_ub"))
-                 .limit(max(4, 2 * ((k // codecs.BLOCK_SIZE) + 1))))
-        probe_pd = probe.drop("_ub").toPandas()
+        a lower bound on its total).  With driver-side metadata the
+        probe blocks are chosen in numpy and their payloads fetched with
+        one pyarrow read — zero Spark jobs; any subset of blocks yields
+        a sound bound, so the two paths are interchangeable."""
+        n_probe = max(4, 2 * ((k // codecs.BLOCK_SIZE) + 1))
+        probe_pd = None
+        if meta is not None and len(meta):
+            try:
+                ub_np = self._ub_np(meta, weights)
+                top = np.argsort(-ub_np, kind="stable")[:n_probe]
+                pairs = list(zip(meta["term"].to_numpy()[top].tolist(),
+                                 meta["first_doc"].to_numpy()[top]
+                                 .astype(int).tolist()))
+                probe_pd = self.reader.block_payload_arrow(pairs)
+            except Exception:
+                probe_pd = None
+        if probe_pd is None:
+            ub = self._ub_col(weights)
+            probe = (blocks.withColumn("_ub", ub)
+                     .orderBy(F.desc("_ub"))
+                     .limit(n_probe))
+            probe_pd = probe.drop("_ub").toPandas()
         if probe_pd.empty:
             return None
         parts = []
+        classic_fn = bm25.make_classic_scorer(self.sweet_params) \
+            if self.classic else None
         for row in probe_pd.itertuples(index=False):
             n = int(row.num_docs)
             dids = codecs.decode_doc_ids(bytes(row.doc_gaps), int(row.first_doc), n)
@@ -1089,8 +1243,7 @@ class IndexSearcher:
             if self.double_mode:
                 lens = np.frombuffer(bytes(row.norms), dtype="<u4")
                 if self.classic:
-                    s = bm25.make_classic_scorer(self.sweet_params)(
-                        freqs, lens, weights[row.term])
+                    s = classic_fn(freqs, lens, weights[row.term])
                 else:
                     s = bm25.score_term_double(freqs, lens,
                                                weights[row.term],
