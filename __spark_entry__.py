@@ -1714,12 +1714,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         window' (boolean algebra) and 'ha* and sort' (truncation).
         The SQL twin checks ordered position pairs within distance,
         set algebra over doc ids, and LIKE-prefix term matches."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from lucene_1_spark.search.surround_parser import surround_search
 
         se = _pos_ws_searcher(s, d)
-        n1 = surround_search(se, "sort 3w merge").count()
-        n2 = surround_search(se, "(data or hash) not window").count()
-        n3 = surround_search(se, "ha* and sort").count()
+        # the three probe queries are independent Spark jobs — overlap
+        # them so one query's stage tail back-fills the executors
+        # (driver threads; FIFO scheduling)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            n1, n2, n3 = pool.map(
+                lambda t: surround_search(se, t).count(),
+                ["sort 3w merge", "(data or hash) not window",
+                 "ha* and sort"])
         return s.createDataFrame(
             [(n1, n2, n3)],
             "n_dist long, n_boolean long, n_trunc long")

@@ -99,6 +99,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", n: int = 3,
     Run :func:`dedup_exact` FIRST — a cluster of byte-identical docs
     shares every shingle, and no per-shingle cap bounds that."""
     sh = _shingles(docs, text_col, n)
+    # materialize once: the hot census, the per-doc sizes, and both
+    # self-join branches otherwise each re-run split + explode +
+    # distinct (disk-backed, scoped to this query's lineage)
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_shingle_df).select("shingle"))
@@ -138,6 +142,12 @@ def contamination_overlap(train: DataFrame, evalset: DataFrame,
     tr = _shingles(train, text_col, n).withColumnRenamed("doc_id", "train_doc")
     ev = _shingles(evalset, text_col, n).withColumnRenamed("doc_id", "eval_doc")
     if max_shingle_df is not None:
+        # materialize the train shingles ONCE: the hot census and the
+        # overlap join would otherwise each re-run split + explode +
+        # distinct over the whole train side (guide: truncate a plan
+        # reused by several consumers; the distinct's shuffle output is
+        # the same order of bytes this stores, disk-backed)
+        tr = tr.localCheckpoint(eager=False)
         hot = (tr.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_shingle_df).select("shingle"))
         tr = tr.join(hot, "shingle", "left_anti")
@@ -179,7 +189,12 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", n: int = 3,
                          F.col("sig")[bi * rows_per_band + r].cast("string")
                          for r in range(rows_per_band)]).alias("bval"))
             for bi in range(bands)])).alias("bb"))
-    bkey = banded.select("doc_id", "bb.band", "bb.bval")
+    # materialize the band keys ONCE: the self-join would otherwise run
+    # the whole shingle+minhash pipeline (explode, distinct, min-agg)
+    # once per branch.  Tiny rows (id, band, band-hash string) — bands
+    # rows per doc, disk-backed, scoped to this query's lineage.
+    bkey = banded.select("doc_id", "bb.band", "bb.bval") \
+        .localCheckpoint(eager=False)
     a, b = bkey.alias("a"), bkey.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bval") == F.col("b.bval"))
@@ -232,6 +247,10 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                      .alias("cval"))
             for c in range(4)])).alias("cc")
     ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
+    # materialize once (4 small rows per doc): the census and both
+    # self-join branches would otherwise each recompute the full
+    # simhash vote aggregation
+    chunks = chunks.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # eager hot-bucket census (one tiny count-agg job -> driver
         # list -> plain predicate): a lazy anti-join re-runs the census

@@ -272,12 +272,19 @@ def ann_recall_at_k(embeddings: DataFrame, query_ids: list[int],
     :func:`cosine_topk` over the given query ids (mean of
     |ANN ∩ exact| / k).  The quantified-approximation harness the ANN
     paths are graded by."""
+    from concurrent.futures import ThreadPoolExecutor
+
     e = embeddings.select(F.col(id_col),
                           F.col(vec_col).cast("array<double>").alias(vec_col))
     qrows = {r[id_col]: [float(x) for x in r[vec_col]]
              for r in e.filter(F.col(id_col).isin(query_ids)).collect()}
-    total = 0.0
-    for qid in query_ids:
+    if method == "lsh" and "bits" not in ann_kwargs \
+            and "n" not in ann_kwargs:
+        # size the LSH auto-policy once — ann_topk would otherwise run
+        # one count job PER replayed query for the same number
+        ann_kwargs = {**ann_kwargs, "n": e.count()}
+
+    def one(qid: int) -> float:
         qv = qrows[qid]
         exact = {r[id_col] for r in
                  cosine_topk(e, qv, k, id_col, vec_col).collect()}
@@ -288,7 +295,13 @@ def ann_recall_at_k(embeddings: DataFrame, query_ids: list[int],
             adf = ann_topk(e, qv, k, id_col=id_col, vec_col=vec_col,
                            **ann_kwargs)
         approx = {r[id_col] for r in adf.collect()}
-        total += len(exact & approx) / k
+        return len(exact & approx) / k
+
+    # the replayed queries are independent jobs: overlap a few so the
+    # tail of one back-fills the executors freed by another (plain
+    # driver threads; Spark schedules concurrent jobs FIFO)
+    with ThreadPoolExecutor(max_workers=min(4, len(query_ids))) as pool:
+        total = sum(pool.map(one, query_ids))
     return total / len(query_ids)
 
 
@@ -613,7 +626,14 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
-    b = embeddings.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    b = embeddings.select(F.col(id_col), F.col(vec_col),
+                          lsh_bucket_col(vec_col, planes).alias("_bucket"))
+    # materialize the bucketed projection ONCE (guide: truncate a plan
+    # reused by several consumers): the census and BOTH self-join
+    # branches would otherwise each re-run the scan + the bits x dim
+    # signature fold — 3x the dominant per-row cost.  Disk-backed
+    # (MEMORY_AND_DISK) and scoped to this query's lineage.
+    b = b.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # eager hot-bucket census: ONE count-agg job whose result (the
         # ids of buckets over the cap — few by construction) collects

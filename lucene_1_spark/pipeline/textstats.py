@@ -108,12 +108,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     top_ngram_ratio).  Pure relational — n-grams via array slicing,
     one explode + per-doc aggregation; high values flag boilerplate /
     degenerate generations for dropping at 100 TB scale."""
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda t: t != "")
+    # materialize the token array in its own projection FIRST: inlining
+    # the split expression into the transform lambda makes Catalyst
+    # re-evaluate the full split per n-gram index — O(tokens^2) work per
+    # document (measured 4x slower on the sf0.1 entry)
+    toks_expr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "")
+    base = docs.select(F.col(id_col), toks_expr.alias("_toks"))
+    toks = F.col("_toks")
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(0), F.size(toks) - n)) \
            .otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    grams = base.select(
         F.col(id_col),
         F.explode(F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
@@ -146,24 +153,32 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text",
     Spark shape: train = two aggregations over exploded bigrams
     (shuffles keyed by the n-gram — the scalable shape); score = one
     bigram join + per-doc mean.  All JVM arithmetic, exactly
-    reproducible in SQL."""
-    from pyspark.sql import Window as W
-
+    reproducible in SQL.  Bigrams come from array slicing in the same
+    projection as the tokenization (no per-doc window shuffle), the
+    exploded bigram table is materialized once for its three consumers
+    (unigram counts, bigram counts, vocabulary size), and when the LM
+    corpus IS the scored corpus the same table feeds scoring too."""
     lm = lm_docs if lm_docs is not None else docs
 
     def bigrams(df):
-        toks = _tokens(text_col)
-        return (df
-                .select(F.col(id_col), F.posexplode(toks)
-                        .alias("ord", "tok"))
-                .withColumn("nxt", F.lead("tok").over(
-                    W.partitionBy(id_col).orderBy("ord")))
-                .filter(F.col("nxt").isNotNull()))
-    big_lm = bigrams(lm)
-    uni = big_lm.groupBy("tok").agg(F.count("*").alias("c1"))
+        base = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+        t = F.col("_toks")
+        idx = F.when(F.size(t) >= 2,
+                     F.sequence(F.lit(0), F.size(t) - 2)) \
+               .otherwise(F.array().cast("array<int>"))
+        return (base
+                .select(F.col(id_col), F.explode(F.transform(
+                    idx, lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("tok"),
+                        F.element_at(t, i + 2).alias("nxt")))).alias("_bg"))
+                .select(F.col(id_col), "_bg.tok", "_bg.nxt"))
+    big_lm = bigrams(lm).localCheckpoint(eager=False)
+    uni = big_lm.groupBy("tok").agg(F.count("*").alias("c1")) \
+        .localCheckpoint(eager=False)
     bi = big_lm.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
-    v = big_lm.select("tok").distinct().count()
-    big_doc = bigrams(docs)
+    # |vocabulary| == number of distinct first-tokens == |uni|
+    v = uni.count()
+    big_doc = big_lm if lm_docs is None else bigrams(docs)
     scored = (big_doc
               .join(bi, ["tok", "nxt"], "left")
               .join(uni, ["tok"], "left")

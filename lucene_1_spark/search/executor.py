@@ -87,6 +87,17 @@ POSITIONS_SCHEMA = T.StructType([
 
 PRUNE_SAFETY = 1.00001  # relational double ub -> float32 score margin
 
+# columns each decode kernel actually reads — selected explicitly before
+# every mapInPandas so Arrow never ships the unused heavy binaries
+# (notably `positions`, the largest column, into kernels that only need
+# doc ids or freqs; Spark cannot column-prune through an opaque Python
+# function)
+DECODE_COLS = ["term", "first_doc", "num_docs", "doc_gaps", "freqs",
+               "norms"]
+DOCS_ONLY_COLS = ["term", "first_doc", "num_docs", "doc_gaps"]
+POS_COLS = ["first_doc", "num_docs", "doc_gaps", "freqs", "norms",
+            "positions"]
+
 
 from dataclasses import dataclass, field as _field
 
@@ -1032,13 +1043,13 @@ class IndexSearcher:
                                 cond = c if cond is None else cond | c
                             blocks = blocks.filter(cond)
                     blocks = blocks.withColumn("sv", surv_pred.cast("int"))
-                    decoded = blocks.mapInPandas(
+                    decoded = blocks.select(*DECODE_COLS, "sv").mapInPandas(
                         self._decode_kernel(weights, want_scores=True,
                                             surv=True), DECODED_SV_SCHEMA)
                     sv_mode = True
 
         if decoded is None and blocks is not None:
-            decoded = blocks.mapInPandas(
+            decoded = blocks.select(*DECODE_COLS).mapInPandas(
                 self._decode_kernel(weights, want_scores=True), DECODED_SCHEMA)
         score_type0 = "double" if self.double_mode else "float"
         if sv_mode:
@@ -1230,7 +1241,7 @@ class IndexSearcher:
             probe = (blocks.withColumn("_ub", ub)
                      .orderBy(F.desc("_ub"))
                      .limit(n_probe))
-            probe_pd = probe.drop("_ub").toPandas()
+            probe_pd = probe.select(*DECODE_COLS).toPandas()
         if probe_pd.empty:
             return None
         parts = []
@@ -1471,9 +1482,31 @@ class IndexSearcher:
                 acc += float(bm25.idf(stats[t][0], fdc))
             weight = float(np.float32(np.float32(boost) * np.float32(acc)))
 
-        # 1. candidate docs covering every slot (docs-only decode)
+        # 1. candidate docs covering every slot (docs-only decode —
+        # column-pruned so the position/freq/norm binaries never cross
+        # the Python boundary here)
         blocks_all = self._blocks_for(present)
-        docs_only = blocks_all.mapInPandas(
+        # skip-list hop BEFORE the candidate decode: every candidate
+        # must hold >=1 member of the rarest slot, so blocks whose doc
+        # range cannot overlap that slot's (driver-side) block ranges
+        # are never decoded — sound for the conjunction-of-slots
+        # candidate semantics, and metadata-only
+        if len(slots) > 1:
+            rare_slot = min(slots,
+                            key=lambda s: sum(stats[t][0] for t in s))
+            rmeta = self._block_meta(list(rare_slot))
+            if rmeta is not None and 0 < len(rmeta) <= self.DRIVER_RANGE_CAP:
+                merged = _merge_ranges(
+                    sorted(zip(rmeta["first_doc"].astype(int).tolist(),
+                               rmeta["last_doc"].astype(int).tolist())),
+                    self.MAX_RANGE_INTERVALS)
+                cond = None
+                for lo, hi in merged:
+                    c = (F.col("last_doc") >= lo) & (F.col("first_doc") <= hi)
+                    cond = c if cond is None else cond | c
+                blocks_all = blocks_all.filter(
+                    F.col("term").isin(list(rare_slot)) | cond)
+        docs_only = blocks_all.select(*DOCS_ONLY_COLS).mapInPandas(
             self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
         if all(len(s) == 1 for s in slots):
             cand = (docs_only.groupBy("doc_id")
@@ -1499,8 +1532,9 @@ class IndexSearcher:
             pruned_t = blocks_t.join(
                 cand_b, (F.col("doc_id") >= F.col("first_doc"))
                 & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-            return (pruned_t.mapInPandas(self._decode_positions_kernel(),
-                                         POSITIONS_SCHEMA)
+            return (pruned_t.select(*POS_COLS)
+                    .mapInPandas(self._decode_positions_kernel(),
+                                 POSITIONS_SCHEMA)
                     .join(cand_b, "doc_id", "left_semi"))
 
         joined = None
@@ -1912,7 +1946,8 @@ class IndexSearcher:
                                     "freq": pd.array(freqs,
                                                      dtype="int64")})
 
-        return blocks.mapInPandas(decode, TV_SCHEMA)
+        return blocks.select("term", "first_doc", "num_docs", "doc_gaps",
+                             "freqs").mapInPandas(decode, TV_SCHEMA)
 
     def _join_search(self, q: JoinQuery, k: int | None,
                      after: tuple[float, int] | None) -> DataFrame:
@@ -2065,7 +2100,8 @@ class IndexSearcher:
                 yield pd.concat(outs) if outs else pd.DataFrame(
                     {"doc_id": [], "freq": [], "norm_val": []})
 
-        decoded = self._blocks_for(present).mapInPandas(decode, FREQ_SCHEMA)
+        decoded = self._blocks_for(present).select(*DECODE_COLS) \
+            .mapInPandas(decode, FREQ_SCHEMA)
         merged = decoded.groupBy("doc_id").agg(
             F.sum("freq").alias("freq"), F.max("norm_val").alias("norm_val"))
 
@@ -2196,7 +2232,8 @@ class IndexSearcher:
                        else pd.DataFrame({"doc_id": pd.array([], "int64"),
                                           "wfreq": pd.array([], "float64")}))
 
-        decoded = self._blocks_for(present).mapInPandas(decode, WF_SCHEMA)
+        decoded = self._blocks_for(present).select(*DECODE_COLS) \
+            .mapInPandas(decode, WF_SCHEMA)
         merged = decoded.groupBy("doc_id").agg(F.sum("wfreq").alias("freq"))
 
         # combined norm = weighted sum of the doc's per-field lengths
@@ -2384,7 +2421,7 @@ class IndexSearcher:
         stats = self.reader.term_statistics([term])
         if term not in stats:
             return empty
-        dec = self._blocks_for([term]).mapInPandas(
+        dec = self._blocks_for([term]).select(*POS_COLS).mapInPandas(
             self._decode_positions_kernel(), POSITIONS_SCHEMA)
         matched = dec.select(
             "doc_id", F.explode("positions").alias("position"))
@@ -2636,7 +2673,7 @@ class IndexSearcher:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
         blocks = self._blocks_for(sorted(set(terms)))
-        decoded = blocks.mapInPandas(
+        decoded = blocks.select(*DOCS_ONLY_COLS).mapInPandas(
             self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
         return decoded.select("doc_id").distinct()
 
@@ -2948,7 +2985,7 @@ class IndexSearcher:
 
             if live_qids:
                 blocks = self._blocks_for(sorted(qweights))
-                decoded = blocks.mapInPandas(
+                decoded = blocks.select(*DECODE_COLS).mapInPandas(
                     self._batch_decode_kernel(qweights), BATCH_DECODED_SCHEMA)
                 roles = F.broadcast(spark.createDataFrame(
                     role_rows, "query_id string, term string, "

@@ -62,9 +62,10 @@ def interval_counts(searcher, term_a: str, term_b: str,
         return empty
 
     from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                DOCS_ONLY_COLS, POS_COLS,
                                                 POSITIONS_SCHEMA)
     blocks_all = searcher._blocks_for(sorted({term_a, term_b}))
-    docs_only = blocks_all.mapInPandas(
+    docs_only = blocks_all.select(*DOCS_ONLY_COLS).mapInPandas(
         searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
     cand = (docs_only.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("_nt"))
@@ -77,7 +78,7 @@ def interval_counts(searcher, term_a: str, term_b: str,
         pruned = blocks_t.join(
             cand_b, (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
                                   POSITIONS_SCHEMA)
                .join(cand_b, "doc_id", "left_semi")
                .select("doc_id", F.col("positions").alias(f"p{i}")))
@@ -138,10 +139,11 @@ def _ordered_spans(searcher, terms: list[str],
         return empty
 
     from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                DOCS_ONLY_COLS, POS_COLS,
                                                 POSITIONS_SCHEMA)
     blocks_all = searcher._blocks_for(uniq)
     if n_terms == 1:
-        dec = blocks_all.mapInPandas(searcher._decode_positions_kernel(),
+        dec = blocks_all.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
                                      POSITIONS_SCHEMA)
         return dec.select("doc_id",
                           F.col("positions").cast("array<long>")
@@ -149,7 +151,7 @@ def _ordered_spans(searcher, terms: list[str],
                           F.col("positions").cast("array<long>")
                           .alias("ends"))
 
-    docs_only = blocks_all.mapInPandas(
+    docs_only = blocks_all.select(*DOCS_ONLY_COLS).mapInPandas(
         searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
     cand = (docs_only.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("_nt"))
@@ -161,7 +163,7 @@ def _ordered_spans(searcher, terms: list[str],
         pruned = blocks_t.join(
             cand_b, (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
                                   POSITIONS_SCHEMA)
                .join(cand_b, "doc_id", "left_semi")
                .select("doc_id", F.col("positions").alias(f"p{i}")))
@@ -225,9 +227,10 @@ def unordered_interval_counts(searcher, terms: list[str],
     # positions per term for candidate docs (same plumbing as ordered)
     joined = None
     from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                DOCS_ONLY_COLS, POS_COLS,
                                                 POSITIONS_SCHEMA)
     blocks_all = searcher._blocks_for(uniq)
-    docs_only = blocks_all.mapInPandas(
+    docs_only = blocks_all.select(*DOCS_ONLY_COLS).mapInPandas(
         searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
     cand = (docs_only.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("_nt"))
@@ -238,7 +241,7 @@ def unordered_interval_counts(searcher, terms: list[str],
         pruned = blocks_t.join(
             cand_b, (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
                                   POSITIONS_SCHEMA)
                .join(cand_b, "doc_id", "left_semi")
                .select("doc_id", F.col("positions").alias(f"p{i}")))
@@ -516,7 +519,8 @@ def _term_spans(searcher, t: str, cand_b=None) -> DataFrame:
     candidate set, position blocks decode ONLY where the block's doc
     range holds a candidate (the skip-list hop, same pruning as the
     term-list interval paths)."""
-    from lucene_1_spark.search.executor import POSITIONS_SCHEMA
+    from lucene_1_spark.search.executor import (POS_COLS,
+                                                POSITIONS_SCHEMA)
     stats = searcher.reader.term_statistics([t])
     if t not in stats:
         return searcher.spark.createDataFrame([], _SPANS_SCHEMA)
@@ -525,7 +529,7 @@ def _term_spans(searcher, t: str, cand_b=None) -> DataFrame:
         blocks = blocks.join(
             cand_b, (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-    dec = blocks.mapInPandas(
+    dec = blocks.select(*POS_COLS).mapInPandas(
         searcher._decode_positions_kernel(), POSITIONS_SCHEMA)
     if cand_b is not None:
         dec = dec.join(cand_b, "doc_id", "left_semi")
@@ -552,8 +556,10 @@ def source_spans(searcher, source) -> DataFrame:
     req = sorted(_required_terms(source))
     req = [t for t in req if t in searcher.reader.term_statistics(req)]
     if len(req) >= 2:
-        from lucene_1_spark.search.executor import DECODED_SCHEMA
-        docs_only = searcher._blocks_for(req).mapInPandas(
+        from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                    DOCS_ONLY_COLS)
+        docs_only = searcher._blocks_for(req).select(*DOCS_ONLY_COLS) \
+            .mapInPandas(
             searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
         cand = (docs_only.groupBy("doc_id")
                 .agg(F.count_distinct("term").alias("_nt"))
@@ -754,9 +760,10 @@ def ordered_interval_counts(searcher, terms: list[str],
         return empty
 
     from lucene_1_spark.search.executor import (DECODED_SCHEMA,
+                                                DOCS_ONLY_COLS, POS_COLS,
                                                 POSITIONS_SCHEMA)
     blocks_all = searcher._blocks_for(uniq)
-    docs_only = blocks_all.mapInPandas(
+    docs_only = blocks_all.select(*DOCS_ONLY_COLS).mapInPandas(
         searcher._decode_kernel({}, want_scores=False), DECODED_SCHEMA)
     cand = (docs_only.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("_nt"))
@@ -769,7 +776,7 @@ def ordered_interval_counts(searcher, terms: list[str],
         pruned = blocks_t.join(
             cand_b, (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.mapInPandas(searcher._decode_positions_kernel(),
+        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
                                   POSITIONS_SCHEMA)
                .join(cand_b, "doc_id", "left_semi")
                .select("doc_id", F.col("positions").alias(f"p{i}")))
