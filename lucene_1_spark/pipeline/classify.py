@@ -54,14 +54,21 @@ def naive_bayes_train(docs: DataFrame, text_col: str = "text",
     """
     tf = _tokens(docs, text_col)
     labels = docs.select("doc_id", F.col(label_col).alias("label"))
-    tl = tf.join(labels, "doc_id")
+    # materialize the labeled term frequencies once: class stats, the
+    # (term, label) counts, and the vocabulary size would otherwise
+    # each re-run the full tokenize + explode over the corpus
+    tl = tf.join(labels, "doc_id").localCheckpoint(eager=False)
     class_stats = (tl.groupBy("label")
                    .agg(F.countDistinct("doc_id").cast("double")
                         .alias("n_docs"),
-                        F.sum("tf").alias("n_tokens")))
+                        F.sum("tf").alias("n_tokens"))
+                   .localCheckpoint(eager=False))
     term_counts = (tl.groupBy("term", "label")
-                   .agg(F.sum("tf").alias("cnt")))
-    vocab_size = tf.select("term").distinct().count()
+                   .agg(F.sum("tf").alias("cnt"))
+                   .localCheckpoint(eager=False))
+    # every tf term carries >=1 label row, so the distinct terms of
+    # term_counts ARE the vocabulary (no extra pass over the corpus)
+    vocab_size = term_counts.select("term").distinct().count()
     return {"class_stats": class_stats, "term_counts": term_counts,
             "vocab_size": int(vocab_size)}
 

@@ -154,23 +154,26 @@ def build_free_text_model(docs: DataFrame, text_col: str = "text",
     it partitioned by w1 for serving (bucket pruning per context)."""
     an_name = analyzer
 
-    base = docs.withColumn("_doc", F.monotonically_increasing_id())
-    toks = base.select(
-        "_doc",
-        F.posexplode(
-            F.filter(F.split(_analyzed_text_col(F.col(text_col), an_name),
-                             r"\s+"), lambda x: x != ""))
-        .alias("pos", "w"))
-    uni = (toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    # bigrams via array slicing in the tokenizing projection — no
+    # per-doc window shuffle (lead() shuffled every token by doc id)
+    base = docs.select(
+        F.filter(F.split(_analyzed_text_col(F.col(text_col), an_name),
+                         r"\s+"), lambda x: x != "").alias("_toks"))
+    t = F.col("_toks")
+    uni = (base.select(F.explode(t).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cnt"))
            .select(F.lit(None).cast("string").alias("w1"),
                    F.col("w").alias("w2"), "cnt"))
-    nxt = W.partitionBy("_doc").orderBy("pos")
-    bi = (toks.withColumn("w_next", F.lead("w").over(nxt))
-          .filter(F.col("w_next").isNotNull())
-          .groupBy("w", "w_next").agg(F.count("*").alias("cnt"))
-          .select(F.col("w").alias("w1"), F.col("w_next").alias("w2"),
-                  "cnt"))
-    return uni.unionByName(bi)
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(0), F.size(t) - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    bi = (base.select(F.explode(F.transform(idx, lambda i: F.struct(
+            F.element_at(t, i + 1).alias("w1"),
+            F.element_at(t, i + 2).alias("w2")))).alias("_bg"))
+          .select("_bg.w1", "_bg.w2")
+          .groupBy("w1", "w2").agg(F.count("*").alias("cnt")))
+    # materialized once: a lookup reads the model four ways (total,
+    # context count, bigram slice, unigram candidates)
+    return uni.unionByName(bi).localCheckpoint(eager=False)
 
 
 def _analyzed_text_col(col, analyzer_name: str):
