@@ -66,8 +66,14 @@ def suggest_similar(searcher, term: str, *,
         F.round(1.0 - F.col("dist")
                 / F.least(F.length(col), F.lit(len(t))).cast("double"), 6)
         .alias("similarity"))
-    ranked = scored.withColumn(
+    # top-n via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heap + driver merge); the global row_number window funneled every
+    # candidate term through one task.  rank is assigned over the n
+    # survivors only — identical rows, identical ranks (the order is a
+    # total order, suggestion asc breaks all ties).
+    top = scored.orderBy(F.desc("similarity"), F.desc("doc_freq"),
+                         F.asc("suggestion")).limit(int(num_suggestions))
+    return top.withColumn(
         "rank", F.row_number().over(
             W.orderBy(F.desc("similarity"), F.desc("doc_freq"),
                       F.asc("suggestion"))).cast("long"))
-    return ranked.filter(F.col("rank") <= num_suggestions)
