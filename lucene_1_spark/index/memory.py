@@ -210,13 +210,20 @@ class MemoryIndex:
     def _rewrite_multi_term(self, q: MultiTermQuery) -> Query:
         """The ``rewrite_multi_term`` shape against THIS document's
         term dictionary (df=1 everywhere, so top-terms ordering is
-        term-ascending like the engine's tie-break)."""
-        from lucene_1_spark.search.query import Clause
+        term-ascending like the engine's tie-break).  The same
+        MAX_CLAUSE_COUNT cap as the engine's rewrite applies
+        (``executor.py`` rewrite_multi_term): a pattern whose expansion
+        exceeds it raises here exactly as it would on the full index —
+        the score-identity contract includes failure behavior."""
+        from lucene_1_spark.search.query import MAX_CLAUSE_COUNT, Clause
         terms = sorted(t for t in self.positions
                        if FIELD_SEP not in t and self._mt_match(q, t))
         method = q.rewrite_method
         if method.startswith("top_terms_"):
             terms = terms[:int(method.rsplit("_", 1)[1])]
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"multi-term expansion too large: > {MAX_CLAUSE_COUNT}")
         if not terms:
             return MatchNoDocsQuery()
 
@@ -243,6 +250,13 @@ class MemoryIndex:
                          else re.escape(ch) for ch in q.pattern)
             return re.fullmatch(rx, term) is not None
         if isinstance(q, RegexpQuery):
+            # DOCUMENTED DIALECT CAVEAT: the engine expands regexes via
+            # Spark's rlike (Java regex); this in-memory path uses
+            # Python re.  The dialects agree on the grammar both
+            # support, but Java-only syntax (\p{Lower} classes,
+            # possessive quantifiers) or Python-only syntax (named
+            # groups) matches differently — the score-identity contract
+            # holds for dialect-portable patterns only.
             return re.fullmatch(q.regex, term) is not None
         if isinstance(q, FuzzyQuery):
             if q.prefix_length > 0 and \

@@ -337,7 +337,7 @@ def hnsw_search(graph: DataFrame, query_vec: list[float], k: int = 10,
         base = rescore.select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("_v"))
-        qlit = F.array(*[F.lit(float(x)) for x in q])
+        qlit = F.lit([float(x) for x in q])
         dot = F.aggregate(F.zip_with(F.col("_v"), qlit,
                                      lambda a, b: a * b),
                           F.lit(0.0).cast("double"),

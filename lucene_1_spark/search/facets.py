@@ -122,6 +122,10 @@ def drill_sideways(searcher: IndexSearcher, base_query,
     m = _matches_with_fields(searcher, base_query, fields)
     for name, col in derive.items():
         m = m.withColumn(name, col)
+    # each dimension's frame (and __hits__) is a separate action over
+    # the same base match set — materialize it once instead of
+    # re-running the search + stored-field join per dimension
+    m = m.localCheckpoint(eager=False)
     out: dict[str, DataFrame] = {}
     for dim in sorted(dims):
         others = m
