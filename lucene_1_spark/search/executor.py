@@ -85,6 +85,15 @@ POSITIONS_SCHEMA = T.StructType([
     T.StructField("positions", T.ArrayType(T.IntegerType())),
 ])
 
+# positions decode carrying the term — used by the one-pass phrase
+# pivot (all slots' positions decoded in one kernel, grouped per doc)
+POSITIONS_TERM_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("norm_val", T.LongType()),
+    T.StructField("positions", T.ArrayType(T.IntegerType())),
+])
+
 PRUNE_SAFETY = 1.00001  # relational double ub -> float32 score margin
 
 # columns each decode kernel actually reads — selected explicitly before
@@ -1274,9 +1283,11 @@ class IndexSearcher:
         return float(kth)
 
     # ------------------------------------------------------------------
-    def _decode_positions_kernel(self):
+    def _decode_positions_kernel(self, with_term: bool = False):
         """Blocks of one term -> (doc_id, norm_val, positions).  Decode
-        fuses the segmented prefix-sum over within-doc position deltas."""
+        fuses the segmented prefix-sum over within-doc position deltas.
+        ``with_term=True`` additionally carries the block's term so a
+        multi-term decode can be pivoted per slot downstream."""
         double_mode = self.double_mode
 
         def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1300,12 +1311,16 @@ class IndexSearcher:
                     doc_base = np.concatenate(
                         [[0], g[ends[:-1] - 1]]) if n > 1 else np.array([0])
                     pos_abs = (g - np.repeat(doc_base, freqs)).astype(np.int32)
-                    outs.append(pd.DataFrame({
+                    out = {
                         "doc_id": dids, "norm_val": norms,
                         "positions": np.split(pos_abs, ends[:-1]),
-                    }))
+                    }
+                    if with_term:
+                        out = {"term": np.repeat(row.term, n), **out}
+                    outs.append(pd.DataFrame(out))
                 yield pd.concat(outs) if outs else pd.DataFrame(
-                    {"doc_id": [], "norm_val": [], "positions": []})
+                    ({"term": []} if with_term else {})
+                    | {"doc_id": [], "norm_val": [], "positions": []})
 
         return decode
 
@@ -1526,36 +1541,31 @@ class IndexSearcher:
                     .select("doc_id"))
         cand_b = F.broadcast(cand)
 
-        # 2. positions decode only for candidate-bearing blocks
-        def decode_positions(t: str) -> DataFrame:
-            blocks_t = blocks_all.filter(F.col("term") == t)
-            pruned_t = blocks_t.join(
-                cand_b, (F.col("doc_id") >= F.col("first_doc"))
-                & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-            return (pruned_t.select(*POS_COLS)
-                    .mapInPandas(self._decode_positions_kernel(),
-                                 POSITIONS_SCHEMA)
-                    .join(cand_b, "doc_id", "left_semi"))
-
-        joined = None
+        # 2. positions decode only for candidate-bearing blocks — ONE
+        # kernel pass over every slot member's pruned blocks, pivoted
+        # per slot by a single per-doc aggregation (the previous shape
+        # decoded per term and joined one frame per slot: n_slots
+        # exchanges and joins instead of one).  A candidate doc holds
+        # >=1 member of every slot, so the pivoted rows cover exactly
+        # the docs the old inner-join chain kept; a multi-member slot's
+        # sorted distinct union is unchanged, and a single-member
+        # slot's positions list is already sorted and distinct, so the
+        # same aggregation expression reproduces it verbatim.
+        pruned_all = blocks_all.join(
+            cand_b, (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+        dec_all = (pruned_all.select("term", *POS_COLS)
+                   .mapInPandas(
+                       self._decode_positions_kernel(with_term=True),
+                       POSITIONS_TERM_SCHEMA)
+                   .join(cand_b, "doc_id", "left_semi"))
+        aggs = [F.first("norm_val").alias("norm_val")]
         for i, s in enumerate(slots):
-            keep_norm = ["norm_val"] if i == 0 else []
-            if len(s) == 1:
-                dec = decode_positions(s[0]).select(
-                    "doc_id", *keep_norm,
-                    F.col("positions").alias(f"p{i}"))
-            else:
-                un = decode_positions(s[0])
-                for t in s[1:]:
-                    un = un.unionByName(decode_positions(t))
-                aggs = [F.sort_array(F.array_distinct(F.flatten(
-                    F.collect_list("positions")))).alias(f"p{i}")]
-                if i == 0:
-                    # the norm is a per-doc field property, identical
-                    # across a slot's member terms
-                    aggs.insert(0, F.first("norm_val").alias("norm_val"))
-                dec = un.groupBy("doc_id").agg(*aggs)
-            joined = dec if joined is None else joined.join(dec, "doc_id")
+            member_pos = F.when(F.col("term").isin(list(s)),
+                                F.col("positions"))
+            aggs.append(F.sort_array(F.array_distinct(F.flatten(
+                F.collect_list(member_pos)))).alias(f"p{i}"))
+        joined = dec_all.groupBy("doc_id").agg(*aggs)
 
         f_caches, f_avgdls = self._per_term_field_maps({anchor_term: 1.0})
         cache = f_caches.get(anchor_term, self.cache)

@@ -50,6 +50,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+def _pivot_positions(searcher, blocks_all, cand_b,
+                     term_lists: list[list[str]]) -> DataFrame:
+    """(doc_id, p0..pn) position arrays for candidate docs — ONE
+    positions decode over every term's candidate-pruned blocks and one
+    per-doc aggregation (the per-term decode + one-join-per-side shape
+    cost an exchange and a join per operand).  ``term_lists[i]`` holds
+    the member terms feeding ``p{i}``; a single-member list reproduces
+    its raw positions verbatim (per-term positions are already sorted
+    and distinct), multi-member lists take the sorted distinct union —
+    identical to the joined-frames result for candidate docs, which by
+    construction hold >=1 member of every list."""
+    from lucene_1_spark.search.executor import (POS_COLS,
+                                                POSITIONS_TERM_SCHEMA)
+    pruned = blocks_all.join(
+        cand_b, (F.col("doc_id") >= F.col("first_doc"))
+        & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
+    dec = (pruned.select("term", *POS_COLS)
+           .mapInPandas(searcher._decode_positions_kernel(with_term=True),
+                        POSITIONS_TERM_SCHEMA)
+           .join(cand_b, "doc_id", "left_semi"))
+    aggs = []
+    for i, ts in enumerate(term_lists):
+        aggs.append(F.sort_array(F.array_distinct(F.flatten(
+            F.collect_list(F.when(F.col("term").isin(list(ts)),
+                                  F.col("positions")))))).alias(f"p{i}"))
+    return dec.groupBy("doc_id").agg(*aggs)
+
+
 def interval_counts(searcher, term_a: str, term_b: str,
                     mode: str = "ordered", max_gaps: int = 0) -> DataFrame:
     """(doc_id, n_intervals) for docs with >= 1 matching interval."""
@@ -71,19 +99,8 @@ def interval_counts(searcher, term_a: str, term_b: str,
             .agg(F.count_distinct("term").alias("_nt"))
             .filter(F.col("_nt") == 2).select("doc_id"))
     cand_b = F.broadcast(cand)
-
-    sides = []
-    for i, t in enumerate((term_a, term_b)):
-        blocks_t = blocks_all.filter(F.col("term") == t)
-        pruned = blocks_t.join(
-            cand_b, (F.col("doc_id") >= F.col("first_doc"))
-            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
-                                  POSITIONS_SCHEMA)
-               .join(cand_b, "doc_id", "left_semi")
-               .select("doc_id", F.col("positions").alias(f"p{i}")))
-        sides.append(dec)
-    joined = sides[0].join(sides[1], "doc_id")
+    joined = _pivot_positions(searcher, blocks_all, cand_b,
+                              [[term_a], [term_b]])
 
     g = int(max_gaps)
     ordered = mode == "ordered"
@@ -157,17 +174,8 @@ def _ordered_spans(searcher, terms: list[str],
             .agg(F.count_distinct("term").alias("_nt"))
             .filter(F.col("_nt") == len(uniq)).select("doc_id"))
     cand_b = F.broadcast(cand)
-    joined = None
-    for i, t in enumerate(terms):
-        blocks_t = blocks_all.filter(F.col("term") == t)
-        pruned = blocks_t.join(
-            cand_b, (F.col("doc_id") >= F.col("first_doc"))
-            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
-                                  POSITIONS_SCHEMA)
-               .join(cand_b, "doc_id", "left_semi")
-               .select("doc_id", F.col("positions").alias(f"p{i}")))
-        joined = dec if joined is None else joined.join(dec, "doc_id")
+    joined = _pivot_positions(searcher, blocks_all, cand_b,
+                              [[t] for t in terms])
 
     g = int(max_gaps)
 
@@ -236,16 +244,8 @@ def unordered_interval_counts(searcher, terms: list[str],
             .agg(F.count_distinct("term").alias("_nt"))
             .filter(F.col("_nt") == len(uniq)).select("doc_id"))
     cand_b = F.broadcast(cand)
-    for i, t in enumerate(uniq):
-        blocks_t = blocks_all.filter(F.col("term") == t)
-        pruned = blocks_t.join(
-            cand_b, (F.col("doc_id") >= F.col("first_doc"))
-            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
-                                  POSITIONS_SCHEMA)
-               .join(cand_b, "doc_id", "left_semi")
-               .select("doc_id", F.col("positions").alias(f"p{i}")))
-        joined = dec if joined is None else joined.join(dec, "doc_id")
+    joined = _pivot_positions(searcher, blocks_all, cand_b,
+                              [[t] for t in uniq])
 
     g = int(max_gaps)
     k = len(uniq)
@@ -770,17 +770,8 @@ def ordered_interval_counts(searcher, terms: list[str],
             .filter(F.col("_nt") == len(uniq)).select("doc_id"))
     cand_b = F.broadcast(cand)
 
-    joined = None
-    for i, t in enumerate(terms):
-        blocks_t = blocks_all.filter(F.col("term") == t)
-        pruned = blocks_t.join(
-            cand_b, (F.col("doc_id") >= F.col("first_doc"))
-            & (F.col("doc_id") <= F.col("last_doc")), "left_semi")
-        dec = (pruned.select(*POS_COLS).mapInPandas(searcher._decode_positions_kernel(),
-                                  POSITIONS_SCHEMA)
-               .join(cand_b, "doc_id", "left_semi")
-               .select("doc_id", F.col("positions").alias(f"p{i}")))
-        joined = dec if joined is None else joined.join(dec, "doc_id")
+    joined = _pivot_positions(searcher, blocks_all, cand_b,
+                              [[t] for t in terms])
 
     g = int(max_gaps)
 
