@@ -47,9 +47,14 @@ def token_count(docs: DataFrame, text_col: str = "text",
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality heuristics: mean word length, stopword
-    ratio, alpha ratio, and a composite score — each a plain column
-    expression (one projection, no shuffle)."""
-    toks = _tokens(text_col)
+    ratio, alpha ratio, and a composite score — plain column
+    expressions (one shuffle-free projection pair).  The token array
+    is materialized in its own projection first so each consuming
+    expression reads the column instead of re-running the split
+    (same expression-reuse fix as :func:`repetition_stats`)."""
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       _tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     sw = STOPWORDS["en"]
     n_stop = F.size(F.filter(toks, lambda t: t.isin(sw)))
@@ -61,7 +66,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     composite = (F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.4
                  + alpha_ratio * 0.4
                  + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.2).otherwise(0.0))
-    return docs.select(
+    return base.select(
         F.col(id_col),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -73,8 +78,10 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language heuristic: argmax over per-language
-    stopword hit ratios; 'und' (undetermined) when all are zero."""
-    toks = _tokens(text_col)
+    stopword hit ratios; 'und' (undetermined) when all are zero.
+    Tokens materialize once (see :func:`quality_score`)."""
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     ratios = [(lang, F.size(F.filter(toks, lambda t: t.isin(words))) / n_tok)
               for lang, words in STOPWORDS.items()]
@@ -82,7 +89,7 @@ def language_id(docs: DataFrame, text_col: str = "text",
     pred = F.lit("und")
     for lang, r in reversed(ratios):  # earlier langs win ties
         pred = F.when((best > 0) & (r == best), F.lit(lang)).otherwise(pred)
-    out = docs.select(F.col(id_col), pred.alias("pred_lang"),
+    out = base.select(F.col(id_col), pred.alias("pred_lang"),
                       F.round(best, 6).alias("lang_score"))
     return out
 
