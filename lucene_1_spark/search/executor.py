@@ -128,6 +128,23 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+# empty-result DataFrames memoized per (session, schema): building one
+# costs ~20 ms of py4j/schema parsing, and every search constructed one
+# up front whether or not it was returned
+_EMPTY_DF_MEMO: dict = {}
+
+
+def empty_df(spark, schema: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, schema)
+    df = _EMPTY_DF_MEMO.get(key)
+    if df is None:
+        if len(_EMPTY_DF_MEMO) > 64:
+            _EMPTY_DF_MEMO.clear()
+        df = spark.createDataFrame([], schema)
+        _EMPTY_DF_MEMO[key] = df
+    return df
+
+
 def _merge_ranges(ranges: list[tuple[int, int]],
                   max_intervals: int) -> list[list[int]]:
     """Merge sorted [lo, hi] doc ranges; coalesce across the smallest
@@ -824,7 +841,7 @@ class IndexSearcher:
         query = rewrite_fixpoint(self._expand_tree(
             rewrite_fixpoint(self._resolve_fields(query))))
         spark = self.spark
-        empty = spark.createDataFrame([], "doc_id long, score float")
+        empty = empty_df(spark, "doc_id long, score float")
         if isinstance(query, MatchNoDocsQuery):
             return empty
         if isinstance(query, MatchAllDocsQuery):
@@ -1385,7 +1402,7 @@ class IndexSearcher:
         ``offsets``: optional explicit per-slot positions
         (``MultiPhraseQuery.Builder.add(Term[], int)`` — gaps between
         slots); default consecutive 0..n-1."""
-        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        empty = empty_df(self.spark, "doc_id long, score float")
         if self.reader.cfg.get("positions") is not True:
             raise ValueError("index was built without positions "
                              "(IndexConfig.positions=True required)")
@@ -1890,7 +1907,7 @@ class IndexSearcher:
                 F.col("score").cast("double").alias("score"))
             parts = sub if parts is None else parts.unionByName(sub)
         if parts is None:
-            return self.spark.createDataFrame([], "doc_id long, score float")
+            return empty_df(self.spark, "doc_id long, score float")
         tb, boost = float(q.tie_breaker), float(q.boost)
         # a doc matching one disjunct through several union rows is
         # impossible (each sub-plan emits one row per doc), so max/sum
@@ -2041,7 +2058,7 @@ class IndexSearcher:
         """Members merge into one pseudo-term: doc_freq = max over
         members, per-doc freq = sum over members, scored once
         (``SynonymQuery.java:212-228``)."""
-        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        empty = empty_df(self.spark, "doc_id long, score float")
         stats = self.reader.term_statistics(sorted(set(q.terms)))
         present = [t for t in q.terms if t in stats]
         if not present:
@@ -2421,7 +2438,7 @@ class IndexSearcher:
             raise ValueError("no payloads attached — see "
                              "maintenance.attach_payloads")
         dtype = "double" if self.double_mode else "float"
-        empty = self.spark.createDataFrame([], f"doc_id long, score {dtype}")
+        empty = empty_df(self.spark, f"doc_id long, score {dtype}")
         term = q.term
         if q.field != "content":  # composite term key (_resolve_fields)
             if q.field not in self.keyword_fields \
@@ -2681,7 +2698,7 @@ class IndexSearcher:
         """Distinct doc_ids containing any of the terms (constant-score
         multi-term execution: no freq decode, no scoring)."""
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
+            return empty_df(self.spark, "doc_id long")
         blocks = self._blocks_for(sorted(set(terms)))
         decoded = blocks.select(*DOCS_ONLY_COLS).mapInPandas(
             self._decode_kernel({}, want_scores=False), DECODED_SCHEMA)

@@ -84,7 +84,8 @@ def interval_counts(searcher, term_a: str, term_b: str,
     if searcher.reader.cfg.get("positions") is not True:
         raise ValueError("intervals need a positions=True index")
     spark = searcher.spark
-    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    from lucene_1_spark.search.executor import empty_df
+    empty = empty_df(spark, "doc_id long, n_intervals long")
     stats = searcher.reader.term_statistics(sorted({term_a, term_b}))
     if term_a not in stats or term_b not in stats:
         return empty
@@ -149,7 +150,8 @@ def _ordered_spans(searcher, terms: list[str],
     spark = searcher.spark
     n_terms = len(terms)
     schema = "doc_id long, starts array<long>, ends array<long>"
-    empty = spark.createDataFrame([], schema)
+    from lucene_1_spark.search.executor import empty_df
+    empty = empty_df(spark, schema)
     uniq = sorted(set(terms))
     stats = searcher.reader.term_statistics(uniq)
     if any(t not in stats for t in uniq):
@@ -227,7 +229,8 @@ def unordered_interval_counts(searcher, terms: list[str],
         # reject instead of silently deduping (which would count every
         # single occurrence as a window)
         raise ValueError("unordered intervals require distinct terms")
-    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    from lucene_1_spark.search.executor import empty_df
+    empty = empty_df(spark, "doc_id long, n_intervals long")
     uniq = sorted(set(terms))
     stats = searcher.reader.term_statistics(uniq)
     if any(t not in stats for t in uniq):
@@ -753,7 +756,8 @@ def ordered_interval_counts(searcher, terms: list[str],
     n_terms = len(terms)
     if n_terms < 2:
         raise ValueError("ordered intervals need >= 2 terms")
-    empty = spark.createDataFrame([], "doc_id long, n_intervals long")
+    from lucene_1_spark.search.executor import empty_df
+    empty = empty_df(spark, "doc_id long, n_intervals long")
     uniq = sorted(set(terms))
     stats = searcher.reader.term_statistics(uniq)
     if any(t not in stats for t in uniq):
