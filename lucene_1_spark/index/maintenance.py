@@ -346,22 +346,46 @@ def _make_repack(block_size: int, exact_norms: bool, want_positions: bool):
     return repack
 
 
-# terms per repack task are spread over this many salt groups per
-# bucket: enough parallelism to fill executors (n_buckets x SALT tasks)
-# while amortizing per-group kernel overhead over many terms.  A single
-# pathological term still bounds one task exactly as per-term grouping
-# did; compact_index(salt_docs=N) additionally splits such a term's
+# repack group sizing: terms are spread over salt groups per bucket so
+# one applyInPandas call amortizes its Arrow/pandas overhead over many
+# terms, while the salt SCALES WITH INPUT BYTES so a group's postings
+# stay bounded (~REPACK_GROUP_BYTES per group) — a fixed salt would let
+# a group grow with the bucket and OOM the worker at scale.  A single
+# term larger than the target still bounds its group (same floor as
+# per-term grouping); compact_index(salt_docs=N) splits such a term's
 # runs across doc-salt groups.
-REPACK_TERM_SALT = 32
+REPACK_TERM_SALT_MIN = 32
+REPACK_GROUP_BYTES = 256 * 2 ** 20
 
 
-def _repack_groups(posts: "DataFrame", extra: list[str] | None = None):
+def _repack_salt(total_bytes: int, n_buckets: int) -> int:
+    per_bucket = max(int(total_bytes), 1) / max(int(n_buckets), 1)
+    import math
+    return max(REPACK_TERM_SALT_MIN,
+               int(math.ceil(per_bucket / REPACK_GROUP_BYTES)))
+
+
+def _repack_groups(posts: "DataFrame", extra: list[str] | None = None,
+                   total_bytes: int = 0, n_buckets: int = 1):
     """(augmented DataFrame, group key columns) for the repack shuffle:
-    key = (bucket, pmod(xxhash64(term), REPACK_TERM_SALT) [, extras])."""
+    key = (bucket, pmod(xxhash64(term), salt) [, extras]) with the salt
+    derived from the input bytes (see above)."""
+    salt = _repack_salt(total_bytes, n_buckets)
     keyed = posts.withColumn(
-        "_tsalt", F.pmod(F.xxhash64("term"),
-                         F.lit(REPACK_TERM_SALT)).cast("int"))
+        "_tsalt", F.pmod(F.xxhash64("term"), F.lit(salt)).cast("int"))
     return keyed, ["bucket", "_tsalt"] + list(extra or [])
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -407,7 +431,10 @@ def compact_index(spark: SparkSession, index_dir: str,
         posts = posts.withColumn(
             "_salt", (F.col("first_doc") / int(salt_docs)).cast("long"))
         extra = ["_salt"]
-    posts, group_keys = _repack_groups(posts, extra)
+    posts, group_keys = _repack_groups(
+        posts, extra,
+        total_bytes=_dir_bytes(reader.table_path("postings")),
+        n_buckets=int(cfg.get("n_buckets", 1)))
     new_postings = posts.groupBy(*group_keys) \
         .applyInPandas(repack, BLOCKS_SCHEMA)
     postings_name = f"postings_v{gen}"
@@ -684,7 +711,15 @@ def merge_segments(spark: SparkSession, index_dir: str,
                      .parquet(*sel_post).select(*block_cols))
         if reclaimed is not None:
             merged_in = _attach_dead(merged_in, reclaimed)
-        merged_in, mk = _repack_groups(merged_in)
+        sel_bytes = 0
+        for p in sel_post:
+            try:
+                sel_bytes += os.path.getsize(p)
+            except OSError:
+                pass
+        merged_in, mk = _repack_groups(
+            merged_in, total_bytes=sel_bytes,
+            n_buckets=int(cfg.get("n_buckets", 1)))
         (merged_in
          .groupBy(*mk).applyInPandas(repack, BLOCKS_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket")

@@ -97,22 +97,28 @@ def pack_sequences(docs: DataFrame, text_col: str = "text",
             (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
     else:
         grp = 4096
+        gc = "_l1s_pack_g"    # private name: never clobber a user column
         out = out.withColumn(
-            "_g", F.floor(F.col(id_col) / F.lit(grp)).cast("long"))
-        gsum = out.groupBy("_g").agg(F.sum("n_tokens").alias("_gs"))
-        w_off = W.orderBy(F.asc("_g")) \
+            gc, F.floor(F.col(id_col) / F.lit(grp)).cast("long"))
+        gsum = out.groupBy(gc).agg(F.sum("n_tokens").alias("_l1s_gs"))
+        w_off = W.orderBy(F.asc(gc)) \
             .rowsBetween(W.unboundedPreceding, -1)
         offs = gsum.select(
-            "_g",
-            F.coalesce(F.sum("_gs").over(w_off), F.lit(0)).alias("_goff"))
-        w_in = W.partitionBy("_g").orderBy(F.asc(id_col)) \
+            gc,
+            F.coalesce(F.sum("_l1s_gs").over(w_off), F.lit(0))
+            .alias("_l1s_goff"))
+        w_in = W.partitionBy(gc).orderBy(F.asc(id_col)) \
             .rowsBetween(W.unboundedPreceding, W.currentRow)
-        out = (out.join(offs, "_g")
+        # join + drop (not a re-select) so the column set and order
+        # match the shard branch exactly, including a pre-existing
+        # n_tokens column being REPLACED in place rather than
+        # duplicated
+        out = (out.join(offs, gc)
                .withColumn(
                    "tok_start",
-                   (F.col("_goff") + F.sum("n_tokens").over(w_in)
+                   (F.col("_l1s_goff") + F.sum("n_tokens").over(w_in)
                     - F.col("n_tokens")).cast("long"))
-               .select(*docs.columns, "n_tokens", "tok_start"))
+               .drop(gc, "_l1s_goff"))
     return out.withColumn(
         "seq_id", F.floor(F.col("tok_start") / F.lit(int(capacity)))
         .cast("long"))

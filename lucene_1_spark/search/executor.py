@@ -1166,17 +1166,23 @@ class IndexSearcher:
     MAX_RANGE_INTERVALS = 64    # cap the OR-predicate size
     DRIVER_META_CAP = 1 << 20   # max block-metadata rows read driver-side
 
-    def _block_meta(self, terms: list[str]):
+    def _block_meta(self, terms: list[str], cap: int | None = None):
         """Driver-side block metadata of ``terms`` (pandas), or None
-        when the stats-derived block estimate exceeds DRIVER_META_CAP
-        (a hot term at 100 TB: stay on the distributed path) or the
-        pyarrow seek fails.  The stats are already memoized by the
+        when the stats-derived block estimate exceeds ``cap`` (default
+        DRIVER_META_CAP — a hot term at 100 TB stays on the distributed
+        path) or the pyarrow seek fails.  The estimate adds one partial
+        tail block per OTHER segment per term (per-segment runs don't
+        pack full), so an uncompacted many-segment index cannot blow
+        far past the cap.  The stats are already memoized by the
         query-prep path, so the cap check itself costs nothing."""
+        if cap is None:
+            cap = self.DRIVER_META_CAP
         try:
+            n_seg = max(int(self.reader.manifest.get("n_segments", 1)), 1)
             stats = self.reader.term_statistics(list(terms))
-            est = sum(stats.get(t, (0, 0))[0] // codecs.BLOCK_SIZE + 1
-                      for t in terms)
-            if est > self.DRIVER_META_CAP:
+            est = sum(stats.get(t, (0, 0))[0] // codecs.BLOCK_SIZE
+                      + n_seg for t in terms)
+            if est > cap:
                 return None
             return self.reader.block_meta_arrow(sorted(terms))
         except Exception:
@@ -1200,7 +1206,11 @@ class IndexSearcher:
         read: partition-pruned to the driver's bucket, column-pruned to
         the two range columns — via the pyarrow seek when the block
         count allows (no Spark job), else a capped Spark collect."""
-        meta = self._block_meta([driver_term])
+        # cap the metadata read at the RANGE cap (not the larger meta
+        # cap): a driver term with more blocks than DRIVER_RANGE_CAP
+        # skips pruning anyway, so reading its metadata would pull rows
+        # only to discard them
+        meta = self._block_meta([driver_term], cap=self.DRIVER_RANGE_CAP)
         if meta is not None:
             if not len(meta) or len(meta) > self.DRIVER_RANGE_CAP:
                 return blocks

@@ -147,7 +147,8 @@ def lookup_fuzzy(suggestions: DataFrame, text: str, k: int = 5,
 # ---------------------------------------------------------------------------
 
 def build_free_text_model(docs: DataFrame, text_col: str = "text",
-                          analyzer: str = "standard") -> DataFrame:
+                          analyzer: str = "standard",
+                          materialize: bool = True) -> DataFrame:
     """One model row per gram: (w1, w2, cnt) for bigrams (within-doc
     adjacent positions) plus (w1=NULL, w2=word, cnt) unigram rows —
     the two FST levels of the reference in one union table.  Persist
@@ -171,9 +172,13 @@ def build_free_text_model(docs: DataFrame, text_col: str = "text",
             F.element_at(t, i + 2).alias("w2")))).alias("_bg"))
           .select("_bg.w1", "_bg.w2")
           .groupBy("w1", "w2").agg(F.count("*").alias("cnt")))
-    # materialized once: a lookup reads the model four ways (total,
-    # context count, bigram slice, unigram candidates)
-    return uni.unionByName(bi).localCheckpoint(eager=False)
+    # materialized once by default: a lookup reads the model four ways
+    # (total, context count, bigram slice, unigram candidates).  Pass
+    # materialize=False when the model is only being WRITTEN to its
+    # serving table (one action — the checkpoint would be a pure extra
+    # copy of the largest relation).
+    model = uni.unionByName(bi)
+    return model.localCheckpoint(eager=False) if materialize else model
 
 
 def _analyzed_text_col(col, analyzer_name: str):

@@ -114,15 +114,20 @@ def test_pack_sequences_matches_naive_window(spark):
 
 
 def test_dynamic_range_facets_no_global_row_window(searcher):
-    """The binning window is PARTITIONED by the facet value; the only
-    unpartitioned window runs over the aggregated histogram."""
+    """The row_number binning window is PARTITIONED by the facet value
+    (the old shape ranked the whole match set through one empty
+    partition spec); the only unpartitioned window runs over the
+    aggregated histogram (a sum, not row_number)."""
     from lucene_1_spark.search.collectors import dynamic_range_facets
     df = dynamic_range_facets(searcher, "tok0", "length", topn=3)
     plan = _plan(df)
-    # count Window operators whose partition spec is empty AND whose
-    # child is not an aggregate: scan the textual plan for windows
-    # directly over the joined row stream
-    assert "Window" in plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        # textual Window prints `..., [partitionCols], [orderCols]`;
+        # the old global funnel printed an EMPTY partition list
+        assert "], [], [" not in ln, f"unpartitioned row_number: {ln}"
+        assert "length#" in ln.split("windowspecdefinition", 1)[-1]
     rows = df.collect()
     assert sum(r["n_docs"] for r in rows) > 0
 
